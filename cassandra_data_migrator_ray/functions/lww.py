@@ -1,0 +1,281 @@
+"""Cell-level last-writer-wins fold — the heart of the engine.
+
+Semantics (faithful to the reference + Cassandra cell rules it delegates to):
+
+- Every change event carries ``(writetime, event_seq)``; ``event_seq`` is a
+  globally unique monotone tiebreak, so ordering is total and replays are
+  deterministic (the reference leans on Cassandra cell rules + a configured
+  ``writetimeIncrement`` instead — feature/WritetimeTTL.java:167-172).
+- INSERT and UPSERT are the same operation (CQL INSERT is an upsert).
+- A null payload column in an upsert means *unset*: keep the existing cell.
+  (reference: null → unset to avoid tombstones,
+  cql/statement/TargetInsertStatement.java:107-115, data/CqlData.java:176-200).
+- DELETE is a row tombstone at ``(writetime, event_seq)``: it suppresses every
+  cell and row marker with a smaller-or-equal order token; a *newer* upsert
+  recreates the row from scratch.
+- Per-cell writetimes are persisted in the lake state (``c__wt``/``c__seq``),
+  mirroring Cassandra's per-cell timestamps that the reference reads back via
+  ``WRITETIME(c)`` (schema/CqlTable.java:496-514) — so incremental merges are
+  exactly equivalent to a one-shot replay of the full history.
+
+Everything is vectorized numpy/pandas over sorted contiguous groups — no
+Python-per-row loops.  ``fold_events`` (events → state) and ``merge_states``
+(state ⊕ state) form an associative pair, which legalizes per-batch
+pre-reduction (combining) before the shuffle and salted hierarchical merges for
+hot keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from cassandra_data_migrator_ray.schema import (
+    DEL_SEQ,
+    DEL_WT,
+    DELETED,
+    MAX_SEQ,
+    NEG_INF,
+    ROW_SEQ,
+    ROW_WT,
+    SEQ_SUFFIX,
+    WT_SUFFIX,
+)
+
+
+def _group_starts(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:
+    """Start indices of contiguous key groups in a key-sorted frame."""
+    n = len(df)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in key_cols:
+        v = df[k].to_numpy()
+        change[1:] |= v[1:] != v[:-1]
+    return np.flatnonzero(change)
+
+
+def _take_or(series: pd.Series, idx: np.ndarray, valid: np.ndarray) -> pd.Series:
+    """series.iloc[idx] where valid, else NA (dtype-preserving)."""
+    out = series.iloc[np.clip(idx, 0, None)].reset_index(drop=True)
+    return out.where(valid)
+
+
+def _lex_gt(w1, s1, w2, s2) -> np.ndarray:
+    """(w1, s1) > (w2, s2) lexicographically, vectorized."""
+    return (w1 > w2) | ((w1 == w2) & (s1 > s2))
+
+
+def fold_events(
+    df: pd.DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    counter_cols: Sequence[str] = (),
+) -> pd.DataFrame:
+    """Fold a frame of change events into one state row per key.
+
+    Input columns: key_cols + payload_cols + op/writetime/event_seq.
+    Output: the internal state frame (see schema.state_schema).
+    """
+    if df.empty:
+        return empty_state(df, key_cols, payload_cols, counter_cols)
+    df = df.sort_values(
+        [*key_cols, "writetime", "event_seq"], kind="mergesort", ignore_index=True
+    )
+    n = len(df)
+    idx = np.arange(n, dtype=np.int64)
+    is_del = df["op"].to_numpy() == "DELETE"
+    wt = df["writetime"].to_numpy(dtype=np.int64)
+    seq = df["event_seq"].to_numpy(dtype=np.int64)
+
+    starts = _group_starts(df, key_cols)
+    ends = np.r_[starts[1:], n] - 1  # last row index of each group
+    ngroups = len(starts)
+    gid = np.repeat(np.arange(ngroups), np.diff(np.r_[starts, n]))
+
+    # Tombstone suppression via sort order: rows strictly after the last DELETE
+    # in a group have del_cum == del_cum[group end].
+    del_cum = np.cumsum(is_del)
+    live = ~is_del & (del_cum == del_cum[ends][gid])
+
+    # last delete / last upsert index per group (-1 if none)
+    last_del = np.maximum.reduceat(np.where(is_del, idx, -1), starts)
+    last_up = np.maximum.reduceat(np.where(live, idx, -1), starts)
+
+    has_del = last_del >= 0
+    exists = last_up >= 0  # an upsert after the last delete
+
+    out = df.iloc[starts][list(key_cols)].reset_index(drop=True)
+    for c in payload_cols:
+        if c in counter_cols:
+            delta = pd.to_numeric(df[c], errors="coerce").to_numpy(dtype=np.float64)
+            valid = live & ~np.isnan(delta)
+            sums = np.add.reduceat(np.where(valid, delta, 0.0), starts)
+            any_valid = np.maximum.reduceat(np.where(valid, idx, -1), starts) >= 0
+            out[c] = pd.array(np.where(any_valid, sums, np.nan))
+            out[c] = out[c].where(any_valid)
+            # order token of the latest contribution (for merge suppression)
+            last_c = np.maximum.reduceat(np.where(valid, idx, -1), starts)
+            out[c + WT_SUFFIX] = np.where(last_c >= 0, wt[np.clip(last_c, 0, None)], NEG_INF)
+            out[c + SEQ_SUFFIX] = np.where(last_c >= 0, seq[np.clip(last_c, 0, None)], NEG_INF)
+            continue
+        notnull = df[c].notna().to_numpy()
+        valid = live & notnull
+        last_c = np.maximum.reduceat(np.where(valid, idx, -1), starts)
+        ok = last_c >= 0
+        out[c] = _take_or(df[c], last_c, ok)
+        out[c + WT_SUFFIX] = np.where(ok, wt[np.clip(last_c, 0, None)], NEG_INF)
+        out[c + SEQ_SUFFIX] = np.where(ok, seq[np.clip(last_c, 0, None)], NEG_INF)
+
+    out[DEL_WT] = np.where(has_del, wt[np.clip(last_del, 0, None)], NEG_INF)
+    out[DEL_SEQ] = np.where(has_del, seq[np.clip(last_del, 0, None)], NEG_INF)
+    out[ROW_WT] = np.where(exists, wt[np.clip(last_up, 0, None)], NEG_INF)
+    out[ROW_SEQ] = np.where(exists, seq[np.clip(last_up, 0, None)], NEG_INF)
+    out[DELETED] = ~exists
+    out[MAX_SEQ] = np.maximum.reduceat(seq, starts)
+    return out
+
+
+def empty_state(
+    df: pd.DataFrame | None,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    counter_cols: Sequence[str] = (),
+) -> pd.DataFrame:
+    cols: dict[str, pd.Series] = {}
+    for k in key_cols:
+        cols[k] = df[k].iloc[:0] if df is not None and k in df else pd.Series([], dtype=object)
+    for c in payload_cols:
+        cols[c] = (
+            df[c].iloc[:0] if df is not None and c in df else pd.Series([], dtype=object)
+        )
+        cols[c + WT_SUFFIX] = pd.Series([], dtype=np.int64)
+        cols[c + SEQ_SUFFIX] = pd.Series([], dtype=np.int64)
+    for extra in (DEL_WT, DEL_SEQ, ROW_WT, ROW_SEQ, MAX_SEQ):
+        cols[extra] = pd.Series([], dtype=np.int64)
+    cols[DELETED] = pd.Series([], dtype=bool)
+    return pd.DataFrame(cols)
+
+
+def merge_state_frames(
+    frames: Sequence[pd.DataFrame] | pd.DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    counter_cols: Sequence[str] = (),
+) -> pd.DataFrame:
+    """Associative, commutative multi-way merge of state frames.
+
+    Equivalent to Cassandra compaction of N SSTables: per cell the greatest
+    ``(wt, seq)`` wins; the merged tombstone (greatest delete token) suppresses
+    any cell/row marker at or below it.  Counter columns *add* across all
+    partials whose contribution token survives the merged tombstone (reference
+    delta semantics, cql/statement/TargetUpdateStatement.java:69-76; like the
+    reference, counters do not interact with row deletes at sub-partial
+    granularity).
+
+    This is the combiner that legalizes per-batch pre-reduction before the
+    shuffle and salted hierarchical merges for hot keys.
+    """
+    if isinstance(frames, pd.DataFrame):
+        df = frames
+    else:
+        frames = [f for f in frames if f is not None and len(f)]
+        if not frames:
+            raise ValueError("merge_state_frames: no non-empty frames")
+        df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    if df.empty:
+        return df
+    df = df.sort_values(list(key_cols), kind="mergesort", ignore_index=True)
+    n = len(df)
+    idx = np.arange(n, dtype=np.int64)
+    starts = _group_starts(df, key_cols)
+    ngroups = len(starts)
+    gid = np.repeat(np.arange(ngroups), np.diff(np.r_[starts, n]))
+
+    def _argmax_lex(w: np.ndarray, s: np.ndarray) -> np.ndarray:
+        """Per-group row index of the lexicographic max (w, s); seq-unique."""
+        wmax = np.maximum.reduceat(w, starts)[gid]
+        cand = w == wmax
+        smax = np.maximum.reduceat(np.where(cand, s, NEG_INF), starts)[gid]
+        win = cand & (s == smax)
+        return np.maximum.reduceat(np.where(win, idx, -1), starts)
+
+    out = df.iloc[starts][list(key_cols)].reset_index(drop=True)
+
+    dwt = df[DEL_WT].to_numpy(dtype=np.int64)
+    dsq = df[DEL_SEQ].to_numpy(dtype=np.int64)
+    di = _argmax_lex(dwt, dsq)
+    del_wt, del_seq = dwt[di], dsq[di]
+
+    rwt = df[ROW_WT].to_numpy(dtype=np.int64)
+    rsq = df[ROW_SEQ].to_numpy(dtype=np.int64)
+    ri = _argmax_lex(rwt, rsq)
+    row_wt, row_seq = rwt[ri], rsq[ri]
+    exists = _lex_gt(row_wt, row_seq, del_wt, del_seq)
+
+    for c in payload_cols:
+        w = df[c + WT_SUFFIX].to_numpy(dtype=np.int64)
+        s = df[c + SEQ_SUFFIX].to_numpy(dtype=np.int64)
+        if c in counter_cols:
+            vals = pd.to_numeric(df[c], errors="coerce").to_numpy(dtype=np.float64)
+            live = _lex_gt(w, s, del_wt[gid], del_seq[gid]) & ~np.isnan(vals)
+            total = np.add.reduceat(np.where(live, vals, 0.0), starts)
+            any_live = np.maximum.reduceat(np.where(live, idx, -1), starts) >= 0
+            out[c] = pd.Series(total).where(any_live)
+            ci = _argmax_lex(np.where(live, w, NEG_INF), np.where(live, s, NEG_INF))
+            out[c + WT_SUFFIX] = np.where(any_live, w[ci], NEG_INF)
+            out[c + SEQ_SUFFIX] = np.where(any_live, s[ci], NEG_INF)
+            continue
+        wi = _argmax_lex(w, s)
+        win_wt, win_seq = w[wi], s[wi]
+        alive = _lex_gt(win_wt, win_seq, del_wt, del_seq)
+        out[c] = _take_or(df[c], wi, alive)
+        out[c + WT_SUFFIX] = np.where(alive, win_wt, NEG_INF)
+        out[c + SEQ_SUFFIX] = np.where(alive, win_seq, NEG_INF)
+
+    out[DEL_WT] = del_wt
+    out[DEL_SEQ] = del_seq
+    out[ROW_WT] = np.where(exists, row_wt, NEG_INF)
+    out[ROW_SEQ] = np.where(exists, row_seq, NEG_INF)
+    out[DELETED] = ~exists
+    out[MAX_SEQ] = np.maximum.reduceat(df[MAX_SEQ].to_numpy(dtype=np.int64), starts)
+    return out
+
+
+def merge_states(
+    a: pd.DataFrame,
+    b: pd.DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    counter_cols: Sequence[str] = (),
+) -> pd.DataFrame:
+    """Pairwise convenience wrapper over :func:`merge_state_frames`."""
+    if a.empty:
+        return b.copy()
+    if b.empty:
+        return a.copy()
+    return merge_state_frames([a, b], key_cols, payload_cols, counter_cols)
+
+
+def state_to_public(
+    state: pd.DataFrame, key_cols: Sequence[str], payload_cols: Sequence[str]
+) -> pd.DataFrame:
+    """Project internal state to the user-facing table (tombstones dropped)."""
+    live = state[~state[DELETED].to_numpy(dtype=bool)]
+    return live[[*key_cols, *payload_cols]].reset_index(drop=True)
+
+
+def compact_tombstones(state: pd.DataFrame, grace_wt: int | None = None) -> pd.DataFrame:
+    """Physically drop tombstone rows (the reference's gc_grace analogue).
+
+    A tombstone may only be dropped once no event at or below its writetime can
+    ever be redelivered; ``grace_wt`` is that low-watermark (None = drop all,
+    for final compaction after the stream is fully drained).
+    """
+    deleted = state[DELETED].to_numpy(dtype=bool)
+    if grace_wt is None:
+        keep = ~deleted
+    else:
+        keep = ~deleted | (state[DEL_WT].to_numpy() >= grace_wt)
+    return state[keep].reset_index(drop=True)

@@ -1,0 +1,155 @@
+"""Replay (migrate) pipeline — the reference's Migrate job, Ray-Data-first.
+
+    events (Dataset | parquet paths | Arrow table)
+      → map_batches(Normalize, batch_format="pyarrow")   # align/filter/pre-fold
+      → groupby(__part).map_groups(MergePartition)       # the one shuffle
+      → driver folds the tiny metrics frame → manifest 2-phase commit
+
+Reference lifecycle being re-expressed: job/Migrate.scala:24-61 +
+job/CopyJobSession.java:76-148 (per-token-range scan → per-row transform →
+async batched upsert), with the run ledger upgraded to an exactly-once manifest
+(state/manifest.py).  Scale design: work crossing the shuffle is pre-folded per
+key per batch; partition count should be ≥4× max workers; the metrics frame is
+one row per partition (never row-level data on the driver).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from cassandra_data_migrator_ray.schema import (
+    TRANSCRIPTS_SCHEMA,
+    payload_cols_of,
+)
+from functools import partial
+
+from cassandra_data_migrator_ray.stages.merge import MergeConfig, merge_partition_group
+from cassandra_data_migrator_ray.stages.normalize import PART_COL, Normalize
+from cassandra_data_migrator_ray.state.manifest import Manifest, schema_to_json
+
+
+@dataclass
+class ReplayResult:
+    run_id: str
+    metrics: pd.DataFrame  # one row per touched partition
+    manifest: Manifest
+    events_merged_keys: int
+    seconds: float
+
+
+def _as_dataset(events: Any) -> ray.data.Dataset:
+    if isinstance(events, ray.data.Dataset):
+        return events
+    if isinstance(events, pa.Table):
+        return ray.data.from_arrow(events)
+    if isinstance(events, pd.DataFrame):
+        # enter through Arrow so downstream schema handling sees Arrow types
+        return ray.data.from_arrow(pa.Table.from_pandas(events, preserve_index=False))
+    # str path / list of paths
+    return ray.data.read_parquet(events)
+
+
+def replay(
+    events: Any,
+    lake_dir: str,
+    *,
+    payload_schema: pa.Schema | None = None,
+    num_parts: int = 32,
+    salt: int = 1,
+    counter_cols: tuple[str, ...] = (),
+    compact: bool = False,
+    grace_wt: int | None = None,
+    run_id: str | None = None,
+    transforms: list | None = None,
+    normalize_concurrency: int | None = None,
+    batch_size: int | None = 65536,
+    commit: bool = True,
+) -> ReplayResult:
+    """Replay a change stream into the lake (exactly-once, resumable).
+
+    ``transforms`` is an optional list of batch transforms (see
+    functions/transforms.py) applied to raw event batches before normalize —
+    the reference's feature chain (rename, codecs, constants, explode,
+    extract-json, filters).
+    """
+    t0 = time.perf_counter()
+    ds = _as_dataset(events)
+
+    # establish/evolve the lake schema from the incoming event columns
+    manifest = Manifest.load_or_create(
+        lake_dir,
+        payload_schema or TRANSCRIPTS_SCHEMA,
+        num_parts,
+        salt=salt,
+        counter_cols=list(counter_cols),
+    )
+    incoming = ds.schema()
+    incoming_payload = pa.schema(
+        [
+            pa.field(n, t)
+            for n, t in zip(incoming.names, incoming.types)
+            if n not in ("op", "writetime", "event_seq")
+        ]
+    )
+    if payload_schema is None:
+        manifest.evolve_schema(incoming_payload)
+    num_parts = manifest.num_parts
+    salt = manifest.salt
+    counter_cols = tuple(manifest.counter_cols)
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    for t in transforms or []:
+        ds = ds.map_batches(t, batch_format="pyarrow", batch_size=batch_size)
+
+    norm = Normalize(
+        manifest.schema,
+        num_parts,
+        salt=salt,
+        watermarks=manifest.watermarks(),
+        counter_cols=counter_cols,
+    )
+    kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if normalize_concurrency:
+        kwargs["concurrency"] = normalize_concurrency
+    folded = ds.map_batches(norm, **kwargs)
+
+    cfg = MergeConfig(
+        lake_dir=lake_dir,
+        run_id=run_id,
+        payload_cols=payload_cols_of(manifest.schema),
+        payload_schema_json=schema_to_json(manifest.schema),
+        counter_cols=counter_cols,
+        compact=compact,
+        grace_wt=grace_wt,
+        prior_files={k: v.files for k, v in manifest.partitions.items()},
+        prior_watermarks=manifest.watermarks(),
+    )
+    metrics_ds = folded.groupby(PART_COL).map_groups(
+        partial(merge_partition_group, cfg), batch_format="pandas"
+    )
+    metrics = metrics_ds.to_pandas()  # one row per partition — tiny
+    if metrics.empty:
+        from cassandra_data_migrator_ray.stages.merge import METRICS_COLUMNS
+
+        metrics = pd.DataFrame(columns=METRICS_COLUMNS)
+
+    if commit:
+        manifest.commit_run(
+            run_id,
+            extra={"type": "replay", "keys_in": int(metrics["keys_in"].sum())},
+        )
+    return ReplayResult(
+        run_id=run_id,
+        metrics=metrics,
+        manifest=manifest,
+        events_merged_keys=int(metrics["keys_in"].sum()),
+        seconds=time.perf_counter() - t0,
+    )

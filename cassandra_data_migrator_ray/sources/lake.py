@@ -1,0 +1,75 @@
+"""Lake readers: manifest-aware, projection-pruned, tombstone-filtered.
+
+Only manifest-referenced files are read (uncommitted writes are invisible —
+the read side of the exactly-once story).  The public view hides the per-cell
+LWW bookkeeping columns and tombstone rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from cassandra_data_migrator_ray.schema import DELETED, KEY_COLS, payload_cols_of
+from cassandra_data_migrator_ray.state.manifest import Manifest
+
+
+def lake_files(manifest: Manifest, parts: list[int] | None = None) -> list[str]:
+    items = (
+        manifest.partitions.items()
+        if parts is None
+        else [(p, manifest.partitions[p]) for p in parts if p in manifest.partitions]
+    )
+    return [os.path.join(manifest.lake_dir, f) for _, st in items for f in st.files]
+
+
+def read_lake(
+    lake_dir: str,
+    columns: list[str] | None = None,
+    include_tombstones: bool = False,
+    parts: list[int] | None = None,
+) -> ray.data.Dataset:
+    """Public view of the lake as a streaming Dataset (column-pruned read)."""
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    files = lake_files(manifest, parts)
+    public_cols = columns or [*KEY_COLS, *payload_cols_of(manifest.schema)]
+    read_cols = list(dict.fromkeys([*public_cols, DELETED]))
+    if not files:
+        return ray.data.from_arrow(
+            pa.Table.from_pylist([], schema=pa.schema([(c, pa.string()) for c in public_cols]))
+        )
+    ds = ray.data.read_parquet(files, columns=read_cols)
+    if not include_tombstones:
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(t[DELETED])).select(public_cols),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def read_lake_pandas(
+    lake_dir: str, include_tombstones: bool = False, internal: bool = False
+) -> pd.DataFrame:
+    """Driver-side full read — tests and small lakes only."""
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    files = lake_files(manifest)
+    if not files:
+        return pd.DataFrame(columns=[*KEY_COLS, *payload_cols_of(manifest.schema)])
+    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    df = tbl.to_pandas()
+    if not include_tombstones:
+        df = df[~df[DELETED].to_numpy(dtype=bool)]
+    if not internal:
+        df = df[[*KEY_COLS, *payload_cols_of(manifest.schema)]]
+    return df.sort_values(KEY_COLS, kind="mergesort", ignore_index=True)

@@ -1,0 +1,165 @@
+"""Per-partition merge-and-write: the single-writer reducer.
+
+One invocation per lake partition group (after the hash shuffle): merge the
+incoming partial states with the partition's current on-disk state
+(merge-on-read), write the new partition file copy-on-write, drop a staging
+receipt, and return a one-row metrics frame (the JobCounter analogue,
+/root/reference src/main/java/com/datastax/cdm/job/JobCounter.java:85-97).
+
+Exactly-once under Ray task retries: the output filename is deterministic
+(part-K-run_id), written tmp + atomic rename, and only manifest-referenced
+files are ever read — a duplicated write is byte-identical and harmless
+(SURVEY.md §7.3 "hard parts").
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cassandra_data_migrator_ray.functions.lww import (
+    compact_tombstones,
+    merge_state_frames,
+)
+from cassandra_data_migrator_ray.schema import (
+    DELETED,
+    KEY_COLS,
+    MAX_SEQ,
+    state_schema,
+)
+from cassandra_data_migrator_ray.stages.normalize import PART_COL
+
+METRICS_COLUMNS = [
+    "part",
+    "rows",
+    "tombstones",
+    "keys_in",
+    "watermark",
+    "status",
+    "file",
+]
+
+
+@dataclass
+class MergeConfig:
+    lake_dir: str
+    run_id: str
+    payload_cols: list[str]
+    payload_schema_json: list[list[str]]  # manifest.schema_to_json form
+    counter_cols: tuple[str, ...] = ()
+    compact: bool = False  # drop all tombstones (stream fully drained)
+    grace_wt: int | None = None  # else drop tombstones older than this watermark
+    prior_files: dict[int, list[str]] = field(default_factory=dict)
+    prior_watermarks: dict[int, int] = field(default_factory=dict)
+
+
+def _arrow_state_schema(cfg: MergeConfig) -> pa.Schema:
+    from cassandra_data_migrator_ray.state.manifest import schema_from_json
+
+    return state_schema(schema_from_json(cfg.payload_schema_json))
+
+
+def read_partition_state(cfg: MergeConfig, part: int) -> pd.DataFrame | None:
+    files = cfg.prior_files.get(part) or []
+    if not files:
+        return None
+    tables = [pq.read_table(os.path.join(cfg.lake_dir, f)) for f in files]
+    tbl = pa.concat_tables(tables, promote_options="default")
+    from cassandra_data_migrator_ray.schema import align_to_schema
+
+    return align_to_schema(tbl, _arrow_state_schema(cfg)).to_pandas()
+
+
+def write_partition_state(cfg: MergeConfig, part: int, state: pd.DataFrame) -> str:
+    rel = os.path.join("data", f"part-{part:05d}-{cfg.run_id}.parquet")
+    path = os.path.join(cfg.lake_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.Table.from_pandas(state, preserve_index=False)
+    tbl = tbl.cast(_arrow_state_schema(cfg))
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return rel
+
+
+def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame:
+    """UDF for ``groupby(PART_COL).map_groups`` — group in, metrics row out.
+
+    Stateless across groups (all state is on disk + in cfg), so Ray may run it
+    as elastic tasks; bind cfg with ``functools.partial`` (cfg is
+    partition-metadata-sized, never row data).
+    """
+    part = int(group[PART_COL].iloc[0])
+    partials = group.drop(columns=[PART_COL])
+
+    # resume: a receipt from this run means the partition is already merged
+    receipt_path = os.path.join(
+        cfg.lake_dir, "_staging", cfg.run_id, f"part-{part:05d}.json"
+    )
+    if os.path.exists(receipt_path):
+        import json
+
+        with open(receipt_path) as f:
+            r = json.load(f)
+        return pd.DataFrame(
+            [
+                {
+                    "part": part,
+                    "rows": r["rows"],
+                    "tombstones": r.get("tombstones", 0),
+                    "keys_in": 0,
+                    "watermark": r["watermark"],
+                    "status": "SKIPPED_RESUME",
+                    "file": r["files"][0] if r["files"] else "",
+                }
+            ]
+        )
+
+    frames = [partials]
+    old = read_partition_state(cfg, part)
+    if old is not None and len(old):
+        frames.append(old)
+    state = merge_state_frames(frames, KEY_COLS, cfg.payload_cols, cfg.counter_cols)
+    if cfg.compact:
+        state = compact_tombstones(state, None)
+    elif cfg.grace_wt is not None:
+        state = compact_tombstones(state, cfg.grace_wt)
+    state = state.sort_values(KEY_COLS, kind="mergesort", ignore_index=True)
+
+    watermark = max(
+        int(cfg.prior_watermarks.get(part, -1)),
+        int(partials[MAX_SEQ].max() if len(partials) else -1),
+    )
+    rel = write_partition_state(cfg, part, state)
+    tombstones = int(state[DELETED].sum())
+    rows = int(len(state) - tombstones)
+    receipt = {
+        "part": part,
+        "run_id": cfg.run_id,
+        "files": [rel],
+        "watermark": watermark,
+        "rows": rows,
+        "tombstones": tombstones,
+        "status": "PASS",
+        "metrics": {"keys_in": int(len(partials))},
+    }
+    from cassandra_data_migrator_ray.state.manifest import atomic_write_json
+
+    atomic_write_json(receipt_path, receipt)
+    return pd.DataFrame(
+        [
+            {
+                "part": part,
+                "rows": rows,
+                "tombstones": tombstones,
+                "keys_in": int(len(partials)),
+                "watermark": watermark,
+                "status": "PASS",
+                "file": rel,
+            }
+        ]
+    )

@@ -1,0 +1,105 @@
+"""Normalize + pre-fold stage: the stateless fan-in before the shuffle.
+
+Per Arrow batch (zero-copy from the object store):
+  1. additive schema alignment to the manifest schema (null backfill),
+  2. null-PK defaulting (reference: schema/CqlTable.java:375-400 convertNull),
+  3. per-partition high-watermark filter (already-merged events dropped →
+     idempotent duplicate delivery / resume),
+  4. LWW pre-fold per key (the combiner): output is one *partial state row*
+     per key per batch, tagged with its partition route.
+
+The pre-fold is the shuffle-minimization move: what crosses the all-to-all
+exchange is bounded by distinct keys per batch, not raw event count, and a hot
+key's events collapse before they concentrate on one reducer.
+
+Used as a callable class in ``map_batches(Normalize(...), batch_format="pyarrow",
+concurrency=N)`` — watermarks and schema are resolved once per actor in
+``__init__`` (the broadcast pattern), not per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cassandra_data_migrator_ray.functions.lww import fold_events
+from cassandra_data_migrator_ray.schema import (
+    ENVELOPE_COLS,
+    KEY_COLS,
+    align_to_schema,
+    payload_cols_of,
+)
+from cassandra_data_migrator_ray.state.partitioning import assign_partition
+
+PART_COL = "__part"
+
+_PK_DEFAULTS: dict[str, object] = {"conv_id": "", "turn_idx": -1}
+
+
+class Normalize:
+    """Stateless-per-batch, stateful-per-actor normalize + combiner."""
+
+    def __init__(
+        self,
+        payload_schema: pa.Schema,
+        num_parts: int,
+        salt: int = 1,
+        watermarks: Mapping[int, int] | None = None,
+        counter_cols: tuple[str, ...] = (),
+        pk_defaults: Mapping[str, object] | None = None,
+    ) -> None:
+        self.payload_schema = payload_schema
+        self.payload_cols = payload_cols_of(payload_schema)
+        self.num_parts = num_parts
+        self.salt = salt
+        self.counter_cols = tuple(counter_cols)
+        self.pk_defaults = dict(pk_defaults or _PK_DEFAULTS)
+        # dense watermark vector for O(1) vectorized lookup
+        wm = np.full(num_parts, -1, dtype=np.int64)
+        for k, v in (watermarks or {}).items():
+            if 0 <= int(k) < num_parts:
+                wm[int(k)] = v
+        self.wm = wm
+
+    def _event_schema(self) -> pa.Schema:
+        fields = [pa.field("op", pa.string())]
+        fields += [self.payload_schema.field(n) for n in self.payload_schema.names]
+        fields += [pa.field("writetime", pa.int64()), pa.field("event_seq", pa.int64())]
+        return pa.schema(fields)
+
+    def _out_schema(self) -> pa.Schema:
+        from cassandra_data_migrator_ray.schema import state_schema
+
+        return state_schema(self.payload_schema).append(pa.field(PART_COL, pa.int32()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = align_to_schema(batch, self._event_schema())
+        df = batch.to_pandas()
+        # null-PK defaulting (reference convertNull semantics)
+        for k in KEY_COLS:
+            if df[k].isna().any():
+                df[k] = df[k].fillna(self.pk_defaults.get(k))
+        part = assign_partition(df["conv_id"], df["turn_idx"], self.num_parts, self.salt)
+        # watermark filter: events at or below a partition's high-watermark were
+        # already merged in a committed run — drop them (exactly-once replay)
+        keep = df["event_seq"].to_numpy() > self.wm[part]
+        if not keep.all():
+            df = df[keep].reset_index(drop=True)
+        folded = fold_events(df, KEY_COLS, self.payload_cols, self.counter_cols)
+        if len(folded):
+            folded[PART_COL] = assign_partition(
+                folded["conv_id"], folded["turn_idx"], self.num_parts, self.salt
+            )
+        else:
+            folded[PART_COL] = np.array([], dtype=np.int32)
+        # emit typed Arrow (consistent blocks through the shuffle, no pandas
+        # object-dtype size estimation on empty batches)
+        out_schema = self._out_schema()
+        tbl = pa.Table.from_pandas(folded, preserve_index=False)
+        return tbl.select(out_schema.names).cast(out_schema)
+
+
+__all__ = ["Normalize", "PART_COL", "ENVELOPE_COLS"]

@@ -1,0 +1,284 @@
+"""Lake manifest: exactly-once two-phase commit + checkpoint/resume state.
+
+Replaces the reference's run ledger — the ``cdm_run_info`` / ``cdm_run_details``
+tables with per-token-range NOT_STARTED/STARTED/PASS/FAIL statuses
+(/root/reference src/main/java/com/datastax/cdm/cql/statement/
+TargetUpsertRunDetailsStatement.java:63-216, feature/TrackRun.java:32-85) — with
+a stronger guarantee: the reference's writes are at-least-once-but-idempotent,
+here the *sink itself* is exactly-once.
+
+Protocol:
+  phase 1  each partition-merge task writes its data file to
+           ``data/part-{K}-{run_id}.parquet`` via tmp + atomic rename
+           (deterministic name → a Ray task retry overwrites, never duplicates)
+           and drops a receipt ``_staging/{run_id}/part-{K}.json`` recording
+           file, watermark (max event_seq merged) and metrics.
+  phase 2  the driver gathers receipts and atomically swaps ``manifest.json``
+           (tmp + os.replace).  Readers only ever see manifest-referenced
+           files; files without a manifest/receipt reference are garbage.
+
+Resume: a re-run with the same run_id skips partitions that already have a
+receipt (the reference's pending-partition rerun,
+job/BasePartitionJob.scala:41-55); per-partition high-watermark offsets filter
+already-merged events on later runs, making duplicate delivery a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+_TYPE_TO_ARROW = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[ns]": pa.timestamp("ns"),
+    "date32[day]": pa.date32(),
+    "binary": pa.binary(),
+    "decimal128(38, 9)": pa.decimal128(38, 9),
+}
+
+
+def schema_to_json(schema: pa.Schema) -> list[list[str]]:
+    return [[f.name, str(f.type)] for f in schema]
+
+
+def schema_from_json(fields: list[list[str]]) -> pa.Schema:
+    out = []
+    for name, typ in fields:
+        if typ in _TYPE_TO_ARROW:
+            out.append(pa.field(name, _TYPE_TO_ARROW[typ]))
+        elif typ.startswith("list<item: float>") or typ == "list<element: float>":
+            out.append(pa.field(name, pa.list_(pa.float32())))
+        else:
+            raise ValueError(f"unsupported manifest type: {typ}")
+    return pa.schema(out)
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+@dataclass
+class PartitionState:
+    files: list[str] = field(default_factory=list)  # relative to lake dir
+    watermark: int = -1  # max event_seq merged into this partition
+    rows: int = 0
+    tombstones: int = 0
+    status: str = "PASS"  # NOT_STARTED|STARTED|PASS|FAIL|DIFF|DIFF_CORRECTED
+    metrics: dict[str, int] = field(default_factory=dict)
+
+
+@dataclass
+class Manifest:
+    lake_dir: str
+    schema: pa.Schema
+    num_parts: int
+    salt: int = 1
+    counter_cols: list[str] = field(default_factory=list)
+    version: int = 0
+    partitions: dict[int, PartitionState] = field(default_factory=dict)
+    runs: list[dict] = field(default_factory=list)
+
+    # ---------- paths ----------
+    @property
+    def path(self) -> str:
+        return os.path.join(self.lake_dir, "manifest.json")
+
+    def data_file(self, part: int, run_id: str) -> str:
+        return os.path.join("data", f"part-{part:05d}-{run_id}.parquet")
+
+    def staging_dir(self, run_id: str) -> str:
+        return os.path.join(self.lake_dir, "_staging", run_id)
+
+    def receipt_path(self, part: int, run_id: str) -> str:
+        return os.path.join(self.staging_dir(run_id), f"part-{part:05d}.json")
+
+    # ---------- (de)serialization ----------
+    def to_json(self) -> dict:
+        return {
+            "format_version": 1,
+            "schema": schema_to_json(self.schema),
+            "num_parts": self.num_parts,
+            "salt": self.salt,
+            "counter_cols": self.counter_cols,
+            "version": self.version,
+            "partitions": {
+                str(k): {
+                    "files": v.files,
+                    "watermark": v.watermark,
+                    "rows": v.rows,
+                    "tombstones": v.tombstones,
+                    "status": v.status,
+                    "metrics": v.metrics,
+                }
+                for k, v in self.partitions.items()
+            },
+            "runs": self.runs,
+        }
+
+    @classmethod
+    def load(cls, lake_dir: str) -> "Manifest | None":
+        p = os.path.join(lake_dir, "manifest.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            j = json.load(f)
+        m = cls(
+            lake_dir=lake_dir,
+            schema=schema_from_json(j["schema"]),
+            num_parts=j["num_parts"],
+            salt=j.get("salt", 1),
+            counter_cols=j.get("counter_cols", []),
+            version=j["version"],
+            runs=j.get("runs", []),
+        )
+        for k, v in j.get("partitions", {}).items():
+            m.partitions[int(k)] = PartitionState(
+                files=v["files"],
+                watermark=v["watermark"],
+                rows=v["rows"],
+                tombstones=v.get("tombstones", 0),
+                status=v.get("status", "PASS"),
+                metrics=v.get("metrics", {}),
+            )
+        return m
+
+    @classmethod
+    def load_or_create(
+        cls,
+        lake_dir: str,
+        schema: pa.Schema,
+        num_parts: int,
+        salt: int = 1,
+        counter_cols: list[str] | None = None,
+    ) -> "Manifest":
+        m = cls.load(lake_dir)
+        if m is None:
+            os.makedirs(os.path.join(lake_dir, "data"), exist_ok=True)
+            return cls(
+                lake_dir=lake_dir,
+                schema=schema,
+                num_parts=num_parts,
+                salt=salt,
+                counter_cols=list(counter_cols or []),
+            )
+        return m
+
+    # ---------- schema evolution ----------
+    def evolve_schema(self, incoming: pa.Schema) -> bool:
+        """Additive evolution: append unseen payload columns (null-backfilled
+        lazily on read).  Type changes / drops are rejected — matching the
+        reference's constraint that origin/target columns correspond
+        (schema/CqlTable.java:408-428)."""
+        changed = False
+        names = set(self.schema.names)
+        for f in incoming:
+            if f.name not in names:
+                self.schema = self.schema.append(f)
+                changed = True
+            else:
+                have = self.schema.field(f.name).type
+                if have != f.type:
+                    raise ValueError(
+                        f"non-additive schema change for {f.name}: {have} -> {f.type}"
+                    )
+        return changed
+
+    # ---------- watermarks / commit ----------
+    def watermarks(self) -> dict[int, int]:
+        return {k: v.watermark for k, v in self.partitions.items()}
+
+    def write_receipt(self, part: int, run_id: str, receipt: dict) -> None:
+        atomic_write_json(self.receipt_path(part, run_id), receipt)
+
+    def read_receipt(self, part: int, run_id: str) -> dict | None:
+        p = self.receipt_path(part, run_id)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def staged_receipts(self, run_id: str) -> dict[int, dict]:
+        d = self.staging_dir(run_id)
+        out: dict[int, dict] = {}
+        if not os.path.isdir(d):
+            return out
+        for fn in os.listdir(d):
+            if fn.startswith("part-") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    r = json.load(f)
+                out[int(r["part"])] = r
+        return out
+
+    def commit_run(self, run_id: str, extra: dict | None = None) -> None:
+        """Phase 2: fold staged receipts into the manifest and swap atomically."""
+        receipts = self.staged_receipts(run_id)
+        for part, r in receipts.items():
+            self.partitions[part] = PartitionState(
+                files=r["files"],
+                watermark=r["watermark"],
+                rows=r["rows"],
+                tombstones=r.get("tombstones", 0),
+                status=r.get("status", "PASS"),
+                metrics=r.get("metrics", {}),
+            )
+        self.version += 1
+        self.runs.append(
+            {
+                "run_id": run_id,
+                "version": self.version,
+                "committed_at": time.time(),
+                "partitions": sorted(receipts),
+                **(extra or {}),
+            }
+        )
+        atomic_write_json(self.path, self.to_json())
+        self.gc(keep_staging={run_id} if receipts else set())
+
+    def gc(self, keep_staging: set[str] | None = None) -> list[str]:
+        """Delete data files not referenced by the committed manifest."""
+        referenced = {f for p in self.partitions.values() for f in p.files}
+        removed = []
+        ddir = os.path.join(self.lake_dir, "data")
+        if os.path.isdir(ddir):
+            for fn in os.listdir(ddir):
+                rel = os.path.join("data", fn)
+                if rel not in referenced and not fn.endswith(".tmp"):
+                    os.unlink(os.path.join(ddir, fn))
+                    removed.append(rel)
+        sdir = os.path.join(self.lake_dir, "_staging")
+        if os.path.isdir(sdir):
+            for run in os.listdir(sdir):
+                if keep_staging is not None and run in keep_staging:
+                    continue
+                rd = os.path.join(sdir, run)
+                for fn in os.listdir(rd):
+                    os.unlink(os.path.join(rd, fn))
+                os.rmdir(rd)
+        return removed

@@ -1,0 +1,43 @@
+"""Deterministic hash routing of keys to lake partitions (+ hot-key salting).
+
+Plays the role of the reference's token-range splitter
+(/root/reference src/main/java/com/datastax/cdm/job/SplitPartitions.java:32-76):
+the unit of parallel work is a partition id 0..num_parts-1.  Unlike uniform
+token slicing (which lets a hot range run long), ``salt > 1`` additionally mixes
+``turn_idx % salt`` into the route so a hot conversation's turns spread over up
+to ``salt`` partitions — legal because the LWW merge only requires all events of
+one (conv_id, turn_idx) key to co-locate, and the validator uses the identical
+route.  The salt level is recorded in the lake manifest so every job run against
+the lake routes identically.
+
+Hashing is pandas.util.hash_array (64-bit SipHash with a fixed key) — stable
+across processes, machines and runs; never Python's builtin hash().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pandas.util import hash_array
+
+
+def hash_key(values: np.ndarray | pd.Series) -> np.ndarray:
+    """Stable uint64 hash of an array of keys."""
+    arr = values.to_numpy() if isinstance(values, pd.Series) else values
+    if arr.dtype != object:
+        arr = arr.astype(object)
+    return hash_array(arr, categorize=False)
+
+
+def assign_partition(
+    conv_id: np.ndarray | pd.Series,
+    turn_idx: np.ndarray | pd.Series,
+    num_parts: int,
+    salt: int = 1,
+) -> np.ndarray:
+    """Vectorized partition route: f(conv_id [, turn_idx % salt]) % num_parts."""
+    h = hash_key(conv_id)
+    if salt > 1:
+        t = turn_idx.to_numpy() if isinstance(turn_idx, pd.Series) else np.asarray(turn_idx)
+        h = h ^ ((t.astype(np.uint64) % np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15))
+    return (h % np.uint64(num_parts)).astype(np.int32)

@@ -1,0 +1,123 @@
+"""End-to-end replay → lake → oracle comparison (SIT-style, through Ray Data)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+from cassandra_data_migrator_ray.pipelines.replay import replay
+from cassandra_data_migrator_ray.schema import KEY_COLS, PAYLOAD_COLS
+from cassandra_data_migrator_ray.sources.lake import read_lake, read_lake_pandas
+
+
+def assert_matches_oracle(lake_dir, events_df):
+    oracle = oracle_final_state(events_df)
+    got = read_lake_pandas(lake_dir)
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReplayE2E:
+    def test_basic_replay(self, tmp_path):
+        events = gen_change_stream(n_convs=80, n_events=5000, seed=42)
+        lake = str(tmp_path / "lake")
+        res = replay(events, lake, num_parts=8)
+        assert res.metrics["status"].eq("PASS").all()
+        assert_matches_oracle(lake, events.to_pandas())
+
+    def test_incremental_two_runs(self, tmp_path):
+        """Second batch of changes merges on top of committed state."""
+        full = gen_change_stream(n_convs=50, n_events=4000, seed=9).to_pandas()
+        half = len(full) // 2
+        first = full[full["event_seq"] < half].reset_index(drop=True)
+        second = full[full["event_seq"] >= half].reset_index(drop=True)
+        lake = str(tmp_path / "lake")
+        replay(first, lake, num_parts=8)
+        replay(second, lake, num_parts=8)
+        assert_matches_oracle(lake, full)
+
+    def test_duplicate_redelivery_noop(self, tmp_path):
+        """Replaying the same batch twice (at-least-once delivery) is a no-op:
+        watermark filter drops every event the second time."""
+        events = gen_change_stream(n_convs=30, n_events=2000, seed=5)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=4)
+        v1 = read_lake_pandas(lake)
+        res2 = replay(events, lake, num_parts=4)
+        v2 = read_lake_pandas(lake)
+        pd.testing.assert_frame_equal(v1, v2, check_dtype=False)
+        assert res2.events_merged_keys == 0
+
+    def test_salted_routing_same_result(self, tmp_path):
+        """Hot-skew axis: salt>1 spreads a hot conversation over partitions and
+        must produce the identical final state."""
+        events = gen_change_stream(n_convs=40, n_events=4000, seed=11, hot_frac=0.4)
+        lake_a = str(tmp_path / "lake_a")
+        lake_b = str(tmp_path / "lake_b")
+        replay(events, lake_a, num_parts=8, salt=1)
+        replay(events, lake_b, num_parts=8, salt=4)
+        a = read_lake_pandas(lake_a)
+        b = read_lake_pandas(lake_b)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert_matches_oracle(lake_a, events.to_pandas())
+
+    def test_read_lake_dataset_matches(self, tmp_path):
+        events = gen_change_stream(n_convs=20, n_events=1000, seed=2)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=4)
+        ds = read_lake(lake)
+        got = (
+            ds.to_pandas()
+            .sort_values(KEY_COLS, kind="mergesort", ignore_index=True)
+        )
+        oracle = oracle_final_state(events.to_pandas())
+        pd.testing.assert_frame_equal(
+            got[[*KEY_COLS, *PAYLOAD_COLS]], oracle, check_dtype=False
+        )
+
+    def test_compaction_removes_tombstones(self, tmp_path):
+        events = gen_change_stream(n_convs=30, n_events=3000, seed=13, p_delete=0.3)
+        lake = str(tmp_path / "lake")
+        res = replay(events, lake, num_parts=4, compact=True)
+        internal = read_lake_pandas(lake, include_tombstones=True, internal=True)
+        from cassandra_data_migrator_ray.schema import DELETED
+
+        assert not internal[DELETED].any()
+        assert_matches_oracle(lake, events.to_pandas())
+
+    def test_schema_evolution_mid_stream(self, tmp_path):
+        """First half of the stream predates the `tool` column; lake evolves
+        additively and old rows read as tool=null."""
+        pre = gen_change_stream(n_convs=30, n_events=1500, seed=21, include_tool=True)
+        pre = pre.drop_columns("tool")  # column didn't exist yet
+        post = gen_change_stream(
+            n_convs=30, n_events=1500, seed=22, seq_start=1500, include_tool=True
+        )
+        lake = str(tmp_path / "lake")
+        import pyarrow as pa
+
+        pre_schema = pa.schema([f for f in pre.schema if f.name not in ("op", "writetime", "event_seq")])
+        replay(pre, lake, num_parts=4, payload_schema=pre_schema)
+        # second run: manifest evolves to include `tool`
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        m = Manifest.load(lake)
+        post_payload = pa.schema(
+            [f for f in post.schema if f.name not in ("op", "writetime", "event_seq")]
+        )
+        m.evolve_schema(post_payload)
+        import cassandra_data_migrator_ray.state.manifest as man
+
+        man.atomic_write_json(m.path, m.to_json())
+        replay(post, lake, num_parts=4)
+
+        got = read_lake_pandas(lake)
+        assert "tool" in got.columns
+        # oracle over the union (pre events have tool absent → null)
+        pre_df = pre.to_pandas()
+        pre_df["tool"] = None
+        full = pd.concat([pre_df, post.to_pandas()], ignore_index=True)
+        oracle = oracle_final_state(full)
+        pd.testing.assert_frame_equal(
+            got[oracle.columns.tolist()], oracle, check_dtype=False
+        )
