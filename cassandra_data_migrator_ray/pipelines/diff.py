@@ -1,0 +1,182 @@
+"""Validate (DiffData) + autocorrect pipeline, Ray-Data-first.
+
+Reference lifecycle: job/DiffData.scala:23-44 + DiffJobSession.java:52-241 —
+origin scan, per-row async target lookup, classify, optional autocorrect
+(missing → insert, mismatch → upsert, DiffJobSession.java:215-234).
+
+Here: expected (origin) and actual (lake) are co-partitioned with the lake's
+own deterministic route, unioned with a side tag, and compared per partition
+group as a sorted vectorized outer join (stages/validate.py).  Only non-VALID
+rows leave the comparator (bounded report); counts ride along in synthetic
+rows, so one pass produces both.  Autocorrect turns report rows into
+corrective change events (fix_wt beats every surviving cell) and replays them
+through the normal merge path — reusing, not re-implementing, the write side.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from cassandra_data_migrator_ray.schema import (
+    DEL_WT,
+    KEY_COLS,
+    NEG_INF,
+    ROW_WT,
+    WT_SUFFIX,
+    payload_cols_of,
+)
+from cassandra_data_migrator_ray.stages.normalize import PART_COL
+from cassandra_data_migrator_ray.stages.validate import SIDE_COL, compare_group
+from cassandra_data_migrator_ray.state.manifest import Manifest
+from cassandra_data_migrator_ray.state.partitioning import assign_partition
+
+
+@dataclass
+class ValidateResult:
+    counts: dict[str, int]  # VALID / MISSING / MISMATCH / EXTRA
+    report: pd.DataFrame  # non-VALID rows, sorted by (conv_id, turn_idx)
+    seconds: float
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.counts.get("MISSING", 0) == 0
+            and self.counts.get("MISMATCH", 0) == 0
+            and self.counts.get("EXTRA", 0) == 0
+        )
+
+
+def _tag_side(
+    side: int,
+    num_parts: int,
+    salt: int,
+    payload_cols: list[str],
+    wt_cols: list[str],
+    batch: pa.Table,
+) -> pa.Table:
+    """Project a batch to the unified compare layout + route + side tag."""
+    df = batch.to_pandas()
+    out = pd.DataFrame()
+    for k in KEY_COLS:
+        out[k] = df[k]
+    for c in payload_cols:
+        out[c] = df[c] if c in df.columns else None
+    for c in wt_cols:
+        out[c] = df[c].to_numpy(dtype=np.int64) if c in df.columns else np.int64(NEG_INF)
+    out[SIDE_COL] = np.int8(side)
+    out[PART_COL] = assign_partition(out["conv_id"], out["turn_idx"], num_parts, salt)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def validate(
+    expected: Any,
+    lake_dir: str,
+    *,
+    report_path: str | None = None,
+    batch_size: int | None = 65536,
+) -> ValidateResult:
+    """Compare the lake's final state against an expected (origin) dataset."""
+    from cassandra_data_migrator_ray.pipelines.replay import _as_dataset
+    from cassandra_data_migrator_ray.sources.lake import lake_files
+
+    t0 = time.perf_counter()
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    payload_cols = payload_cols_of(manifest.schema)
+    wt_cols = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
+
+    exp_ds = _as_dataset(expected).map_batches(
+        partial(_tag_side, 0, manifest.num_parts, manifest.salt, payload_cols, wt_cols),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    files = lake_files(manifest)
+    if files:
+        from cassandra_data_migrator_ray.schema import DELETED
+
+        def _lake_side(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            live = batch.filter(pc.invert(pc.fill_null(batch[DELETED], False)))
+            return _tag_side(
+                1, manifest.num_parts, manifest.salt, payload_cols, wt_cols, live
+            )
+
+        act_ds = ray.data.read_parquet(files).map_batches(
+            _lake_side, batch_format="pyarrow", batch_size=batch_size
+        )
+        union = exp_ds.union(act_ds)
+    else:
+        union = exp_ds
+
+    diff_ds = union.groupby(PART_COL).map_groups(
+        partial(compare_group, key_cols=KEY_COLS, payload_cols=payload_cols, part_col=PART_COL),
+        batch_format="pandas",
+    )
+    report = diff_ds.to_pandas()
+
+    counts = {"VALID": 0, "MISSING": 0, "MISMATCH": 0, "EXTRA": 0}
+    if len(report):
+        count_rows = report[report["status"] == "_COUNTS"]
+        for s in count_rows["cols_differ"]:
+            for kv in s.split(";"):
+                k, v = kv.split("=")
+                counts[k] += int(v)
+        report = (
+            report[report["status"] != "_COUNTS"]
+            .sort_values(KEY_COLS, kind="mergesort", ignore_index=True)
+        )
+    if report_path is not None and len(report):
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(report, preserve_index=False), report_path)
+    return ValidateResult(counts=counts, report=report, seconds=time.perf_counter() - t0)
+
+
+def autocorrect(
+    result: ValidateResult,
+    lake_dir: str,
+    *,
+    run_id: str | None = None,
+) -> "Any":
+    """Turn diff rows into corrective events and replay them (exactly-once).
+
+    MISSING / MISMATCH → upsert the expected payload at fix_wt (beats every
+    surviving cell); EXTRA → DELETE at fix_wt.  event_seq continues above the
+    lake's max watermark so watermark filtering never drops a correction.
+    """
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+
+    manifest = Manifest.load(lake_dir)
+    payload_cols = payload_cols_of(manifest.schema)
+    rep = result.report
+    if rep.empty:
+        return None
+    base_seq = max([v for v in manifest.watermarks().values()] + [0]) + 1
+    ev = pd.DataFrame()
+    ev["op"] = np.where(rep["status"] == "EXTRA", "DELETE", "UPSERT")
+    for k in KEY_COLS:
+        ev[k] = rep[k]
+    for c in payload_cols:
+        col = rep[f"exp_{c}"]
+        ev[c] = col.where(rep["status"] != "EXTRA")
+    ev["writetime"] = rep["fix_wt"].to_numpy(dtype=np.int64)
+    ev["event_seq"] = np.arange(base_seq, base_seq + len(rep), dtype=np.int64)
+    tbl = pa.Table.from_pandas(ev, preserve_index=False)
+    # cast key/payload to the manifest schema types
+    fields = [pa.field("op", pa.string())]
+    for f in manifest.schema:
+        fields.append(f)
+    fields += [pa.field("writetime", pa.int64()), pa.field("event_seq", pa.int64())]
+    tbl = tbl.select([f.name for f in fields]).cast(pa.schema(fields))
+    return replay(tbl, lake_dir, run_id=run_id)

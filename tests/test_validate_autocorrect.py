@@ -1,0 +1,131 @@
+"""DiffData-style validation + autocorrect + resume fixtures.
+
+Mirrors /root/reference SIT/smoke/02_autocorrect_kvp (migrate → corrupt →
+validate → autocorrect → validate clean) and the trackRun pending-partition
+resume (job/BasePartitionJob.scala:41-55)."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+from cassandra_data_migrator_ray.pipelines.diff import autocorrect, validate
+from cassandra_data_migrator_ray.pipelines.replay import replay
+from cassandra_data_migrator_ray.schema import KEY_COLS
+from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValidate:
+    def test_validate_clean(self, tmp_path):
+        events = gen_change_stream(n_convs=40, n_events=3000, seed=31)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=8)
+        res = validate(oracle_final_state(events.to_pandas()), lake)
+        assert res.ok, res.counts
+        assert res.counts["VALID"] > 0
+        assert res.report.empty
+
+    def test_validate_detects_and_corrects_corruption(self, tmp_path):
+        """migrate → breakData → validate (finds MISSING+MISMATCH+EXTRA) →
+        autocorrect → validate clean (SIT/smoke/02_autocorrect_kvp)."""
+        events = gen_change_stream(n_convs=40, n_events=3000, seed=33)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=4)
+        expected = oracle_final_state(events.to_pandas())
+
+        # corrupt the lake in place: delete one row, mutate one text,
+        # inject one extra row (route-consistent: a phantom write, not a
+        # mis-routed file corruption — autocorrect deletes route by key)
+        from cassandra_data_migrator_ray.state.partitioning import assign_partition
+        import numpy as np
+
+        for f in glob.glob(os.path.join(lake, "data", "*.parquet")):
+            t = pq.read_table(f)
+            if t.num_rows < 5:
+                continue
+            part_k = int(os.path.basename(f).split("-")[1])
+            df = t.to_pandas()
+            live = df.index[~df["__deleted"]]
+            df = df.drop(index=live[0])  # MISSING
+            df.loc[live[1], "text"] = "CORRUPTED"  # MISMATCH
+            extra = df.loc[[live[2]]].copy()
+            extra_conv = next(
+                f"convEXTRA{i}"
+                for i in range(1000)
+                if assign_partition(
+                    np.array([f"convEXTRA{i}"], dtype=object), np.array([0]), 4
+                )[0]
+                == part_k
+            )
+            extra["conv_id"] = extra_conv  # EXTRA (routes back to this file)
+            extra["turn_idx"] = np.int32(0)
+            df = pd.concat([df, extra], ignore_index=True)
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False).cast(t.schema), f
+            )
+            break
+
+        res = validate(expected, lake)
+        assert not res.ok
+        assert res.counts["MISSING"] == 1
+        assert res.counts["MISMATCH"] == 1
+        assert res.counts["EXTRA"] == 1
+        assert set(res.report["status"]) == {"MISSING", "MISMATCH", "EXTRA"}
+        mm = res.report[res.report["status"] == "MISMATCH"].iloc[0]
+        assert "text" in mm["cols_differ"]
+
+        autocorrect(res, lake)
+        res2 = validate(expected, lake)
+        assert res2.ok, res2.counts
+        pd.testing.assert_frame_equal(read_lake_pandas(lake), expected, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResume:
+    def test_resume_midway(self, tmp_path):
+        """Crash after phase 1 wrote only SOME partition receipts; a re-run with
+        the same run_id must skip receipted partitions, merge the rest, and
+        converge to the uninterrupted result."""
+        events = gen_change_stream(n_convs=60, n_events=4000, seed=41)
+        lake = str(tmp_path / "lake")
+        run_id = "runcrash01"
+        # phase 1 only (no manifest commit) — simulates dying before phase 2
+        replay(events, lake, num_parts=8, run_id=run_id, commit=False)
+        staging = os.path.join(lake, "_staging", run_id)
+        receipts = sorted(os.listdir(staging))
+        assert len(receipts) == 8
+        # simulate a crash that only got through half the partitions
+        for r in receipts[4:]:
+            os.unlink(os.path.join(staging, r))
+
+        res = replay(events, lake, num_parts=8, run_id=run_id)  # resume + commit
+        statuses = res.metrics.set_index("part")["status"]
+        assert (statuses == "SKIPPED_RESUME").sum() == 4
+        assert (statuses == "PASS").sum() == 4
+        oracle = oracle_final_state(events.to_pandas())
+        pd.testing.assert_frame_equal(read_lake_pandas(lake), oracle, check_dtype=False)
+
+    def test_uncommitted_files_invisible_and_gced(self, tmp_path):
+        """Phase-1 files without a manifest reference are never read and are
+        removed by GC on the next commit."""
+        events = gen_change_stream(n_convs=20, n_events=1000, seed=43)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=4)
+        committed = read_lake_pandas(lake)
+
+        # a crashed second run leaves orphan data files + receipts
+        more = gen_change_stream(n_convs=20, n_events=500, seed=44, seq_start=2000)
+        replay(more, lake, num_parts=4, run_id="deadrun", commit=False)
+        assert len(glob.glob(os.path.join(lake, "data", "*deadrun*"))) > 0
+        pd.testing.assert_frame_equal(read_lake_pandas(lake), committed, check_dtype=False)
+
+        # next committed run GCs the orphans
+        third = gen_change_stream(n_convs=20, n_events=500, seed=45, seq_start=4000)
+        replay(third, lake, num_parts=4)
+        assert glob.glob(os.path.join(lake, "data", "*deadrun*")) == []
