@@ -1,0 +1,388 @@
+"""The reference's feature chain as composable, vectorized Arrow transforms.
+
+Each transform is a small callable ``pa.Table -> pa.Table`` meant for
+``ds.map_batches(t, batch_format="pyarrow")``, mirroring the reference's
+Feature plugin surface (/root/reference src/main/java/com/datastax/cdm/
+feature/Feature.java:21-58, registry Featureset.java:18-21): transforms are
+registered by name and built from plain config dicts, so a pipeline is data.
+
+Operator parity map (SURVEY.md §2.2/§2.3/§2.9):
+  Rename        — M1 column rename/projection (data/DataUtility.java:71-140)
+  CastColumns   — M2/§2.9 codec conversions   (data/CqlConversion.java:87-113)
+  Constant      — M3 constant columns          (feature/ConstantColumns.java:32-148)
+  ExplodeMap    — M4 map → one row per entry   (feature/ExplodeMap.java:181-186)
+  ExtractJson   — M5 JSON field extraction     (feature/ExtractJson.java:132-138)
+  WritetimeMax  — M6/A2 max-writetime compute  (feature/WritetimeTTL.java:235-281)
+  FillNulls     — M7 null-PK defaulting        (schema/CqlTable.java:375-400)
+  MapScrubNulls — M8 drop null-valued map keys (schema/CqlTable.java:348-350)
+  DropNullKeys  — M9 record validity gate      (data/EnhancedPK.java:130-152)
+  WritetimeWindow — F4 writetime range filter  (cql/statement/OriginSelectStatement.java:117-129)
+  ValueSkipFilter — F5 trim/case-insens skip   (OriginSelectStatement.java:104-115)
+  FilterExpr    — F3 WHERE pushdown            (feature/OriginFilterCondition.java:25-77)
+  CoverageSample — F2 coverage-percent         (job/SplitPartitions.java:66-68)
+  ByteSizeGuard — guardrail column size check  (feature/Guardrail.java:88-125)
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class Rename:
+    """M1: explicit old:new pairs; unmapped columns keep their names."""
+
+    def __init__(self, mapping: Mapping[str, str]):
+        self.mapping = dict(mapping)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return t.rename_columns([self.mapping.get(c, c) for c in t.column_names])
+
+
+class Select:
+    """M1/F6: projection / column skip-list."""
+
+    def __init__(self, columns: Sequence[str]):
+        self.columns = list(columns)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return t.select(self.columns)
+
+
+class Constant:
+    """M3: append configured literal columns (may later join the PK)."""
+
+    def __init__(self, values: Mapping[str, object], types: Mapping[str, str] | None = None):
+        self.values = dict(values)
+        self.types = dict(types or {})
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        for name, v in self.values.items():
+            typ = _dtype(self.types.get(name))
+            arr = pa.array([v] * n, type=typ) if typ else pa.array([v] * n)
+            t = t.append_column(name, arr)
+        return t
+
+
+def _dtype(s: str | None):
+    if s is None:
+        return None
+    m = {
+        "string": pa.string(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float64": pa.float64(),
+        "bool": pa.bool_(),
+        "timestamp[us]": pa.timestamp("us"),
+        "binary": pa.binary(),
+        "decimal": pa.decimal128(38, 9),
+    }
+    return m[s]
+
+
+class CastColumns:
+    """M2/§2.9: per-column type-bridging codecs.
+
+    Supported codec names mirror the reference codec set
+    (cql/codec/Codecset.java:33-35): plain arrow casts (int↔string,
+    double↔string, bigint↔string, decimal↔string), timestamp↔epoch-millis
+    string, timestamp↔formatted string (pattern via strftime/strptime),
+    text↔blob (utf8↔binary).
+    """
+
+    def __init__(self, casts: Mapping[str, str]):
+        self.casts = dict(casts)
+
+    def _one(self, col: pa.ChunkedArray, spec: str) -> pa.ChunkedArray | pa.Array:
+        if spec.startswith("timestamp_string_format:"):
+            fmt = spec.split(":", 1)[1]
+            # second-precision render (Arrow's %S appends subseconds at us)
+            return pc.strftime(pc.cast(col, pa.timestamp("s")), format=fmt)
+        if spec.startswith("string_timestamp_format:"):
+            fmt = spec.split(":", 1)[1]
+            return pc.strptime(col, format=fmt, unit="us")
+        if spec == "timestamp_string_millis":
+            ms = pc.divide(pc.cast(col, pa.int64()), 1000)
+            return pc.cast(ms, pa.string())
+        if spec == "string_timestamp_millis":
+            us = pc.multiply(pc.cast(col, pa.int64()), 1000)
+            return pc.cast(us, pa.timestamp("us"))
+        if spec == "text_blob":
+            return pc.cast(col, pa.binary())
+        if spec == "blob_text":
+            return pc.cast(col, pa.string())
+        return pc.cast(col, _dtype(spec))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for name, spec in self.casts.items():
+            i = t.column_names.index(name)
+            t = t.set_column(i, name, self._one(t.column(name), spec))
+        return t
+
+
+def _map_entries(col: pa.Array) -> tuple[np.ndarray, pa.StructArray]:
+    """(parent row index, flattened entries) for a Map/List-of-struct array.
+
+    Computed from the offsets buffer with numpy (pc.list_parent_indices
+    aborts on MapArray in this pyarrow build).
+    """
+    off = np.asarray(col.offsets)
+    counts = np.diff(off)
+    parent = np.repeat(np.arange(len(col), dtype=np.int64), counts)
+    # .values ignores array-level slicing; window it to this array's span
+    entries = col.values.slice(int(off[0]), int(off[-1] - off[0]))
+    return parent, entries
+
+
+class ExplodeMap:
+    """M4: one output row per map entry; key/value become two columns.
+
+    Arrow-native offsets arithmetic + take (no Python row loop), matching
+    the reference's row multiplication (data/PKFactory.java:241-254).
+    """
+
+    def __init__(self, map_col: str, key_col: str, value_col: str, keep_map: bool = False):
+        self.map_col, self.key_col, self.value_col = map_col, key_col, value_col
+        self.keep_map = keep_map
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column(self.map_col).combine_chunks()
+        idx, flat = _map_entries(col)
+        base = t.remove_column(t.column_names.index(self.map_col)) if not self.keep_map else t
+        out = base.take(pa.array(idx))
+        out = out.append_column(self.key_col, flat.field(0))
+        out = out.append_column(self.value_col, flat.field(1))
+        return out
+
+
+class MapScrubNulls:
+    """M8: drop map entries whose value is null (per-batch Arrow rebuild)."""
+
+    def __init__(self, map_col: str):
+        self.map_col = map_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column(self.map_col).combine_chunks()
+        typ = col.type
+        idx, flat = _map_entries(col)
+        keep = pc.is_valid(flat.field(1))
+        keep_np = np.asarray(keep)
+        kept_idx = idx[keep_np]
+        kept = flat.filter(keep)
+        counts = np.bincount(kept_idx, minlength=len(t))
+        offsets = np.zeros(len(t) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        rebuilt = pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), kept.field(0), kept.field(1), type=typ
+        )
+        return t.set_column(t.column_names.index(self.map_col), self.map_col, rebuilt)
+
+
+class ExtractJson:
+    """M5: parse a JSON text column, extract one field into a target column.
+
+    ``overwrite=False`` preserves an already-set target (the reference's
+    diff-side skip-if-target-set, job/DiffJobSession.java:265-270).
+    """
+
+    def __init__(self, src_col: str, field: str, dst_col: str, overwrite: bool = True):
+        self.src_col, self.field, self.dst_col, self.overwrite = (
+            src_col,
+            field,
+            dst_col,
+            overwrite,
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        src = t.column(self.src_col).to_pylist()
+        out = []
+        for s in src:
+            if s is None or s == "":
+                out.append(None)
+                continue
+            try:
+                v = json.loads(s)
+            except (ValueError, TypeError):
+                out.append(None)
+                continue
+            v = v.get(self.field) if isinstance(v, dict) else None
+            out.append(None if v is None else str(v) if not isinstance(v, str) else v)
+        arr = pa.array(out, type=pa.string())
+        if self.dst_col in t.column_names:
+            if not self.overwrite:
+                arr = pc.coalesce(t.column(self.dst_col), arr)
+            return t.set_column(t.column_names.index(self.dst_col), self.dst_col, arr)
+        return t.append_column(self.dst_col, arr)
+
+
+class WritetimeMax:
+    """M6/A2: writetime = element-wise max over N source writetime columns
+    (+ configured increment); same shape for TTL."""
+
+    def __init__(self, cols: Sequence[str], out_col: str = "writetime", increment: int = 0):
+        self.cols, self.out_col, self.increment = list(cols), out_col, increment
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arrs = [t.column(c) for c in self.cols]
+        m = arrs[0] if len(arrs) == 1 else pc.max_element_wise(*arrs)
+        if self.increment:
+            m = pc.add(m, self.increment)
+        if self.out_col in t.column_names:
+            return t.set_column(t.column_names.index(self.out_col), self.out_col, m)
+        return t.append_column(self.out_col, m)
+
+
+class FillNulls:
+    """M7: per-column null defaulting."""
+
+    def __init__(self, defaults: Mapping[str, object]):
+        self.defaults = dict(defaults)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for name, v in self.defaults.items():
+            i = t.column_names.index(name)
+            t = t.set_column(i, name, pc.fill_null(t.column(name), v))
+        return t
+
+
+class DropNullKeys:
+    """M9: drop rows whose PK columns contain nulls (validity gate)."""
+
+    def __init__(self, key_cols: Sequence[str]):
+        self.key_cols = list(key_cols)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mask = None
+        for c in self.key_cols:
+            v = pc.is_valid(t.column(c))
+            mask = v if mask is None else pc.and_(mask, v)
+        return t.filter(mask)
+
+
+class WritetimeWindow:
+    """F4: keep rows whose writetime ∈ [lo, hi] — the incremental-window filter."""
+
+    def __init__(self, lo: int | None = None, hi: int | None = None, col: str = "writetime"):
+        self.lo, self.hi, self.col = lo, hi, col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        c = t.column(self.col)
+        mask = None
+        if self.lo is not None:
+            mask = pc.greater_equal(c, self.lo)
+        if self.hi is not None:
+            hi_m = pc.less_equal(c, self.hi)
+            mask = hi_m if mask is None else pc.and_(mask, hi_m)
+        return t if mask is None else t.filter(mask)
+
+
+class ValueSkipFilter:
+    """F5: drop rows where trim(col) equalsIgnoreCase(value)."""
+
+    def __init__(self, col: str, value: str):
+        self.col, self.value = col, value.lower()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(t.column(self.col)))
+        keep = pc.fill_null(pc.not_equal(norm, self.value), True)
+        return t.filter(keep)
+
+
+class FilterExpr:
+    """F3: user WHERE pushdown as a pyarrow dataset expression string.
+
+    The expression is evaluated against the batch via pa.compute; e.g.
+    ``FilterExpr(pc.field('role') != 'system')`` or a prebuilt Expression.
+    """
+
+    def __init__(self, expr: "pa.compute.Expression"):
+        self.expr = expr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(t).to_table(filter=self.expr)
+
+
+class CoverageSample:
+    """F2: deterministic prefix sampling — keep the first ``percent``% of rows
+    per batch by event_seq/key order (the reference truncates each split)."""
+
+    def __init__(self, percent: float, order_col: str = "event_seq"):
+        self.fraction = percent / 100.0
+        self.order_col = order_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.fraction >= 1.0 or not len(t):
+            return t
+        k = int(np.ceil(len(t) * self.fraction))
+        order = pc.array_sort_indices(t.column(self.order_col))
+        return t.take(order[:k])
+
+
+class ByteSizeGuard:
+    """Guardrail: append per-row max encoded column size (KB) + LARGE flag.
+
+    Vectorized via binary/utf8 length kernels (the reference encodes every
+    value through its codec and counts bytes, schema/CqlTable.java:327-340).
+    """
+
+    def __init__(self, max_kb: float, cols: Sequence[str] | None = None):
+        self.max_bytes = max_kb * 1024
+        self.cols = list(cols) if cols else None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols = self.cols or [
+            f.name
+            for f in t.schema
+            if pa.types.is_string(f.type) or pa.types.is_binary(f.type)
+        ]
+        size = None
+        for c in cols:
+            col = t.column(c)
+            ln = (
+                pc.binary_length(col)
+                if pa.types.is_binary(t.schema.field(c).type)
+                else pc.utf8_length(col)
+            )
+            ln = pc.fill_null(pc.cast(ln, pa.int64()), 0)
+            size = ln if size is None else pc.max_element_wise(size, ln)
+        size = size if size is not None else pa.nulls(len(t), pa.int64())
+        t = t.append_column("max_col_bytes", size)
+        return t.append_column("oversize", pc.greater(size, int(self.max_bytes)))
+
+
+# ---- Featureset-style registry (feature/Featureset.java:18-21) --------------
+
+TRANSFORM_REGISTRY = {
+    "rename": Rename,
+    "select": Select,
+    "constant": Constant,
+    "cast": CastColumns,
+    "explode_map": ExplodeMap,
+    "map_scrub_nulls": MapScrubNulls,
+    "extract_json": ExtractJson,
+    "writetime_max": WritetimeMax,
+    "fill_nulls": FillNulls,
+    "drop_null_keys": DropNullKeys,
+    "writetime_window": WritetimeWindow,
+    "value_skip": ValueSkipFilter,
+    "filter_expr": FilterExpr,
+    "coverage_sample": CoverageSample,
+    "byte_size_guard": ByteSizeGuard,
+}
+
+
+def build_transforms(specs: Sequence[Mapping]) -> list:
+    """Config-driven chain: [{'op': 'rename', 'mapping': {...}}, ...]."""
+    out = []
+    for spec in specs:
+        spec = dict(spec)
+        op = spec.pop("op")
+        out.append(TRANSFORM_REGISTRY[op](**spec))
+    return out

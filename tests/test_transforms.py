@@ -1,0 +1,219 @@
+"""Unit tests per transform kernel (reference feature-test parity, SURVEY §5)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from cassandra_data_migrator_ray.functions.transforms import (
+    ByteSizeGuard,
+    CastColumns,
+    Constant,
+    CoverageSample,
+    DropNullKeys,
+    ExplodeMap,
+    ExtractJson,
+    FillNulls,
+    FilterExpr,
+    MapScrubNulls,
+    Rename,
+    Select,
+    ValueSkipFilter,
+    WritetimeMax,
+    WritetimeWindow,
+    build_transforms,
+)
+
+
+def T(**cols):
+    return pa.table(cols)
+
+
+class TestProjection:
+    def test_rename(self):
+        t = Rename({"a": "x"})(T(a=[1], b=[2]))
+        assert t.column_names == ["x", "b"]
+
+    def test_select(self):
+        t = Select(["b"])(T(a=[1], b=[2]))
+        assert t.column_names == ["b"]
+
+    def test_constant(self):
+        t = Constant({"env": "prod"}, {"env": "string"})(T(a=[1, 2]))
+        assert t["env"].to_pylist() == ["prod", "prod"]
+
+
+class TestCasts:
+    def test_int_string_roundtrip(self):
+        t = CastColumns({"a": "string"})(T(a=[1, 2]))
+        assert t["a"].to_pylist() == ["1", "2"]
+        t2 = CastColumns({"a": "int64"})(t)
+        assert t2["a"].to_pylist() == [1, 2]
+
+    def test_timestamp_millis_string(self):
+        ts = pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))
+        t = CastColumns({"ts": "timestamp_string_millis"})(pa.table({"ts": ts}))
+        assert t["ts"].to_pylist() == ["1700000000000"]
+        back = CastColumns({"ts": "string_timestamp_millis"})(t)
+        assert back["ts"].cast(pa.int64()).to_pylist() == [1_700_000_000_000_000]
+
+    def test_timestamp_format(self):
+        ts = pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))
+        t = CastColumns({"ts": "timestamp_string_format:%Y-%m-%d %H:%M:%S"})(
+            pa.table({"ts": ts})
+        )
+        assert t["ts"].to_pylist() == ["2023-11-14 22:13:20"]
+        back = CastColumns({"ts": "string_timestamp_format:%Y-%m-%d %H:%M:%S"})(t)
+        assert back["ts"].type == pa.timestamp("us")
+
+    def test_text_blob(self):
+        t = CastColumns({"a": "text_blob"})(T(a=["hi"]))
+        assert t["a"].type == pa.binary()
+        assert CastColumns({"a": "blob_text"})(t)["a"].to_pylist() == ["hi"]
+
+
+class TestExplodeMap:
+    def _map_table(self):
+        m = pa.array(
+            [[("k1", "v1"), ("k2", "v2")], [("k3", "v3")], []],
+            type=pa.map_(pa.string(), pa.string()),
+        )
+        return pa.table({"conv_id": ["a", "b", "c"], "meta": m})
+
+    def test_explode(self):
+        out = ExplodeMap("meta", "meta_key", "meta_value")(self._map_table())
+        assert len(out) == 3  # 2 + 1 + 0 entries
+        assert out["meta_key"].to_pylist() == ["k1", "k2", "k3"]
+        assert out["conv_id"].to_pylist() == ["a", "a", "b"]
+        assert "meta" not in out.column_names
+
+    def test_scrub_null_map_values(self):
+        m = pa.array(
+            [[("k1", "v1"), ("k2", None)], [("k3", None)]],
+            type=pa.map_(pa.string(), pa.string()),
+        )
+        t = pa.table({"id": [1, 2], "meta": m})
+        out = MapScrubNulls("meta")(t)
+        assert out["meta"].to_pylist() == [[("k1", "v1")], []]
+
+
+class TestExtractJson:
+    def test_extract(self):
+        t = T(props=['{"intent": "search", "n": 3}', "", None, "{bad"])
+        out = ExtractJson("props", "intent", "tool")(t)
+        assert out["tool"].to_pylist() == ["search", None, None, None]
+
+    def test_no_overwrite(self):
+        t = T(props=['{"intent": "x"}', '{"intent": "y"}'], tool=["set", None])
+        out = ExtractJson("props", "intent", "tool", overwrite=False)(t)
+        assert out["tool"].to_pylist() == ["set", "y"]
+
+    def test_non_string_field_stringified(self):
+        out = ExtractJson("props", "n", "n_str")(T(props=['{"n": 3}']))
+        assert out["n_str"].to_pylist() == ["3"]
+
+
+class TestWritetime:
+    def test_max_over_columns_with_increment(self):
+        t = T(wt_a=[10, 5], wt_b=[7, 9])
+        out = WritetimeMax(["wt_a", "wt_b"], "writetime", increment=2)(t)
+        assert out["writetime"].to_pylist() == [12, 11]
+
+    def test_window(self):
+        t = T(writetime=[5, 10, 15, 20])
+        assert WritetimeWindow(10, 15)(t)["writetime"].to_pylist() == [10, 15]
+        assert WritetimeWindow(lo=16)(t)["writetime"].to_pylist() == [20]
+        assert WritetimeWindow(hi=5)(t)["writetime"].to_pylist() == [5]
+
+
+class TestFilters:
+    def test_fill_nulls_and_drop_null_keys(self):
+        t = T(conv_id=["a", None], turn_idx=[1, None], x=[1, 2])
+        filled = FillNulls({"conv_id": ""})(t)
+        assert filled["conv_id"].to_pylist() == ["a", ""]
+        gated = DropNullKeys(["conv_id", "turn_idx"])(t)
+        assert len(gated) == 1
+
+    def test_value_skip_trim_case_insensitive(self):
+        t = T(role=["  SYSTEM ", "user", "System", None])
+        out = ValueSkipFilter("role", "system")(t)
+        assert out["role"].to_pylist() == ["user", None]
+
+    def test_filter_expr(self):
+        t = T(role=["user", "system"], n=[1, 2])
+        out = FilterExpr(pc.field("role") != "system")(t)
+        assert out["n"].to_pylist() == [1]
+
+    def test_coverage_sample(self):
+        t = T(event_seq=[5, 1, 3, 2, 4])
+        out = CoverageSample(40.0)(t)
+        assert sorted(out["event_seq"].to_pylist()) == [1, 2]
+
+
+class TestGuardrail:
+    def test_byte_size_guard(self):
+        t = T(text=["short", "x" * 2048], blob=[b"a", b"b"])
+        out = ByteSizeGuard(max_kb=1)(t)
+        assert out["oversize"].to_pylist() == [False, True]
+        assert out["max_col_bytes"].to_pylist() == [5, 2048]
+
+
+class TestRegistry:
+    def test_build_chain(self):
+        chain = build_transforms(
+            [
+                {"op": "rename", "mapping": {"a": "x"}},
+                {"op": "constant", "values": {"env": "t"}},
+                {"op": "cast", "casts": {"x": "string"}},
+            ]
+        )
+        t = T(a=[1])
+        for tr in chain:
+            t = tr(t)
+        assert t.column_names == ["x", "env"]
+        assert t["x"].to_pylist() == ["1"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTransformsInReplay:
+    def test_transform_chain_feeds_replay(self, tmp_path):
+        """Regression-style mirror of the reference's rename+constant+explode
+        composition (SIT/regression/02_ColumnRenameWithConstantsAndExplode):
+        events arrive with renamed columns + a meta map; the chain normalizes
+        them and explode joins the map key into the PK."""
+        from cassandra_data_migrator_ray.pipelines.replay import replay
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        m = pa.array(
+            [[(0, "hello"), (1, "world")], [(0, "solo")]],
+            type=pa.map_(pa.int32(), pa.string()),
+        )
+        raw = pa.table(
+            {
+                "op": ["INSERT", "INSERT"],
+                "cid": ["convA", "convB"],  # renamed → conv_id
+                "body": m,  # exploded → turn_idx/text
+                "writetime": pa.array([10, 11], type=pa.int64()),
+                "event_seq": pa.array([0, 1], type=pa.int64()),
+            }
+        )
+        chain = [
+            Rename({"cid": "conv_id"}),
+            ExplodeMap("body", "turn_idx", "text"),
+            Constant({"role": "user"}, {"role": "string"}),
+        ]
+        lake = str(tmp_path / "lake")
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("text", pa.string()),
+                ("role", pa.string()),
+            ]
+        )
+        replay(raw, lake, num_parts=4, payload_schema=schema, transforms=chain)
+        got = read_lake_pandas(lake)
+        assert got["text"].tolist() == ["hello", "world", "solo"]
+        assert got["turn_idx"].tolist() == [0, 1, 0]
+        assert (got["role"] == "user").all()
