@@ -1,0 +1,155 @@
+"""Deduplication kernels: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All kernels are batch-vectorized; the Ray-side orchestration (shuffle by hash
+bucket, groupby band, verify pairs) lives in pipelines/dataops.py.  Hashing is
+pandas.util.hash_array (stable SipHash) — never Python's builtin hash().
+
+Scale shape (100 TB): per-batch shingle→minhash is a numpy reduceat over the
+concatenated shingle array (one pass, no per-doc Python math); what crosses
+the shuffle is (band_id, band_hash, doc_id) triples — tiny vs the documents.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pandas.util import hash_array
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_WS = re.compile(r"\s+")
+
+
+def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated uint64 shingle hashes + per-doc boundaries (offsets).
+
+    Word-level k-shingles; docs with < k words contribute their full text as
+    one shingle.  Returns (hashes, offsets[len+1]).
+    """
+    all_shingles: list[np.ndarray] = []
+    counts = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, txt in enumerate(texts.fillna("")):
+        ws = _WS.split(txt.strip()) if txt.strip() else []
+        if len(ws) < k:
+            sh = np.array([txt], dtype=object)
+        else:
+            sh = np.array(
+                [" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)], dtype=object
+            )
+        all_shingles.append(sh)
+        counts[i + 1] = len(sh)
+    offsets = np.cumsum(counts)
+    if offsets[-1] == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    flat = np.concatenate(all_shingles)
+    return hash_array(flat, categorize=False), offsets
+
+
+def minhash_signatures(
+    texts: pd.Series, num_perm: int = 64, k: int = 3, seed: int = 7
+) -> np.ndarray:
+    """(len(texts), num_perm) uint64 MinHash signature matrix.
+
+    Universal hashing h_i(x) = (a_i*x + b_i) mod 2^61-1, minimized per doc via
+    one reduceat per permutation over the concatenated shingle array.
+    """
+    hashes, offsets = _shingle_hashes(texts, k)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    n = len(texts)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(hashes) == 0:
+        return sig
+    # reduceat needs in-range indices; empty groups are masked out after
+    starts = offsets[:-1].clip(0, max(0, len(hashes) - 1))
+    nonempty = offsets[1:] > offsets[:-1]
+    x = hashes % _MERSENNE
+    for p in range(num_perm):
+        hp = (a[p] * x + b[p]) % _MERSENNE  # uint64 wrap-mod is fine for minhash
+        mins = np.minimum.reduceat(hp, starts)
+        sig[nonempty, p] = mins[nonempty]
+    return sig
+
+
+def lsh_bands(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n, num_bands) int64 band hashes of a signature matrix (rows/band =
+    num_perm // num_bands); docs sharing any (band, hash) are candidates."""
+    n, num_perm = sig.shape
+    r = num_perm // num_bands
+    out = np.empty((n, num_bands), dtype=np.int64)
+    prime = np.uint64(1099511628211)
+    for bidx in range(num_bands):
+        seg = sig[:, bidx * r : (bidx + 1) * r]
+        acc = np.full(n, np.uint64(14695981039346656037), dtype=np.uint64)
+        for j in range(r):
+            acc = (acc ^ seg[:, j]) * prime  # FNV-1a over the band values
+        out[:, bidx] = acc.astype(np.int64)
+    return out
+
+
+def simhash64(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash over word unigrams (int64 per doc)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    counts = np.zeros(n + 1, dtype=np.int64)
+    toks: list[np.ndarray] = []
+    for i, txt in enumerate(texts.fillna("")):
+        ws = _WS.split(txt.strip()) if txt.strip() else []
+        arr = np.array(ws, dtype=object) if ws else np.empty(0, dtype=object)
+        toks.append(arr)
+        counts[i + 1] = len(arr)
+    offsets = np.cumsum(counts)
+    if offsets[-1] == 0:
+        return out
+    flat = np.concatenate(toks)
+    h = hash_array(flat, categorize=False)  # uint64 per token
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    signed = bits.astype(np.int32) * 2 - 1  # (ntok, 64) in {-1, +1}
+    sums = np.add.reduceat(signed, offsets[:-1].clip(0, max(0, len(flat) - 1)), axis=0)
+    nonempty = offsets[1:] > offsets[:-1]
+    bitvec = (sums > 0).astype(np.uint8)
+    packed = np.packbits(bitvec, axis=1, bitorder="little").view(np.uint64).ravel()
+    out[nonempty] = packed[nonempty].astype(np.int64)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bitwise Hamming distance between int64 simhashes (vectorized popcount)."""
+    x = (a.astype(np.int64) ^ b.astype(np.int64)).astype(np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity (the verify step for candidates)."""
+
+    def grams(t: str) -> set:
+        ws = _WS.split(t.strip()) if t and t.strip() else []
+        if len(ws) < k:
+            return {t}
+        return {" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)}
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / max(1, len(ga | gb))
+
+
+def cosine_topk_block(
+    block: np.ndarray, queries: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch brute-force cosine top-k: (scores, local_indices).
+
+    block (n, d) float64, queries (q, d) float64 — one matmul per batch
+    against the broadcast query matrix; callers merge per-batch top-k heaps.
+    """
+    bn = block / np.linalg.norm(block, axis=1, keepdims=True).clip(min=1e-12)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
+    sims = qn @ bn.T  # (q, n)
+    k = min(k, sims.shape[1])
+    idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    scores = np.take_along_axis(sims, idx, axis=1)
+    order = np.argsort(-scores, axis=1, kind="stable")
+    return np.take_along_axis(scores, order, axis=1), np.take_along_axis(idx, order, axis=1)

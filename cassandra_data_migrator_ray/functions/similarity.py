@@ -1,0 +1,73 @@
+"""Similarity-search kernels: brute-force cosine top-k + LSH/IVF bucketing.
+
+The baseline is exact brute force — a numpy matmul per Arrow batch against a
+broadcast query matrix (ray.put once, read per actor).  The scale path
+bucket-partitions vectors by random-hyperplane sign bits (LSH) or coarse
+centroids (IVF) so each query only touches a few buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def random_hyperplanes(dim: int, n_bits: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_bits, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def lsh_bucket(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per vector (int64): bucket = bits(sign(V @ P^T))."""
+    bits = (vectors @ planes.T) > 0  # (n, n_bits)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def kmeans_lite(vectors: np.ndarray, k: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Tiny deterministic k-means for IVF coarse centroids (runs on a sample)."""
+    rng = np.random.default_rng(seed)
+    cent = vectors[rng.choice(len(vectors), size=min(k, len(vectors)), replace=False)]
+    for _ in range(iters):
+        d = ((vectors[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                cent[j] = vectors[m].mean(0)
+    return cent
+
+
+def ivf_assign(vectors: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    d = ((vectors[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    return d.argmin(1).astype(np.int64)
+
+
+class TopKMerger:
+    """Streaming merge of per-batch (score, id) top-k candidates per query."""
+
+    def __init__(self, n_queries: int, k: int):
+        self.k = k
+        self.scores = np.full((n_queries, 0), -np.inf)
+        self.ids = np.full((n_queries, 0), -1, dtype=np.int64)
+
+    def update(self, scores: np.ndarray, ids: np.ndarray) -> None:
+        self.scores = np.concatenate([self.scores, scores], axis=1)
+        self.ids = np.concatenate([self.ids, ids], axis=1)
+        if self.scores.shape[1] > 4 * self.k:
+            self._shrink()
+
+    def _shrink(self) -> None:
+        k = min(self.k, self.scores.shape[1])
+        idx = np.argpartition(-self.scores, k - 1, axis=1)[:, :k]
+        self.scores = np.take_along_axis(self.scores, idx, axis=1)
+        self.ids = np.take_along_axis(self.ids, idx, axis=1)
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        self._shrink()
+        # deterministic order: score desc, id asc as tiebreak
+        order = np.lexsort((self.ids, -self.scores), axis=1)
+        return (
+            np.take_along_axis(self.scores, order, axis=1),
+            np.take_along_axis(self.ids, order, axis=1),
+        )

@@ -1,0 +1,197 @@
+"""Tests for training-data ops: dedup, similarity, text analysis."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from cassandra_data_migrator_ray.functions.dedup import (
+    hamming64,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash64,
+)
+from cassandra_data_migrator_ray.functions.text import (
+    Fingerprint,
+    LangId,
+    QualityScore,
+    TokenCount,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_df(n=30):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about ray data pipelines and arrow",
+        "der schnelle braune fuchs springt über den faulen hund und die katze",
+    ]
+    rows = []
+    for i in range(n):
+        t = base[i % 3]
+        if i >= 27:  # 3 near-dups of doc 0 (one word changed)
+            t = base[0].replace("dog", f"cat{i}")
+        rows.append({"doc_id": i, "text": t})
+    return pd.DataFrame(rows)
+
+
+class TestKernels:
+    def test_minhash_identical_texts_equal_sigs(self):
+        s = pd.Series(["a b c d e f g", "a b c d e f g", "x y z w v u t"])
+        sig = minhash_signatures(s, num_perm=32)
+        assert (sig[0] == sig[1]).all()
+        assert (sig[0] != sig[2]).any()
+
+    def test_minhash_similarity_tracks_jaccard(self):
+        a = "w" + " w".join(str(i) for i in range(100))
+        b = a.replace("w50", "x50")  # tiny edit
+        c = " ".join(f"z{i}" for i in range(100))
+        sig = minhash_signatures(pd.Series([a, b, c]), num_perm=128)
+        sim_ab = (sig[0] == sig[1]).mean()
+        sim_ac = (sig[0] == sig[2]).mean()
+        assert sim_ab > 0.8
+        assert sim_ac < 0.2
+
+    def test_simhash_near_texts_low_hamming(self):
+        s = pd.Series(
+            [
+                " ".join(f"tok{i}" for i in range(200)),
+                " ".join(f"tok{i}" for i in range(199)) + " xdiff",
+                " ".join(f"other{i}" for i in range(200)),
+            ]
+        )
+        sh = simhash64(s)
+        near = hamming64(sh[[0]], sh[[1]])[0]
+        far = hamming64(sh[[0]], sh[[2]])[0]
+        assert near < 8
+        assert far > 16
+
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c d", "x y z w") == 0.0
+        assert ngram_jaccard("", "") == 1.0
+
+    def test_empty_and_short_texts(self):
+        s = pd.Series(["", "one", "two words here and more padding"])
+        sig = minhash_signatures(s, num_perm=16)
+        sh = simhash64(s)
+        assert sig.shape == (3, 16)
+        assert sh.shape == (3,)
+
+
+class TestTextOps:
+    def test_token_count(self):
+        df = pd.DataFrame({"text": ["hello world", "a, b! c?", "", None]})
+        out = TokenCount()(df)
+        assert out["n_ws_tokens"].tolist() == [2, 3, 0, 0]
+        assert out["n_bpe_tokens"].tolist() == [2, 6, 0, 0]
+
+    def test_quality_score_bounds(self):
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "the quick brown fox jumps over the lazy dog and keeps running far",
+                    "!!!",
+                    "",
+                ]
+            }
+        )
+        out = QualityScore(min_chars=10)(df)
+        assert 0 <= out["quality_score"].min() <= out["quality_score"].max() <= 1
+        assert out["quality_score"].iloc[0] > out["quality_score"].iloc[1]
+
+    def test_langid(self):
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "the cat and the dog sat in a corner of the room for a while",
+                    "der hund und die katze sind nicht mit dem mann zu hause",
+                    "le chat et le chien sont pour une promenade est que",
+                    "这是一个中文句子 的 测试",
+                ]
+            }
+        )
+        out = LangId()(df)
+        assert out["pred_lang"].tolist() == ["en", "de", "fr", "zh"]
+
+    def test_fingerprint_deterministic(self):
+        df1 = Fingerprint()(pd.DataFrame({"text": ["a b c d e", "x y z"]}))
+        df2 = Fingerprint()(pd.DataFrame({"text": ["a b c d e", "x y z"]}))
+        assert df1["text_hash"].tolist() == df2["text_hash"].tolist()
+        assert df1["min_shingle_hash"].tolist() == df2["min_shingle_hash"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupPipelines:
+    def test_dedup_exact(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_exact
+
+        df = pd.DataFrame(
+            {"doc_id": [5, 3, 9, 1, 7], "text": ["A", "A", "B", "B", "C"]}
+        )
+        out = (
+            dedup_exact(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("text", ignore_index=True)
+        )
+        assert out["doc_id"].tolist() == [3, 1, 7]
+        assert out["n_dups"].tolist() == [2, 2, 1]
+
+    def test_dedup_minhash_lsh_finds_neardups(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_minhash_lsh
+
+        ds = ray.data.from_pandas(docs_df())
+        pairs = dedup_minhash_lsh(ds, threshold=0.5).to_pandas()
+        # docs 0,3,6,...,27,28,29 are exact or near dups of base[0]
+        assert len(pairs) > 10
+        assert (pairs["jaccard"] >= 0.5).all()
+        assert (pairs["id_a"] < pairs["id_b"]).all()
+        # every exact-dup pair of base[1] family shares jaccard 1.0
+        fam1 = {1, 4, 7, 10, 13, 16, 19, 22, 25}
+        exact = pairs[(pairs["id_a"].isin(fam1)) & (pairs["id_b"].isin(fam1))]
+        assert (exact["jaccard"] == 1.0).all() and len(exact) == 36
+
+    def test_dedup_simhash(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_simhash
+
+        ds = ray.data.from_pandas(docs_df())
+        pairs = dedup_simhash(ds, max_hamming=0).to_pandas()
+        assert len(pairs) >= 3 * 36  # three exact families of 9/10 docs
+        assert (pairs["hamming"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def test_ann_topk_exact_vs_numpy(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import ann_topk
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        pdf = emb.to_pandas()
+        vecs = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = vecs[0]
+        got = ann_topk(emb, q, k=5)
+        # numpy reference
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        sims = vn @ qn
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))[:5]
+        assert got["vec_id"].tolist() == pdf["vec_id"].to_numpy()[order].tolist()
+        assert got["rank"].tolist() == [0, 1, 2, 3, 4]
+
+    def test_embedding_neardup_self_similarity(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import embedding_neardup
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((20, 16)).astype(np.float32)
+        dup = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(25, dtype=np.int64),
+                "embedding": list(np.vstack([base, dup])),
+            }
+        )
+        pairs = embedding_neardup(ray.data.from_pandas(df), threshold=0.99).to_pandas()
+        found = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert {(i, 20 + i) for i in range(5)} <= found
