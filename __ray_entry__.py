@@ -1,44 +1,172 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps SURVEY.md §2 operators (+ the training-data ops) onto the
+shared testdata tables; each entry with an ``oracle_sql()`` twin returns the
+exact column names/types the SQL produces.  Ops whose semantics are not
+SQL-expressible (full-engine CDC replay/validate, heuristic langid, minhash/
+simhash fingerprints) are registered without an oracle → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: full CDC replay of a deterministic
+    transcripts change stream into a partitioned lake, DiffData-validated
+    against the independent oracle; returns the final lake table."""
+    from cassandra_data_migrator_ray.pipelines import queries as q
+
+    sf_dir = "/root/testdata/sf0.001"
+    validation = q.cdc_validate(sf_dir)
+    bad = validation[validation["status"].isin(["MISSING", "MISMATCH", "EXTRA"])]
+    assert (bad["n"] == 0).all(), f"validation failed: {validation.to_dict()}"
+    return q.cdc_replay(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cassandra_data_migrator_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # A. CDC core (LWW fold with delete/unset semantics) — SURVEY §2.6 A3
+        "lww_latest_state": q.lww_latest_state,
+        # B. transforms / filters / aggregates — SURVEY §2.2/§2.3/§2.6/§2.7
+        "writetime_window": q.writetime_window,
+        "value_skip_filter": q.value_skip_filter,
+        "rename_cast_constant": q.rename_cast_constant,
+        "extract_json_props": q.extract_json_props,
+        "null_default": q.null_default,
+        "max_element_wise": q.max_element_wise,
+        "coverage_sample": q.coverage_sample,
+        "counter_rollup": q.counter_rollup,
+        "diff_missing_customers": q.diff_missing_customers,
+        "guardrail_large": q.guardrail_large,
+        "explode_words": q.explode_words,
+        # C. training-data ops
+        "dedup_exact_docs": q.dedup_exact_docs,
+        "token_count_docs": q.token_count_docs,
+        "ann_topk_embeddings": q.ann_topk_embeddings,
+        "langid_docs": q.langid_docs,
+        "fingerprint_docs": q.fingerprint_docs,
+        "simhash_docs": q.simhash_docs,
+        "minhash_neardup_docs": q.minhash_neardup_docs,
+        "embedding_neardup": q.embedding_neardup_q,
+        "quality_docs": q.quality_docs,
+        # D. full-engine CDC over generated transcripts (not SQL-expressible)
+        "cdc_replay": q.cdc_replay,
+        "cdc_validate": q.cdc_validate,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    day5 = 1_704_067_200_000_000 + 4 * 86_400_000_000
+    day10 = 1_704_067_200_000_000 + 9 * 86_400_000_000
+    return {
+        "lww_latest_state": f"""
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+         CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value_n,
+         CASE WHEN event_type = 'view' THEN NULL ELSE props END AS props_n,
+         epoch_us(ts) AS wt, event_id AS seq
+  FROM events
+), w AS (
+  SELECT *, count(*) FILTER (WHERE op = 'DELETE')
+           OVER (PARTITION BY user_id ORDER BY wt, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM e
+), mx AS (SELECT user_id, max(epoch) AS max_epoch FROM w GROUP BY user_id),
+live AS (
+  SELECT w.* FROM w JOIN mx USING (user_id)
+  WHERE w.epoch = mx.max_epoch AND w.op <> 'DELETE'
+), fin AS (
+  SELECT user_id,
+    last_value(value_n IGNORE NULLS) OVER pw AS "value",
+    last_value(props_n IGNORE NULLS) OVER pw AS props,
+    row_number() OVER (PARTITION BY user_id ORDER BY wt DESC, seq DESC) AS rn,
+    CAST(wt AS BIGINT) AS writetime
+  FROM live
+  WINDOW pw AS (PARTITION BY user_id ORDER BY wt, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, "value", props, writetime FROM fin WHERE rn = 1 ORDER BY user_id
+""",
+        "writetime_window": f"""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE epoch_us(ts) BETWEEN {day5} AND {day10} - 1
+""",
+        "value_skip_filter": """
+SELECT event_type, count(*) AS n FROM events
+WHERE lower(trim(event_type)) <> 'error'
+GROUP BY event_type ORDER BY event_type
+""",
+        "rename_cast_constant": """
+SELECT event_id AS id, CAST(user_id AS VARCHAR) AS user_str,
+       CAST(epoch_ms(ts) AS VARCHAR) AS ts_millis, 'prod' AS env
+FROM events
+""",
+        "extract_json_props": """
+SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+""",
+        "null_default": """
+SELECT event_id,
+       coalesce(CASE WHEN event_type = 'view' THEN NULL ELSE props END, '{}') AS props_f
+FROM events
+""",
+        "max_element_wise": """
+SELECT doc_id, greatest(n_chars, CAST(length(text) AS BIGINT)) AS max_sz FROM documents
+""",
+        "coverage_sample": """
+SELECT event_id, event_type FROM events
+WHERE event_id < (SELECT CAST(ceil(count(*) * 0.10) AS BIGINT) FROM events)
+""",
+        "counter_rollup": """
+SELECT user_id,
+       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+       count(*) AS n
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id
+""",
+        "diff_missing_customers": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+        "guardrail_large": """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS text_bytes FROM documents
+WHERE length(text) > 256
+""",
+        "explode_words": """
+SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+""",
+        "dedup_exact_docs": """
+SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
+FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "token_count_docs": """
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+        "ann_topk_embeddings": """
+SELECT CAST(0 AS BIGINT) AS query_id,
+       CAST(row_number() OVER (ORDER BY s DESC, vec_id) - 1 AS BIGINT) AS rank,
+       vec_id
+FROM (
+  SELECT vec_id,
+         list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
+  FROM embeddings
+) ORDER BY s DESC, vec_id LIMIT 10
+""",
+    }

@@ -30,18 +30,24 @@ _STOPWORDS = {
 
 
 class TokenCount:
-    """Whitespace + BPE-ish token counts per document."""
+    """Whitespace + BPE-ish token counts per document.
 
-    def __init__(self, text_col: str = "text"):
+    ``sep`` switches the whitespace split to a literal separator (useful when
+    an oracle defines tokens as single-space splits)."""
+
+    def __init__(self, text_col: str = "text", sep: str | None = None):
         self.text_col = text_col
+        self.sep = sep
         self.token_re = re.compile(_TOKEN_RE)
         self.ws_re = re.compile(_WS_RE)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
-        batch["n_ws_tokens"] = (
-            s.str.strip().str.split(self.ws_re).map(lambda x: len(x) if x != [""] else 0)
-        )
+        if self.sep is not None:
+            n = s.str.split(self.sep, regex=False).map(len)
+        else:
+            n = s.str.strip().str.split(self.ws_re).map(lambda x: len(x) if x != [""] else 0)
+        batch["n_ws_tokens"] = n.astype(np.int64)
         batch["n_bpe_tokens"] = s.str.count(self.token_re).astype(np.int64)
         return batch
 

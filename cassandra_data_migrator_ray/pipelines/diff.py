@@ -59,7 +59,7 @@ def _tag_side(
     side: int,
     num_parts: int,
     salt: int,
-    payload_cols: list[str],
+    payload_schema: pa.Schema,
     wt_cols: list[str],
     batch: pa.Table,
 ) -> pa.Table:
@@ -68,13 +68,21 @@ def _tag_side(
     out = pd.DataFrame()
     for k in KEY_COLS:
         out[k] = df[k]
+    payload_cols = [n for n in payload_schema.names if n not in KEY_COLS]
     for c in payload_cols:
         out[c] = df[c] if c in df.columns else None
     for c in wt_cols:
         out[c] = df[c].to_numpy(dtype=np.int64) if c in df.columns else np.int64(NEG_INF)
     out[SIDE_COL] = np.int8(side)
     out[PART_COL] = assign_partition(out["conv_id"], out["turn_idx"], num_parts, salt)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    # align payload dtypes to the manifest schema (e.g. pandas ns → lake µs
+    # timestamps) so both sides produce identical block schemas
+    fields = [
+        payload_schema.field(n) if n in payload_schema.names else tbl.schema.field(n)
+        for n in tbl.column_names
+    ]
+    return tbl.cast(pa.schema(fields))
 
 
 def validate(
@@ -95,8 +103,11 @@ def validate(
     payload_cols = payload_cols_of(manifest.schema)
     wt_cols = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
 
+    full_schema = pa.schema(
+        [manifest.schema.field(n) for n in manifest.schema.names]
+    )
     exp_ds = _as_dataset(expected).map_batches(
-        partial(_tag_side, 0, manifest.num_parts, manifest.salt, payload_cols, wt_cols),
+        partial(_tag_side, 0, manifest.num_parts, manifest.salt, full_schema, wt_cols),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -109,7 +120,7 @@ def validate(
 
             live = batch.filter(pc.invert(pc.fill_null(batch[DELETED], False)))
             return _tag_side(
-                1, manifest.num_parts, manifest.salt, payload_cols, wt_cols, live
+                1, manifest.num_parts, manifest.salt, full_schema, wt_cols, live
             )
 
         act_ds = ray.data.read_parquet(files).map_batches(

@@ -1,0 +1,496 @@
+"""Driver-contract query implementations over the shared testdata tables.
+
+Each function takes ``sf_dir`` (e.g. /root/testdata/sf0.01) and returns a
+Dataset / DataFrame / Arrow table whose columns match the paired oracle SQL in
+``__ray_entry__.oracle_sql`` exactly (names AND types) — the driver compares
+row-count + schema + order-insensitive value hash.
+
+Operator coverage tags reference SURVEY.md §2 (which cites the reference
+implementation file:line for each).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from cassandra_data_migrator_ray.functions.lww import (
+    fold_events,
+    merge_state_frames,
+)
+from cassandra_data_migrator_ray.functions.transforms import (
+    CastColumns,
+    Constant,
+    ExtractJson,
+    FillNulls,
+    Rename,
+    ValueSkipFilter,
+    WritetimeMax,
+    WritetimeWindow,
+)
+from cassandra_data_migrator_ray.schema import DELETED, ROW_WT
+from cassandra_data_migrator_ray.state.partitioning import assign_partition
+
+NUM_PARTS = 32
+
+
+def _pairs_or_empty(pairs: "pd.DataFrame", score_col: str) -> "pd.DataFrame":
+    """Empty pair results lose their schema through to_pandas — restore it."""
+    if "id_a" not in pairs.columns:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                score_col: pd.Series([], dtype="float64"),
+            }
+        )
+    return pairs.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# generic distributed LWW fold (reused by the flagship query)
+# ---------------------------------------------------------------------------
+
+
+def lww_fold_dataset(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    payload_cols: list[str],
+    num_parts: int = NUM_PARTS,
+) -> ray.data.Dataset:
+    """events → one state row per key: per-batch pre-fold (combiner) →
+    hash-partition shuffle → per-partition multi-way merge (A3 semantics)."""
+
+    def prefold(batch: pd.DataFrame) -> pd.DataFrame:
+        st = fold_events(batch, key_cols, payload_cols)
+        h = assign_partition(st[key_cols[0]], 0, num_parts, salt=1)
+        st["__part"] = h
+        return st
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["__part"])
+        return merge_state_frames(g, key_cols, payload_cols)
+
+    return (
+        ds.map_batches(prefold, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A. CDC core — flagship LWW fold over the shared `events` table (A3/M6/F4)
+# ---------------------------------------------------------------------------
+
+
+def lww_latest_state(sf_dir: str) -> pd.DataFrame:
+    """Full LWW replay semantics on the `events` table, keyed by user_id.
+
+    Derivation (identical in the oracle SQL): event_type 'error' ⇒ row DELETE;
+    'click' carries no value (unset-null); 'view' carries no props; writetime =
+    epoch_us(ts); event_seq = event_id.  Output = live final state per user
+    with the winning row writetime (SURVEY §2.6 A3, §2.10)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value", "props", "ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        op = pc.if_else(pc.equal(et, "error"), pa.scalar("DELETE"), pa.scalar("UPSERT"))
+        value_n = pc.if_else(pc.equal(et, "click"), pa.scalar(None, pa.float64()), t["value"])
+        props_n = pc.if_else(pc.equal(et, "view"), pa.scalar(None, pa.string()), t["props"])
+        wt = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "op": op,
+                "value": value_n,
+                "props": props_n,
+                "writetime": wt,
+                "event_seq": t["event_id"],
+            }
+        )
+
+    state = lww_fold_dataset(ds.map_batches(derive, batch_format="pyarrow"), ["user_id"], ["value", "props"])
+    out = state.to_pandas()
+    out = out[~out[DELETED].to_numpy(dtype=bool)]
+    out = out.rename(columns={ROW_WT: "writetime"})
+    return (
+        out[["user_id", "value", "props", "writetime"]]
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. transforms / filters over events (M1-M7, F2-F5, A2, S5/J2)
+# ---------------------------------------------------------------------------
+
+_DAY5_US = 1_704_067_200_000_000 + 4 * 86_400_000_000  # 2024-01-05 UTC in µs
+_DAY10_US = 1_704_067_200_000_000 + 9 * 86_400_000_000
+
+
+def writetime_window(sf_dir: str) -> ray.data.Dataset:
+    """F4: incremental-window filter on the event timestamp."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.append_column("writetime", pc.cast(t["ts"], pa.int64()))
+        t = WritetimeWindow(_DAY5_US, _DAY10_US - 1)(t)
+        return t.select(["event_id", "user_id", "event_type", "value"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def value_skip_filter(sf_dir: str) -> pd.DataFrame:
+    """F5 + A1: drop rows where trim(lower(event_type)) == 'error', then count
+    per type via per-batch partial aggregation + a tiny groupby (combiner)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial_counts(t: pa.Table) -> pd.DataFrame:
+        t = ValueSkipFilter("event_type", "error")(t)
+        df = t.to_pandas()
+        g = df.groupby("event_type", sort=False).size().reset_index(name="n")
+        return g
+
+    parts = ds.map_batches(partial_counts, batch_format="pyarrow")
+    out = (
+        parts.groupby("event_type")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"event_type": [g["event_type"].iloc[0]], "n": [np.int64(g["n"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_type", ignore_index=True)
+
+
+def rename_cast_constant(sf_dir: str) -> ray.data.Dataset:
+    """M1+M2+M3: rename, codec casts (bigint→string, timestamp→millis-string),
+    constant column."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    chain = [
+        Rename({"event_id": "id"}),
+        CastColumns({"user_id": "string", "ts": "timestamp_string_millis"}),
+        Rename({"user_id": "user_str", "ts": "ts_millis"}),
+        Constant({"env": "prod"}, {"env": "string"}),
+    ]
+
+    def f(t: pa.Table) -> pa.Table:
+        for tr in chain:
+            t = tr(t)
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def extract_json_props(sf_dir: str) -> ray.data.Dataset:
+    """M5: JSON field extraction from the props column."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    ex = ExtractJson("props", "k", "k")
+
+    def f(t: pa.Table) -> pa.Table:
+        return ex(t).select(["event_id", "k"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def null_default(sf_dir: str) -> ray.data.Dataset:
+    """M7: null defaulting (nulls derived deterministically, then filled)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        props_n = pc.if_else(
+            pc.equal(t["event_type"], "view"), pa.scalar(None, pa.string()), t["props"]
+        )
+        t2 = pa.table({"event_id": t["event_id"], "props_f": props_n})
+        return FillNulls({"props_f": "{}"})(t2)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def max_element_wise(sf_dir: str) -> ray.data.Dataset:
+    """A2/M6: per-row max across columns (the writetime-max kernel)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.append_column("text_len", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+        t = WritetimeMax(["n_chars", "text_len"], "max_sz")(t)
+        return t.select(["doc_id", "max_sz"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def coverage_sample(sf_dir: str) -> ray.data.Dataset:
+    """F2: deterministic coverage sampling — first 10% of the event_id range."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    n = ds.count()
+    threshold = int(np.ceil(n * 0.10))
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["event_id"], threshold))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def counter_rollup(sf_dir: str) -> pd.DataFrame:
+    """S5/J2/A1: additive counter semantics — per-key grouped sum of deltas
+    with per-batch partial pre-aggregation before the shuffle.
+
+    Sums are computed in integer cents so the result is bit-exact regardless
+    of reduction order (float sums are order-dependent)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial_sum(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        df = t.to_pandas()
+        df["cents"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("user_id", sort=False)["cents"].agg(["sum", "size"]).reset_index()
+        return g.rename(columns={"sum": "total_cents", "size": "n"})
+
+    parts = ds.map_batches(partial_sum, batch_format="pyarrow")
+    out = (
+        parts.groupby("user_id")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "user_id": [g["user_id"].iloc[0]],
+                    "total_cents": [np.int64(g["total_cents"].sum())],
+                    "n": [np.int64(g["n"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("user_id", ignore_index=True)
+
+
+def diff_missing_customers(sf_dir: str) -> pd.DataFrame:
+    """J1: the validation anti-join, broadcast-side variant — customers with no
+    orders (small key set broadcast via ray.put, filtered in map_batches)."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = ~np.isin(t["c_custkey"].to_numpy(), ks)
+        return t.filter(pa.array(mask))
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    out = cust.map_batches(f, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in out.columns:  # empty result drops schema via to_pandas
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey", ignore_index=True)
+
+
+def guardrail_large(sf_dir: str) -> ray.data.Dataset:
+    """Guardrail: rows whose text exceeds the size threshold (bytes)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from cassandra_data_migrator_ray.functions.transforms import ByteSizeGuard
+
+    guard = ByteSizeGuard(max_kb=0.25, cols=["text"])  # 256 bytes
+
+    def f(t: pa.Table) -> pa.Table:
+        t = guard(t)
+        t = t.filter(t["oversize"])
+        t = t.append_column("text_bytes", t["max_col_bytes"])
+        return t.select(["doc_id", "text_bytes"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def explode_words(sf_dir: str) -> ray.data.Dataset:
+    """M4 (flat_map shape): one row per word of each document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.split(" ", regex=False)
+        counts = words.map(len).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), counts),
+                "word": np.concatenate(words.to_numpy()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C. training-data ops (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.pipelines.dataops import dedup_exact
+
+    out = dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out[["doc_id", "text", "n_dups"]].sort_values("doc_id", ignore_index=True)
+
+
+def token_count_docs(sf_dir: str) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.functions.text import TokenCount
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tc = TokenCount(sep=" ")  # single-space tokens, matching the SQL oracle
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = tc(batch)
+        batch["n_chars"] = batch["text"].str.len().astype(np.int64)
+        return batch[["doc_id", "n_ws_tokens", "n_chars"]]
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+
+
+def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for query vec_id=0 (ranks only — float scores
+    are excluded from the comparison surface)."""
+    from cassandra_data_migrator_ray.pipelines.dataops import ann_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in emb.iter_batches(batch_size=4096, batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+            break
+    out = ann_topk(emb, q, k=10)
+    out["query_id"] = np.int64(0)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def langid_docs(sf_dir: str) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangId(), batch_format="pandas", concurrency=2).to_pandas()
+    return out[["doc_id", "pred_lang"]].sort_values("doc_id", ignore_index=True)
+
+
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.functions.text import Fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(Fingerprint(), batch_format="pandas", concurrency=2).to_pandas()
+    return out[["doc_id", "text_hash", "min_shingle_hash"]].sort_values(
+        "doc_id", ignore_index=True
+    )
+
+
+def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.pipelines.dataops import simhash_fingerprints
+
+    out = simhash_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def minhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.pipelines.dataops import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    ).to_pandas()
+    return _pairs_or_empty(pairs, "jaccard")
+
+
+def embedding_neardup_q(sf_dir: str) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.pipelines.dataops import embedding_neardup
+
+    pairs = embedding_neardup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95
+    ).to_pandas()
+    return _pairs_or_empty(pairs, "cosine")
+
+
+def quality_docs(sf_dir: str) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.functions.text import QualityScore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(QualityScore(), batch_format="pandas", concurrency=2).to_pandas()
+    return out[["doc_id", "quality_score", "n_chars", "n_words"]].sort_values(
+        "doc_id", ignore_index=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. full-engine CDC replay + validate over generated transcripts (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.01
+
+
+def _gen_cached_events(sf_dir: str) -> str:
+    """Deterministic transcripts change stream sized by sf, cached as parquet."""
+    from cassandra_data_migrator_ray.gen import gen_change_stream
+
+    sf = _sf_value(sf_dir)
+    n_events = max(2000, int(10_000_000 * sf))
+    n_convs = max(50, n_events // 50)
+    cache = f"/tmp/cdm_ray_cache/events_sf{sf}.parquet"
+    if not os.path.exists(cache):
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tbl = gen_change_stream(
+            n_convs=n_convs, n_events=n_events, seed=42, hot_frac=0.05
+        )
+        import pyarrow.parquet as pq
+
+        tmp = cache + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, cache)
+    return cache
+
+
+def cdc_replay(sf_dir: str) -> pd.DataFrame:
+    """Flagship: full engine replay of the generated transcripts change stream
+    into a fresh lake; returns the final public table (north-rule pipeline)."""
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+    cache = _gen_cached_events(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    replay(cache, lake, num_parts=NUM_PARTS, salt=2)
+    return read_lake_pandas(lake)
+
+
+def cdc_validate(sf_dir: str) -> pd.DataFrame:
+    """Replay + DiffData validation vs the independent oracle; returns the
+    status counts (all-VALID on a correct engine)."""
+    from cassandra_data_migrator_ray.gen import oracle_final_state
+    from cassandra_data_migrator_ray.pipelines.diff import validate
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+
+    import pyarrow.parquet as pq
+
+    cache = _gen_cached_events(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    replay(cache, lake, num_parts=NUM_PARTS)
+    oracle = oracle_final_state(pq.read_table(cache).to_pandas())
+    res = validate(oracle, lake)
+    return pd.DataFrame(
+        [
+            {"status": k, "n": np.int64(v)}
+            for k, v in sorted(res.counts.items())
+        ]
+    )
