@@ -1,0 +1,141 @@
+"""Benchmark entry point — prints ONE JSON line.
+
+Headline metric: end-to-end CDC replay of a deterministic transcripts change
+stream (sized by $GRAFT_SF_DIR's scale factor) into a fresh partitioned lake —
+the north-rule pipeline (read → normalize/pre-fold → hash shuffle → LWW merge
+→ copy-on-write parquet + manifest commit).  Secondary queries time the other
+headline pipelines over the shared testdata tables.
+
+`--scaling` runs the same headline job at num_cpus=8 and num_cpus=32 in fresh
+processes over the identical cached input and reports both throughputs plus
+scaling efficiency (the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cassandra_data_migrator_ray.pipelines import queries as q
+    from cassandra_data_migrator_ray.pipelines.diff import validate
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+
+    import pyarrow.parquet as pq
+
+    sf = q._sf_value(SF_DIR)
+    cache = q._gen_cached_events(SF_DIR)
+    n_events = pq.read_metadata(cache).num_rows
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    pq.read_table(cache)
+
+    timings: dict[str, float] = {}
+
+    # headline: full replay into a fresh lake
+    lake = tempfile.mkdtemp(prefix="cdm_bench_lake_")
+    t0 = time.perf_counter()
+    res = replay(cache, lake, num_parts=max(64, NUM_CPUS * 4), salt=2)
+    replay_sec = time.perf_counter() - t0
+    timings["cdc_replay"] = round(replay_sec, 3)
+
+    # validation pass over the fresh lake (DiffData analogue) vs oracle state
+    from cassandra_data_migrator_ray.gen import oracle_final_state
+
+    t0 = time.perf_counter()
+    expected = oracle_final_state(pq.read_table(cache).to_pandas())
+    oracle_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    v = validate(expected, lake)
+    timings["cdc_validate"] = round(time.perf_counter() - t0, 3)
+    assert v.ok, v.counts
+    shutil.rmtree(lake, ignore_errors=True)
+
+    # secondary pipelines over the shared tables
+    for name in (
+        "lww_latest_state",
+        "dedup_exact_docs",
+        "minhash_neardup_docs",
+        "ann_topk_embeddings",
+        "token_count_docs",
+    ):
+        fn = getattr(q, name)
+        t0 = time.perf_counter()
+        out = fn(SF_DIR)
+        if hasattr(out, "to_pandas") and not hasattr(out, "columns"):
+            out.to_pandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(replay_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "events_per_sec": round(n_events / replay_sec, 1),
+        "oracle_prep_sec": round(oracle_sec, 3),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo = r_lo["events_per_sec"]
+    tput_hi = r_hi["events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": r_lo["sf"],
+        "events": r_lo["events"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"events_per_sec_{lo}": tput_lo,
+        f"events_per_sec_{hi}": tput_hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
