@@ -51,8 +51,10 @@ def run_bench() -> dict:
     cache = q._gen_cached_events(SF_DIR)
     n_events = pq.read_metadata(cache).num_rows
 
-    # warm the page cache so we measure compute + shuffle, not first disk read
+    # warm the page cache AND the Ray worker pool / object store so we measure
+    # compute + shuffle, not process startup or first disk read
     pq.read_table(cache)
+    ray.data.read_parquet(cache).map_batches(lambda t: t, batch_format="pyarrow").count()
 
     timings: dict[str, float] = {}
 

@@ -1,0 +1,135 @@
+"""Remaining FIXTURES.md scenarios end-to-end through the Ray pipelines:
+counters_additive, null_ts_in_pk (null-PK defaulting), filters, guardrail."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from cassandra_data_migrator_ray.functions.transforms import (
+    ValueSkipFilter,
+    WritetimeWindow,
+)
+from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+from cassandra_data_migrator_ray.pipelines.guardrail import guardrail_scan
+from cassandra_data_migrator_ray.pipelines.replay import replay
+from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountersAdditive:
+    def test_counter_column_e2e(self, tmp_path):
+        """SIT/smoke/04_counters analogue: tool_calls is an additive delta
+        column; two replay runs accumulate (reference delta semantics,
+        TargetUpdateStatement.java:69-76)."""
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("tool_calls", pa.float64()),
+            ]
+        )
+
+        def mk(deltas, seq0):
+            n = len(deltas)
+            return pa.table(
+                {
+                    "op": pa.array(["UPSERT"] * n),
+                    "conv_id": pa.array([d[0] for d in deltas]),
+                    "turn_idx": pa.array([d[1] for d in deltas], pa.int32()),
+                    "tool_calls": pa.array([d[2] for d in deltas], pa.float64()),
+                    "writetime": pa.array(range(seq0, seq0 + n), pa.int64()),
+                    "event_seq": pa.array(range(seq0, seq0 + n), pa.int64()),
+                }
+            )
+
+        lake = str(tmp_path / "lake")
+        replay(
+            mk([("a", 0, 3.0), ("a", 0, 4.0), ("b", 1, 10.0)], 0),
+            lake,
+            num_parts=4,
+            payload_schema=schema,
+            counter_cols=("tool_calls",),
+        )
+        got = read_lake_pandas(lake).set_index(["conv_id", "turn_idx"])
+        assert got.loc[("a", 0), "tool_calls"] == 7.0
+        assert got.loc[("b", 1), "tool_calls"] == 10.0
+        # incremental second run adds on top of existing state
+        replay(
+            mk([("a", 0, 5.0)], 100),
+            lake,
+            num_parts=4,
+            counter_cols=("tool_calls",),
+        )
+        got = read_lake_pandas(lake).set_index(["conv_id", "turn_idx"])
+        assert got.loc[("a", 0), "tool_calls"] == 12.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullPkDefaulting:
+    def test_null_pk_filled_not_dropped(self, tmp_path):
+        """null_ts_in_pk analogue (CqlTable.convertNull:375-400): events with a
+        null PK component are defaulted ('' / -1), not lost."""
+        t = pa.table(
+            {
+                "op": ["INSERT", "INSERT"],
+                "conv_id": pa.array([None, "c1"], pa.string()),
+                "turn_idx": pa.array([0, None], pa.int32()),
+                "role": ["user", "user"],
+                "text": ["null-conv", "null-turn"],
+                "tool": pa.array([None, None], pa.string()),
+                "ts": pa.array([None, None], pa.timestamp("us")),
+                "writetime": pa.array([1, 2], pa.int64()),
+                "event_seq": pa.array([0, 1], pa.int64()),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        replay(t, lake, num_parts=2)
+        got = read_lake_pandas(lake)
+        assert set(got["text"]) == {"null-conv", "null-turn"}
+        assert got.loc[got["text"] == "null-conv", "conv_id"].iloc[0] == ""
+        assert got.loc[got["text"] == "null-turn", "turn_idx"].iloc[0] == -1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFiltersInReplay:
+    def test_writetime_window_and_value_skip(self, tmp_path):
+        """`filters` fixture: replay with a writetime window + role skip filter;
+        filtered events are absent from the final state."""
+        events = gen_change_stream(n_convs=30, n_events=2000, seed=55, p_delete=0.0)
+        df = events.to_pandas()
+        lo = int(df["writetime"].quantile(0.25))
+        hi = int(df["writetime"].quantile(0.75))
+        lake = str(tmp_path / "lake")
+        replay(
+            events,
+            lake,
+            num_parts=4,
+            transforms=[WritetimeWindow(lo, hi), ValueSkipFilter("role", "system")],
+        )
+        kept = df[
+            (df["writetime"] >= lo)
+            & (df["writetime"] <= hi)
+            & (df["role"].str.lower() != "system")
+        ]
+        oracle = oracle_final_state(kept)
+        got = read_lake_pandas(lake)
+        pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGuardrailPipeline:
+    def test_guardrail_scan_counters(self):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": ["ok"] * 4 + ["x" * 3000, "y" * 5000],
+            }
+        )
+        res = guardrail_scan(ray.data.from_pandas(df), max_kb=1)
+        assert res.counters == {"READ": 6, "VALID": 4, "LARGE": 2}
+        flagged = res.flagged.to_pandas()
+        assert sorted(flagged["doc_id"]) == [4, 5]
+        assert (flagged["max_col_bytes"] >= 3000).all()
