@@ -66,10 +66,8 @@ def run_bench() -> dict:
     timings["cdc_replay"] = round(replay_sec, 3)
 
     # validation pass over the fresh lake (DiffData analogue) vs oracle state
-    from cassandra_data_migrator_ray.gen import oracle_final_state
-
     t0 = time.perf_counter()
-    expected = oracle_final_state(pq.read_table(cache).to_pandas())
+    expected = pq.read_table(q._gen_cached_oracle(SF_DIR)).to_pandas()
     oracle_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
     v = validate(expected, lake)

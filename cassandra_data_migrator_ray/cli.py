@@ -1,0 +1,113 @@
+"""CLI entry points — the reference's three job mains, `ray job submit`-able.
+
+Reference: com.datastax.cdm.job.{Migrate, DiffData, GuardrailCheck} Scala Apps
+(/root/reference src/main/scala/com/datastax/cdm/job/).  Usage:
+
+    python -m cassandra_data_migrator_ray migrate   --events E.parquet --lake L [--num-parts 64] [--salt 1] [--compact]
+    python -m cassandra_data_migrator_ray validate  --expected X.parquet --lake L [--autocorrect] [--report R.parquet]
+    python -m cassandra_data_migrator_ray guardrail --input D.parquet --max-kb 1.0
+
+The CLI owns the Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cassandra_data_migrator_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("migrate", help="replay a change stream into the lake")
+    m.add_argument("--events", required=True, nargs="+")
+    m.add_argument("--lake", required=True)
+    m.add_argument("--num-parts", type=int, default=64)
+    m.add_argument("--salt", type=int, default=1)
+    m.add_argument("--run-id", default=None)
+    m.add_argument("--compact", action="store_true")
+
+    v = sub.add_parser("validate", help="diff the lake against an expected table")
+    v.add_argument("--expected", required=True)
+    v.add_argument("--lake", required=True)
+    v.add_argument("--autocorrect", action="store_true")
+    v.add_argument("--report", default=None)
+
+    g = sub.add_parser("guardrail", help="pre-flight column-size scan")
+    g.add_argument("--input", required=True, nargs="+")
+    g.add_argument("--max-kb", type=float, default=1.0)
+    g.add_argument("--columns", nargs="*", default=None)
+
+    args = p.parse_args(argv)
+    ray = _init_ray(args.num_cpus)
+    try:
+        if args.cmd == "migrate":
+            from cassandra_data_migrator_ray.pipelines.replay import replay
+
+            res = replay(
+                args.events,
+                args.lake,
+                num_parts=args.num_parts,
+                salt=args.salt,
+                run_id=args.run_id,
+                compact=args.compact,
+            )
+            print(
+                json.dumps(
+                    {
+                        "run_id": res.run_id,
+                        "partitions": int(len(res.metrics)),
+                        "rows": int(res.metrics["rows"].sum()) if len(res.metrics) else 0,
+                        "keys_merged": res.events_merged_keys,
+                        "seconds": round(res.seconds, 3),
+                    }
+                )
+            )
+        elif args.cmd == "validate":
+            import ray.data as rd
+
+            from cassandra_data_migrator_ray.pipelines.diff import autocorrect, validate
+
+            res = validate(
+                rd.read_parquet(args.expected), args.lake, report_path=args.report
+            )
+            out = {"counts": res.counts, "ok": res.ok, "seconds": round(res.seconds, 3)}
+            if args.autocorrect and not res.ok:
+                autocorrect(res, args.lake)
+                res2 = validate(rd.read_parquet(args.expected), args.lake)
+                out["after_correction"] = res2.counts
+                out["corrected"] = res2.ok
+            print(json.dumps(out))
+            return 0 if out.get("corrected", res.ok) else 1
+        elif args.cmd == "guardrail":
+            import ray.data as rd
+
+            from cassandra_data_migrator_ray.pipelines.guardrail import guardrail_scan
+
+            res = guardrail_scan(rd.read_parquet(args.input), args.max_kb, args.columns)
+            print(json.dumps({"counters": res.counters}))
+            return 0 if res.counters["LARGE"] == 0 else 1
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -462,6 +462,22 @@ def _gen_cached_events(sf_dir: str) -> str:
     return cache
 
 
+def _gen_cached_oracle(sf_dir: str) -> str:
+    """Cached independent-oracle final state for the cached change stream."""
+    from cassandra_data_migrator_ray.gen import oracle_final_state
+
+    import pyarrow.parquet as pq
+
+    cache = _gen_cached_events(sf_dir)
+    opath = cache.replace("events_", "oracle_")
+    if not os.path.exists(opath):
+        oracle = oracle_final_state(pq.read_table(cache).to_pandas())
+        tmp = opath + ".tmp"
+        pq.write_table(pa.Table.from_pandas(oracle, preserve_index=False), tmp)
+        os.replace(tmp, opath)
+    return opath
+
+
 def cdc_replay(sf_dir: str) -> pd.DataFrame:
     """Flagship: full engine replay of the generated transcripts change stream
     into a fresh lake; returns the final public table (north-rule pipeline)."""

@@ -1,0 +1,146 @@
+"""Multimodal stage plumbing + CLI entry points + change-batch sources."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from cassandra_data_migrator_ray.functions.multimodal import (
+    MEDIA_SCHEMA,
+    DecodeImage,
+    FrameSampler,
+    ImageFeatures,
+)
+
+
+def media_table(n=8):
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "media_type": pa.array(["image/png"] * n),
+            "payload": pa.array([bytes([i]) * (100 + i) for i in range(n)], pa.binary()),
+            "width": pa.array([32] * n, pa.int32()),
+            "height": pa.array([32] * n, pa.int32()),
+            "duration_ms": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_decode_features_actor_pool(self):
+        """binary → decode (fake, deterministic) → feature-extract as an
+        actor-pool map_batches chain with small batches."""
+        ds = ray.data.from_arrow(media_table())
+        out = (
+            ds.map_batches(
+                DecodeImage, batch_format="pandas", batch_size=4, concurrency=2
+            )
+            .map_batches(ImageFeatures, batch_format="pandas", batch_size=4, concurrency=2)
+            .to_pandas()
+        )
+        assert len(out) == 8
+        feats = np.vstack(out["features"].to_numpy())
+        assert feats.shape == (8, 3 + 8)
+        # deterministic: same payload → same features
+        out2 = (
+            ray.data.from_arrow(media_table())
+            .map_batches(DecodeImage, batch_format="pandas", batch_size=4, concurrency=2)
+            .map_batches(ImageFeatures, batch_format="pandas", batch_size=4, concurrency=2)
+            .to_pandas()
+        )
+        f2 = np.vstack(out2.sort_values("media_id")["features"].to_numpy())
+        f1 = np.vstack(out.sort_values("media_id")["features"].to_numpy())
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_frame_sampler_flatmap_shape(self):
+        ds = ray.data.from_arrow(media_table(3))
+        out = ds.map_batches(
+            FrameSampler, batch_format="pandas", batch_size=2, concurrency=2
+        ).to_pandas()
+        assert len(out) == 12  # 3 videos × 4 frames
+        assert set(out.columns) == {"media_id", "frame_idx", "frame_bytes"}
+
+    def test_real_decoder_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            DecodeImage(decoder="pil")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSources:
+    def test_read_change_batches_projection_and_filter(self, tmp_path):
+        import pyarrow.compute as pc
+
+        from cassandra_data_migrator_ray.sources.events import read_change_batches
+
+        p = str(tmp_path / "e.parquet")
+        pq.write_table(
+            pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [0.1, 0.2, 0.3]}), p
+        )
+        ds = read_change_batches(p, columns=["a", "b"], filter_expr=pc.field("a") > 1)
+        out = ds.to_pandas()
+        assert list(out.columns) == ["a", "b"]
+        assert out["a"].tolist() == [2, 3]
+
+    def test_partition_range_filter(self):
+        from cassandra_data_migrator_ray.sources.events import PartitionRangeFilter
+        from cassandra_data_migrator_ray.state.partitioning import assign_partition
+
+        t = pa.table(
+            {
+                "conv_id": [f"c{i}" for i in range(100)],
+                "turn_idx": pa.array(range(100), pa.int32()),
+            }
+        )
+        f = PartitionRangeFilter(num_parts=8, lo=0, hi=3)
+        out = f(t)
+        parts = assign_partition(
+            out["conv_id"].to_pandas(), out["turn_idx"].to_pandas(), 8
+        )
+        assert len(out) > 0 and (parts <= 3).all()
+
+
+class TestCli:
+    def test_cli_migrate_validate_guardrail(self, tmp_path):
+        """Drive the three job mains as subprocesses (own Ray sessions)."""
+        sys_path = "/root/repo"
+        from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+
+        events = gen_change_stream(n_convs=20, n_events=800, seed=3)
+        ev_path = str(tmp_path / "events.parquet")
+        pq.write_table(events, ev_path)
+        exp_path = str(tmp_path / "expected.parquet")
+        oracle = oracle_final_state(events.to_pandas())
+        pq.write_table(pa.Table.from_pandas(oracle, preserve_index=False), exp_path)
+        lake = str(tmp_path / "lake")
+
+        def run(*args):
+            return subprocess.run(
+                [sys.executable, "-m", "cassandra_data_migrator_ray", "--num-cpus", "2", *args],
+                capture_output=True,
+                text=True,
+                cwd=sys_path,
+                timeout=180,
+            )
+
+        r = run("migrate", "--events", ev_path, "--lake", lake, "--num-parts", "4")
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["partitions"] == 4
+
+        r = run("validate", "--expected", exp_path, "--lake", lake)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["ok"] and out["counts"]["VALID"] > 0
+
+        r = run("guardrail", "--input", ev_path, "--max-kb", "0.001")
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["counters"]["LARGE"] > 0 and r.returncode == 1
