@@ -65,30 +65,32 @@ def run_bench() -> dict:
     replay_sec = time.perf_counter() - t0
     timings["cdc_replay"] = round(replay_sec, 3)
 
-    # validation pass over the fresh lake (DiffData analogue) vs oracle state
-    t0 = time.perf_counter()
-    expected = pq.read_table(q._gen_cached_oracle(SF_DIR)).to_pandas()
-    oracle_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    v = validate(expected, lake)
-    timings["cdc_validate"] = round(time.perf_counter() - t0, 3)
-    assert v.ok, v.counts
-    shutil.rmtree(lake, ignore_errors=True)
-
-    # secondary pipelines over the shared tables
-    for name in (
-        "lww_latest_state",
-        "dedup_exact_docs",
-        "minhash_neardup_docs",
-        "ann_topk_embeddings",
-        "token_count_docs",
-    ):
-        fn = getattr(q, name)
+    oracle_sec = 0.0
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # validation pass over the fresh lake (DiffData analogue) vs oracle
         t0 = time.perf_counter()
-        out = fn(SF_DIR)
-        if hasattr(out, "to_pandas") and not hasattr(out, "columns"):
-            out.to_pandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        expected = pq.read_table(q._gen_cached_oracle(SF_DIR)).to_pandas()
+        oracle_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        v = validate(expected, lake)
+        timings["cdc_validate"] = round(time.perf_counter() - t0, 3)
+        assert v.ok, v.counts
+
+        # secondary pipelines over the shared tables
+        for name in (
+            "lww_latest_state",
+            "dedup_exact_docs",
+            "minhash_neardup_docs",
+            "ann_topk_embeddings",
+            "token_count_docs",
+        ):
+            fn = getattr(q, name)
+            t0 = time.perf_counter()
+            out = fn(SF_DIR)
+            if hasattr(out, "to_pandas") and not hasattr(out, "columns"):
+                out.to_pandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(lake, ignore_errors=True)
 
     ray.shutdown()
     return {
@@ -105,8 +107,22 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # The scaling criterion needs a compute-dominated run: per-execution fixed
+    # cost (~4 s: planning, shuffle barriers, commit) would otherwise swamp the
+    # speedup at any CPU count.  Use a 20× larger cached stream than the
+    # headline (same input at both CPU levels).
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    scale_events = int(os.environ.get("GRAFT_SCALING_EVENTS", "0")) or int(
+        200_000_000 * sf
+    )
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_EVENTS=str(scale_events),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -46,6 +46,8 @@ def gen_change_stream(
     order != LWW order (out-of-order/late data).  ``p_duplicate`` re-delivers
     a sample of events verbatim (same event_seq → idempotency exercise).
     """
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng(seed)
     conv_idx = rng.integers(0, n_convs, n_events)
     if hot_frac > 0:
@@ -55,46 +57,60 @@ def gen_change_stream(
     seq = np.arange(seq_start, seq_start + n_events, dtype=np.int64)
     # writetime loosely follows seq but jittered → out-of-order & equal-wt ties
     wt = BASE_WT + seq * 1000 + rng.integers(-wt_jitter, wt_jitter, n_events)
-    is_del = rng.random(n_events) < p_delete
-    op = np.where(is_del, "DELETE", np.where(rng.random(n_events) < 0.5, "UPSERT", "INSERT"))
+    is_del = pa.array(rng.random(n_events) < p_delete)
+    upsert = pa.array(rng.random(n_events) < 0.5)
 
-    role = _ROLES[rng.integers(0, len(_ROLES), n_events)].astype(object)
-    text = np.array(
-        [f"text-c{c}-t{t}-s{s}" for c, t, s in zip(conv_idx, turn_idx, seq)], dtype=object
+    # Arrow-native string synthesis + null masking (C kernels end to end —
+    # the bench generates tens of millions of events through this path)
+    op = pc.if_else(
+        is_del, pa.scalar("DELETE"), pc.if_else(upsert, pa.scalar("UPSERT"), pa.scalar("INSERT"))
     )
-    tool = _TOOLS[rng.integers(0, len(_TOOLS), n_events)].astype(object)
+    conv_s = pc.cast(pa.array(conv_idx), pa.string())
+    conv_id = pc.binary_join_element_wise("conv", pc.utf8_lpad(conv_s, 7, "0"), "")
+    text = pc.binary_join_element_wise(
+        "text-c",
+        conv_s,
+        "-t",
+        pc.cast(pa.array(turn_idx), pa.string()),
+        "-s",
+        pc.cast(pa.array(seq), pa.string()),
+        "",
+    )
+    role = pc.take(pa.array(_ROLES), pa.array(rng.integers(0, len(_ROLES), n_events)))
+    tool = pc.take(pa.array(_TOOLS), pa.array(rng.integers(0, len(_TOOLS), n_events)))
 
-    null_text = rng.random(n_events) < p_null_text
-    null_tool = rng.random(n_events) < p_null_tool
-    role[is_del] = None
-    text[is_del | null_text] = None
-    tool[is_del | null_tool] = None
+    null_s = pa.scalar(None, pa.string())
+    null_text = pa.array(rng.random(n_events) < p_null_text)
+    null_tool = pa.array(rng.random(n_events) < p_null_tool)
+    role = pc.if_else(is_del, null_s, role)
+    text = pc.if_else(pc.or_(is_del, null_text), null_s, text)
+    tool = pc.if_else(pc.or_(is_del, null_tool), null_s, tool)
+    if not include_tool:
+        tool = pa.nulls(n_events, pa.string())
 
-    conv_id = np.array([f"conv{c:07d}" for c in conv_idx], dtype=object)
-    ts = wt.astype("datetime64[us]")
-
-    df = pd.DataFrame(
+    table = pa.table(
         {
             "op": op,
             "conv_id": conv_id,
-            "turn_idx": turn_idx,
+            "turn_idx": pa.array(turn_idx),
             "role": role,
             "text": text,
-            "tool": tool if include_tool else pd.Series([None] * n_events, dtype=object),
-            "ts": ts,
-            "writetime": wt,
-            "event_seq": seq,
+            "tool": tool,
+            "ts": pa.array(wt.astype("datetime64[us]")),
+            "writetime": pa.array(wt),
+            "event_seq": pa.array(seq),
         }
-    )
+    ).cast(EVENTS_SCHEMA)
     if p_duplicate > 0:
         k = int(n_events * p_duplicate)
         if k:
-            dup = df.iloc[rng.integers(0, n_events, k)]
-            df = pd.concat([df, dup], ignore_index=True)
-            # shuffle so duplicates are interleaved, deterministically
-            df = df.iloc[rng.permutation(len(df))].reset_index(drop=True)
-    table = pa.Table.from_pandas(df, preserve_index=False)
-    return table.cast(EVENTS_SCHEMA)
+            # re-deliver a sample verbatim; no global permutation needed — the
+            # LWW order token is (writetime, event_seq), not arrival order, and
+            # writetime jitter already provides out-of-order arrival
+            dup_idx = rng.integers(0, n_events, k)
+            take = np.concatenate([np.arange(n_events), dup_idx])
+            table = table.take(pa.array(take))
+    return table.combine_chunks()
 
 
 def oracle_final_state(events: pa.Table | pd.DataFrame) -> pd.DataFrame:

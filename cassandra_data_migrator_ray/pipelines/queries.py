@@ -446,9 +446,11 @@ def _gen_cached_events(sf_dir: str) -> str:
     from cassandra_data_migrator_ray.gen import gen_change_stream
 
     sf = _sf_value(sf_dir)
-    n_events = max(2000, int(10_000_000 * sf))
+    n_events = int(os.environ.get("GRAFT_BENCH_EVENTS", "0")) or max(
+        2000, int(10_000_000 * sf)
+    )
     n_convs = max(50, n_events // 50)
-    cache = f"/tmp/cdm_ray_cache/events_sf{sf}.parquet"
+    cache = f"/tmp/cdm_ray_cache/events_sf{sf}_n{n_events}.parquet"
     if not os.path.exists(cache):
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         tbl = gen_change_stream(

@@ -72,6 +72,7 @@ def replay(
     normalize_concurrency: int | None = None,
     batch_size: int | None = 65536,
     commit: bool = True,
+    prefold: bool = False,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -115,6 +116,7 @@ def replay(
         salt=salt,
         watermarks=manifest.watermarks(),
         counter_cols=counter_cols,
+        prefold=prefold,
     )
     kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": batch_size}
     if normalize_concurrency:

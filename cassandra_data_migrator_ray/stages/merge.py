@@ -95,6 +95,13 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
     """
     part = int(group[PART_COL].iloc[0])
     partials = group.drop(columns=[PART_COL])
+    if "op" in partials.columns:
+        # raw-event representation (prefold=False): fold here in the reducer
+        from cassandra_data_migrator_ray.functions.lww import fold_events
+
+        partials = fold_events(
+            partials, KEY_COLS, cfg.payload_cols, cfg.counter_cols
+        )
 
     # resume: a receipt from this run means the partition is already merged
     receipt_path = os.path.join(

@@ -40,7 +40,18 @@ _PK_DEFAULTS: dict[str, object] = {"conv_id": "", "turn_idx": -1}
 
 
 class Normalize:
-    """Stateless-per-batch, stateful-per-actor normalize + combiner."""
+    """Stateless-per-batch, stateful-per-actor normalize (+ optional combiner).
+
+    ``prefold=False`` (default): pure-Arrow path — align, default null PKs,
+    watermark-filter, append the partition route, and ship the *raw* events
+    (10 narrow columns) to the shuffle; the reducer folds.  Cheapest when most
+    keys appear once per batch (bulk backfill / first replay).
+
+    ``prefold=True``: fold per key inside every batch first and ship partial
+    state rows instead.  What crosses the shuffle is bounded by distinct keys
+    per batch — the right choice for update-heavy CDC tails and hot keys.
+    The two paths are semantically identical (fold/merge associativity).
+    """
 
     def __init__(
         self,
@@ -50,7 +61,9 @@ class Normalize:
         watermarks: Mapping[int, int] | None = None,
         counter_cols: tuple[str, ...] = (),
         pk_defaults: Mapping[str, object] | None = None,
+        prefold: bool = False,
     ) -> None:
+        self.prefold = prefold
         self.payload_schema = payload_schema
         self.payload_cols = payload_cols_of(payload_schema)
         self.num_parts = num_parts
@@ -76,18 +89,28 @@ class Normalize:
         return state_schema(self.payload_schema).append(pa.field(PART_COL, pa.int32()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         batch = align_to_schema(batch, self._event_schema())
-        df = batch.to_pandas()
-        # null-PK defaulting (reference convertNull semantics)
+        # null-PK defaulting (reference convertNull semantics) — Arrow kernels
         for k in KEY_COLS:
-            if df[k].isna().any():
-                df[k] = df[k].fillna(self.pk_defaults.get(k))
-        part = assign_partition(df["conv_id"], df["turn_idx"], self.num_parts, self.salt)
+            col = batch.column(k)
+            if col.null_count:
+                i = batch.column_names.index(k)
+                batch = batch.set_column(i, k, pc.fill_null(col, self.pk_defaults.get(k)))
+        conv = batch.column("conv_id").to_pandas()
+        turn = batch.column("turn_idx").to_pandas()
+        part = assign_partition(conv, turn, self.num_parts, self.salt)
         # watermark filter: events at or below a partition's high-watermark were
         # already merged in a committed run — drop them (exactly-once replay)
-        keep = df["event_seq"].to_numpy() > self.wm[part]
+        keep = batch.column("event_seq").to_numpy(zero_copy_only=False) > self.wm[part]
         if not keep.all():
-            df = df[keep].reset_index(drop=True)
+            batch = batch.filter(pa.array(keep))
+            part = part[keep]
+        if not self.prefold:
+            return batch.append_column(PART_COL, pa.array(part, pa.int32()))
+
+        df = batch.to_pandas()
         folded = fold_events(df, KEY_COLS, self.payload_cols, self.counter_cols)
         if len(folded):
             folded[PART_COL] = assign_partition(

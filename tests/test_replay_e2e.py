@@ -18,10 +18,11 @@ def assert_matches_oracle(lake_dir, events_df):
 
 @pytest.mark.usefixtures("ray_session")
 class TestReplayE2E:
-    def test_basic_replay(self, tmp_path):
+    @pytest.mark.parametrize("prefold", [False, True])
+    def test_basic_replay(self, tmp_path, prefold):
         events = gen_change_stream(n_convs=80, n_events=5000, seed=42)
-        lake = str(tmp_path / "lake")
-        res = replay(events, lake, num_parts=8)
+        lake = str(tmp_path / f"lake{prefold}")
+        res = replay(events, lake, num_parts=8, prefold=prefold)
         assert res.metrics["status"].eq("PASS").all()
         assert_matches_oracle(lake, events.to_pandas())
 
