@@ -45,6 +45,16 @@ class ReplayResult:
     seconds: float
 
 
+def _merge_staged_batch(cfg, staging_events: str, batch: pd.DataFrame) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.stages.staging import merge_staged_partition
+
+    outs = [
+        merge_staged_partition(cfg, staging_events, batch.iloc[[i]])
+        for i in range(len(batch))
+    ]
+    return pd.concat(outs, ignore_index=True)
+
+
 def _as_dataset(events: Any) -> ray.data.Dataset:
     if isinstance(events, ray.data.Dataset):
         return events
@@ -73,6 +83,7 @@ def replay(
     batch_size: int | None = 65536,
     commit: bool = True,
     prefold: bool = False,
+    shuffle: str = "staging",
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -134,10 +145,37 @@ def replay(
         prior_files={k: v.files for k, v in manifest.partitions.items()},
         prior_watermarks=manifest.watermarks(),
     )
-    metrics_ds = folded.groupby(PART_COL).map_groups(
-        partial(merge_partition_group, cfg), batch_format="pandas"
-    )
-    metrics = metrics_ds.to_pandas()  # one row per partition — tiny
+    if shuffle == "staging":
+        # lakehouse exchange: map-only partitioned staging write, then one
+        # independent compaction task per touched partition (stages/staging.py)
+        import os
+
+        from cassandra_data_migrator_ray.stages.staging import (
+            StageWriter,
+            merge_staged_partition,
+        )
+
+        staging_events = os.path.join(lake_dir, "_staging", run_id, "events")
+        stats = folded.map_batches(
+            StageWriter(staging_events), batch_format="pyarrow", batch_size=None
+        ).to_pandas()  # one row per (block, part) — tiny; triggers stage 1
+        parts = sorted(int(p) for p in stats["part"].unique()) if len(stats) else []
+        if parts:
+            parts_ds = ray.data.from_items(
+                [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
+            )
+            metrics = parts_ds.map_batches(
+                partial(_merge_staged_batch, cfg, staging_events),
+                batch_format="pandas",
+                batch_size=None,
+            ).to_pandas()
+        else:
+            metrics = pd.DataFrame()
+    else:
+        metrics_ds = folded.groupby(PART_COL).map_groups(
+            partial(merge_partition_group, cfg), batch_format="pandas"
+        )
+        metrics = metrics_ds.to_pandas()  # one row per partition — tiny
     if metrics.empty:
         from cassandra_data_migrator_ray.stages.merge import METRICS_COLUMNS
 

@@ -274,11 +274,10 @@ class Manifest:
                     removed.append(rel)
         sdir = os.path.join(self.lake_dir, "_staging")
         if os.path.isdir(sdir):
+            import shutil
+
             for run in os.listdir(sdir):
                 if keep_staging is not None and run in keep_staging:
                     continue
-                rd = os.path.join(sdir, run)
-                for fn in os.listdir(rd):
-                    os.unlink(os.path.join(rd, fn))
-                os.rmdir(rd)
+                shutil.rmtree(os.path.join(sdir, run), ignore_errors=True)
         return removed

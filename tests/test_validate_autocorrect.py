@@ -98,7 +98,7 @@ class TestResume:
         # phase 1 only (no manifest commit) — simulates dying before phase 2
         replay(events, lake, num_parts=8, run_id=run_id, commit=False)
         staging = os.path.join(lake, "_staging", run_id)
-        receipts = sorted(os.listdir(staging))
+        receipts = sorted(f for f in os.listdir(staging) if f.endswith(".json"))
         assert len(receipts) == 8
         # simulate a crash that only got through half the partitions
         for r in receipts[4:]:
