@@ -39,6 +39,9 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # more, smaller blocks → task parallelism tracks the CPU budget instead of
+    # the input's row-group layout
+    ctx.target_max_block_size = 32 * 1024 * 1024
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from cassandra_data_migrator_ray.pipelines import queries as q
@@ -113,7 +116,7 @@ def run_scaling() -> dict:
     # headline (same input at both CPU levels).
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     scale_events = int(os.environ.get("GRAFT_SCALING_EVENTS", "0")) or int(
-        200_000_000 * sf
+        400_000_000 * sf
     )
 
     def one(ncpu: int) -> dict:

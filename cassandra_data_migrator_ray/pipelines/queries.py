@@ -450,17 +450,31 @@ def _gen_cached_events(sf_dir: str) -> str:
         2000, int(10_000_000 * sf)
     )
     n_convs = max(50, n_events // 50)
-    cache = f"/tmp/cdm_ray_cache/events_sf{sf}_n{n_events}.parquet"
-    if not os.path.exists(cache):
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
+    # a DIRECTORY of shards: Ray parallelizes parquet reads per file — a single
+    # big file is decoded by one read task (measured: a serial 13 s for 700 MB)
+    cache = f"/tmp/cdm_ray_cache/events_sf{sf}_n{n_events}"
+    done = cache + ".done"  # marker outside the dir so readers only see parquet
+    if not os.path.exists(done):
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
         tbl = gen_change_stream(
             n_convs=n_convs, n_events=n_events, seed=42, hot_frac=0.05
         )
-        import pyarrow.parquet as pq
-
-        tmp = cache + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, cache)
+        n_shards = min(64, max(1, n_events // 50_000))
+        step = (tbl.num_rows + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            shard = tbl.slice(i * step, step)
+            if shard.num_rows:
+                pq.write_table(
+                    shard, os.path.join(cache, f"part-{i:04d}.parquet"),
+                    row_group_size=131072,
+                )
+        with open(done, "w") as f:
+            f.write("ok")
     return cache
 
 

@@ -156,9 +156,12 @@ def replay(
         )
 
         staging_events = os.path.join(lake_dir, "_staging", run_id, "events")
+        # large stage-1 batches: staged-file count = ceil(rows/batch) × parts
+        # touched — the dominant stage-1 cost is per-file overhead, not bytes
+        stage_batch = 1 << 18
         stats = folded.map_batches(
-            StageWriter(staging_events), batch_format="pyarrow", batch_size=None
-        ).to_pandas()  # one row per (block, part) — tiny; triggers stage 1
+            StageWriter(staging_events), batch_format="pyarrow", batch_size=stage_batch
+        ).to_pandas()  # one row per (batch, part) — tiny; triggers stage 1
         parts = sorted(int(p) for p in stats["part"].unique()) if len(stats) else []
         if parts:
             parts_ds = ray.data.from_items(
