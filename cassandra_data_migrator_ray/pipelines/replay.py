@@ -159,10 +159,13 @@ def replay(
         # large stage-1 batches: staged-file count = ceil(rows/batch) × parts
         # touched — the dominant stage-1 cost is per-file overhead, not bytes
         stage_batch = 1 << 18
+        t_s1 = time.perf_counter()
         stats = folded.map_batches(
             StageWriter(staging_events), batch_format="pyarrow", batch_size=stage_batch
         ).to_pandas()  # one row per (batch, part) — tiny; triggers stage 1
+        t_s1 = time.perf_counter() - t_s1
         parts = sorted(int(p) for p in stats["part"].unique()) if len(stats) else []
+        t_s2 = time.perf_counter()
         if parts:
             parts_ds = ray.data.from_items(
                 [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
@@ -174,6 +177,11 @@ def replay(
             ).to_pandas()
         else:
             metrics = pd.DataFrame()
+        t_s2 = time.perf_counter() - t_s2
+        import os as _os
+
+        if _os.environ.get("CDM_RAY_DEBUG_TIMING"):
+            print(f"[replay] stage1={t_s1:.1f}s stage2={t_s2:.1f}s", flush=True)
     else:
         metrics_ds = folded.groupby(PART_COL).map_groups(
             partial(merge_partition_group, cfg), batch_format="pandas"

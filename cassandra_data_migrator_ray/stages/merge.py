@@ -41,6 +41,7 @@ METRICS_COLUMNS = [
     "watermark",
     "status",
     "file",
+    "seconds",
 ]
 
 
@@ -93,6 +94,11 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
     as elastic tasks; bind cfg with ``functools.partial`` (cfg is
     partition-metadata-sized, never row data).
     """
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)  # one Ray task == one CPU (no pool oversubscription)
     part = int(group[PART_COL].iloc[0])
     partials = group.drop(columns=[PART_COL])
     if "op" in partials.columns:
@@ -122,6 +128,7 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
                     "watermark": r["watermark"],
                     "status": "SKIPPED_RESUME",
                     "file": r["files"][0] if r["files"] else "",
+                    "seconds": 0.0,
                 }
             ]
         )
@@ -167,6 +174,7 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
                 "watermark": watermark,
                 "status": "PASS",
                 "file": rel,
+                "seconds": round(_time.perf_counter() - _t0, 3),
             }
         ]
     )

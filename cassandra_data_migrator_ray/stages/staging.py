@@ -45,6 +45,10 @@ class StageWriter:
         self.staging_dir = staging_dir
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        # one Ray task == one CPU: stop Arrow from spinning up a full-machine
+        # thread pool per worker (32 workers x 32 threads thrashes the node)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
         if batch.num_rows == 0:
             return pd.DataFrame({"part": pd.Series([], dtype="int32"),
                                  "rows": pd.Series([], dtype="int64")})
@@ -74,9 +78,19 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
     """Stage 2 body: fold one partition's staged events + prior lake state.
 
     ``cfg`` is a stages.merge.MergeConfig; reuses its receipt/commit protocol.
+    Fresh partitions (no prior state) run the Arrow-native fold end to end —
+    no Python-object strings ever materialize; incremental merges fall back to
+    the pandas merge path.
     """
-    from cassandra_data_migrator_ray.stages.merge import merge_partition_group
+    import time as _time
 
+    from cassandra_data_migrator_ray.stages.merge import (
+        METRICS_COLUMNS,
+        merge_partition_group,
+        read_partition_state,
+    )
+
+    _t0 = _time.perf_counter()
     part = int(group["part"].iloc[0])
     pdir = os.path.join(staging_dir, f"part={part:05d}")
     files = (
@@ -85,9 +99,101 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
         else []
     )
     if not files:
-        from cassandra_data_migrator_ray.stages.merge import METRICS_COLUMNS
-
         return pd.DataFrame(columns=METRICS_COLUMNS)
-    events = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
-    events[PART_COL] = np.int32(part)
-    return merge_partition_group(cfg, events)
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    events_tbl = pa.concat_tables([pq.read_table(f, use_threads=False) for f in files])
+
+    old = read_partition_state(cfg, part)
+    is_raw_events = "op" in events_tbl.column_names
+    if (old is not None and len(old)) or not is_raw_events:
+        # incremental merge or pre-folded state partials → pandas merge path
+        events = events_tbl.to_pandas()
+        events[PART_COL] = np.int32(part)
+        return merge_partition_group(cfg, events)
+
+    # Arrow-native fresh-partition path
+    import pyarrow.compute as pc
+
+    from cassandra_data_migrator_ray.functions.lww import fold_events_arrow
+    from cassandra_data_migrator_ray.schema import DEL_WT, DELETED, KEY_COLS, MAX_SEQ
+    from cassandra_data_migrator_ray.state.manifest import atomic_write_json
+    from cassandra_data_migrator_ray.stages.merge import _arrow_state_schema
+
+    receipt_path = os.path.join(
+        cfg.lake_dir, "_staging", cfg.run_id, f"part-{part:05d}.json"
+    )
+    if os.path.exists(receipt_path):
+        import json
+
+        with open(receipt_path) as f:
+            r = json.load(f)
+        return pd.DataFrame(
+            [
+                {
+                    "part": part,
+                    "rows": r["rows"],
+                    "tombstones": r.get("tombstones", 0),
+                    "keys_in": 0,
+                    "watermark": r["watermark"],
+                    "status": "SKIPPED_RESUME",
+                    "file": r["files"][0] if r["files"] else "",
+                    "seconds": 0.0,
+                }
+            ]
+        )
+
+    state = fold_events_arrow(events_tbl, KEY_COLS, cfg.payload_cols, cfg.counter_cols)
+    keys_in = state.num_rows
+    if cfg.compact:
+        state = state.filter(pc.invert(state[DELETED]))
+    elif cfg.grace_wt is not None:
+        keep = pc.or_(
+            pc.invert(state[DELETED]), pc.greater_equal(state[DEL_WT], cfg.grace_wt)
+        )
+        state = state.filter(keep)
+    order = pc.sort_indices(
+        state, sort_keys=[(k, "ascending") for k in KEY_COLS]
+    )
+    state = state.take(order)
+
+    watermark = max(
+        int(cfg.prior_watermarks.get(part, -1)),
+        int(pc.max(state[MAX_SEQ]).as_py()) if state.num_rows else -1,
+    )
+    rel = os.path.join("data", f"part-{part:05d}-{cfg.run_id}.parquet")
+    path = os.path.join(cfg.lake_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    out_schema = _arrow_state_schema(cfg)
+    state = state.select(out_schema.names).cast(out_schema)
+    tmp = path + ".tmp"
+    pq.write_table(state, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+    tombstones = int(pc.sum(pc.cast(state[DELETED], pa.int64())).as_py() or 0)
+    rows = int(state.num_rows - tombstones)
+    receipt = {
+        "part": part,
+        "run_id": cfg.run_id,
+        "files": [rel],
+        "watermark": watermark,
+        "rows": rows,
+        "tombstones": tombstones,
+        "status": "PASS",
+        "metrics": {"keys_in": int(keys_in)},
+    }
+    atomic_write_json(receipt_path, receipt)
+    return pd.DataFrame(
+        [
+            {
+                "part": part,
+                "rows": rows,
+                "tombstones": tombstones,
+                "keys_in": int(keys_in),
+                "watermark": watermark,
+                "status": "PASS",
+                "file": rel,
+                "seconds": round(_time.perf_counter() - _t0, 3),
+            }
+        ]
+    )
