@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_missing_customers": q.diff_missing_customers,
         "guardrail_large": q.guardrail_large,
         "explode_words": q.explode_words,
+        # E. custom operators beyond the reference (windowed agg, as-of join)
+        "tumbling_window_counts": q.tumbling_window_counts,
+        "asof_purchase_click": q.asof_purchase_click,
         # C. training-data ops
         "dedup_exact_docs": q.dedup_exact_docs,
         "token_count_docs": q.token_count_docs,
@@ -157,6 +160,18 @@ SELECT doc_id,
        CAST(length(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents ORDER BY doc_id
+""",
+        "tumbling_window_counts": """
+SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start,
+       count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "asof_purchase_click": """
+SELECT p.event_id, p.user_id, c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
 """,
         "ann_topk_embeddings": """
 SELECT CAST(0 AS BIGINT) AS query_id,

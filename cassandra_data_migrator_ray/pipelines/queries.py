@@ -526,3 +526,102 @@ def cdc_validate(sf_dir: str) -> pd.DataFrame:
             for k, v in sorted(res.counts.items())
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# E. custom operators beyond the reference: windowed aggregate + as-of join
+# ---------------------------------------------------------------------------
+
+
+def tumbling_window_counts(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate (1-day windows): count + integer-cents sum per
+    (user_id, window).  Ray Data has no event-time windows; the window key is
+    computed per batch with Arrow temporal kernels and aggregated with the
+    partial-then-final combiner pattern (ray_guide 'streaming-shaped')."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial_agg(t: pa.Table) -> pd.DataFrame:
+        win = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "window_start": win.to_numpy(zero_copy_only=False),
+                "cents": np.round(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["user_id", "window_start"], sort=False)["cents"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return g.rename(columns={"size": "n", "sum": "total_cents"})
+
+    parts = ds.map_batches(partial_agg, batch_format="pyarrow")
+    out = (
+        parts.groupby(["user_id", "window_start"])
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "user_id": [g["user_id"].iloc[0]],
+                    "window_start": [np.int64(g["window_start"].iloc[0])],
+                    "n": [np.int64(g["n"].sum())],
+                    "total_cents": [np.int64(g["total_cents"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "window_start"], ignore_index=True)
+
+
+def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join (an operator Ray Data lacks): for each purchase, the most
+    recent click at-or-before it by the same user.  Pattern: co-partition both
+    sides by the key, per-group sorted pd.merge_asof (ray_guide 'joins').
+    Partitioning assumption: all rows of one user fit one group (true for
+    per-user event volumes)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    nparts = 16
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(["purchase", "click"])]
+        df["__part"] = (
+            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return df
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "click_event_id": pd.Series([], dtype="Int64"),
+                }
+            )
+        merged = pd.merge_asof(
+            p,
+            c[["ts", "user_id", "event_id"]].rename(columns={"event_id": "click_event_id"}),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = merged[["event_id", "user_id", "click_event_id"]].copy()
+        out["click_event_id"] = out["click_event_id"].astype("Int64")
+        return out
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(join_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out["click_event_id"] = out["click_event_id"].astype("Int64")
+    return out.sort_values("event_id", ignore_index=True)
