@@ -42,6 +42,12 @@ def run_bench() -> dict:
     # more, smaller blocks → task parallelism tracks the CPU budget instead of
     # the input's row-group layout
     ctx.target_max_block_size = 32 * 1024 * 1024
+    # the default pull-based sort shuffle degrades pathologically at ~10M rows
+    # (measured 211s vs 18.5s push-based for the same groupby) — affects the
+    # groupby-based pipelines (validate, lww_latest_state, dedup)
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from cassandra_data_migrator_ray.pipelines import queries as q
@@ -125,7 +131,7 @@ def run_scaling() -> dict:
     # headline (same input at both CPU levels).
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     scale_events = int(os.environ.get("GRAFT_SCALING_EVENTS", "0")) or int(
-        600_000_000 * sf
+        1_200_000_000 * sf
     )
 
     def one(ncpu: int) -> dict:
@@ -145,13 +151,7 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # min-of-2 per level (this VM shares a host; single runs are noisy)
     r_lo, r_hi = one(lo), one(hi)
-    r_lo2, r_hi2 = one(lo), one(hi)
-    if r_lo2["events_per_sec"] > r_lo["events_per_sec"]:
-        r_lo = r_lo2
-    if r_hi2["events_per_sec"] > r_hi["events_per_sec"]:
-        r_hi = r_hi2
     tput_lo = r_lo["events_per_sec"]
     tput_hi = r_hi["events_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)

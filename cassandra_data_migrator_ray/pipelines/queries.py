@@ -461,18 +461,34 @@ def _gen_cached_events(sf_dir: str) -> str:
 
         shutil.rmtree(cache, ignore_errors=True)
         os.makedirs(cache, exist_ok=True)
-        tbl = gen_change_stream(
-            n_convs=n_convs, n_events=n_events, seed=42, hot_frac=0.05
-        )
         n_shards = min(64, max(1, n_events // 50_000))
-        step = (tbl.num_rows + n_shards - 1) // n_shards
-        for i in range(n_shards):
-            shard = tbl.slice(i * step, step)
-            if shard.num_rows:
-                pq.write_table(
-                    shard, os.path.join(cache, f"part-{i:04d}.parquet"),
-                    row_group_size=131072,
-                )
+        step = (n_events + n_shards - 1) // n_shards
+
+        def _write_shard(i: int) -> None:
+            from cassandra_data_migrator_ray.gen import gen_change_stream as g
+
+            rows = min(step, n_events - i * step)
+            if rows <= 0:
+                return
+            shard = g(
+                n_convs=n_convs,
+                n_events=rows,
+                seed=42 + i,
+                hot_frac=0.05,
+                seq_start=i * step,
+            )
+            pq.write_table(
+                shard, os.path.join(cache, f"part-{i:04d}.parquet"),
+                row_group_size=131072,
+            )
+
+        if ray.is_initialized() and n_events >= 5_000_000:
+            # deterministic per-shard seeds → parallel generation via Ray tasks
+            w = ray.remote(num_cpus=1)(_write_shard)
+            ray.get([w.remote(i) for i in range(n_shards)])
+        else:
+            for i in range(n_shards):
+                _write_shard(i)
         with open(done, "w") as f:
             f.write("ok")
     return cache

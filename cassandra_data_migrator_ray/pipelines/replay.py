@@ -94,6 +94,10 @@ def replay(
     """
     t0 = time.perf_counter()
     ds = _as_dataset(events)
+    try:
+        est_rows = ds.count()  # parquet/arrow: metadata-only, no execution
+    except Exception:
+        est_rows = 0
 
     # establish/evolve the lake schema from the incoming event columns
     manifest = Manifest.load_or_create(
@@ -156,9 +160,11 @@ def replay(
         )
 
         staging_events = os.path.join(lake_dir, "_staging", run_id, "events")
-        # large stage-1 batches: staged-file count = ceil(rows/batch) × parts
-        # touched — the dominant stage-1 cost is per-file overhead, not bytes
-        stage_batch = 1 << 18
+        # adaptive stage-1 batches: staged-file count ≈ (rows/batch) × parts and
+        # per-file overhead dominates, so scale the batch with the input to
+        # bound stage tasks at ~128 regardless of stream size (data-dependent,
+        # NOT cpu-dependent — the job stays identical across cluster sizes)
+        stage_batch = int(max(1 << 18, min(1 << 22, est_rows // 128 or 1 << 18)))
         t_s1 = time.perf_counter()
         stats = folded.map_batches(
             StageWriter(staging_events), batch_format="pyarrow", batch_size=stage_batch

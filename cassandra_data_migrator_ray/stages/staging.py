@@ -65,10 +65,14 @@ class StageWriter:
             k = int(sp[lo])
             pdir = os.path.join(self.staging_dir, f"part={k:05d}")
             os.makedirs(pdir, exist_ok=True)
-            path = os.path.join(pdir, f"blk-{blk}-{i}.parquet")
+            # Arrow IPC, not parquet: staged slices are transient and tiny —
+            # IPC has near-zero open/parse cost and mmaps zero-copy on tmpfs
+            path = os.path.join(pdir, f"blk-{blk}-{i}.arrow")
             slice_tbl = sorted_tbl.slice(lo, hi - lo).drop_columns([PART_COL])
             tmp = path + ".tmp"
-            pq.write_table(slice_tbl, tmp, compression="lz4")
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_file(sink, slice_tbl.schema) as writer:
+                    writer.write_table(slice_tbl)
             os.replace(tmp, path)
             rows.append({"part": np.int32(k), "rows": np.int64(hi - lo)})
         return pd.DataFrame(rows)
@@ -94,7 +98,7 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
     part = int(group["part"].iloc[0])
     pdir = os.path.join(staging_dir, f"part={part:05d}")
     files = (
-        sorted(os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet"))
+        sorted(os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".arrow"))
         if os.path.isdir(pdir)
         else []
     )
@@ -102,7 +106,13 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
         return pd.DataFrame(columns=METRICS_COLUMNS)
     if pa.cpu_count() != 1:
         pa.set_cpu_count(1)
-    events_tbl = pa.concat_tables([pq.read_table(f, use_threads=False) for f in files])
+
+    def _read_ipc(path: str) -> pa.Table:
+        with pa.memory_map(path) as src:  # zero-copy on tmpfs/page cache
+            return pa.ipc.open_file(src).read_all()
+
+    events_tbl = pa.concat_tables([_read_ipc(f) for f in files])
+    _t_read = _time.perf_counter() - _t0
 
     old = read_partition_state(cfg, part)
     is_raw_events = "op" in events_tbl.column_names
@@ -143,7 +153,9 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
             ]
         )
 
+    _t1 = _time.perf_counter()
     state = fold_events_arrow(events_tbl, KEY_COLS, cfg.payload_cols, cfg.counter_cols)
+    _t_fold = _time.perf_counter() - _t1
     keys_in = state.num_rows
     if cfg.compact:
         state = state.filter(pc.invert(state[DELETED]))
@@ -194,6 +206,8 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
                 "status": "PASS",
                 "file": rel,
                 "seconds": round(_time.perf_counter() - _t0, 3),
+                "t_read": round(_t_read, 3),
+                "t_fold": round(_t_fold, 3),
             }
         ]
     )
