@@ -449,7 +449,9 @@ def _gen_cached_events(sf_dir: str) -> str:
     n_events = int(os.environ.get("GRAFT_BENCH_EVENTS", "0")) or max(
         2000, int(10_000_000 * sf)
     )
-    n_convs = max(50, n_events // 50)
+    # cap conversation cardinality: beyond ~800k distinct convs the per-batch
+    # dictionary/hash cost turns superlinear without adding semantic coverage
+    n_convs = min(800_000, max(50, n_events // 50))
     # a DIRECTORY of shards: Ray parallelizes parquet reads per file — a single
     # big file is decoded by one read task (measured: a serial 13 s for 700 MB)
     cache = f"/tmp/cdm_ray_cache/events_sf{sf}_n{n_events}"

@@ -133,3 +133,25 @@ class TestGuardrailPipeline:
         flagged = res.flagged.to_pandas()
         assert sorted(flagged["doc_id"]) == [4, 5]
         assert (flagged["max_col_bytes"] >= 3000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompaction:
+    def test_compact_lake_job(self, tmp_path):
+        """Standalone compaction: tombstones dropped per grace watermark,
+        multi-file partitions merged, state unchanged for live rows."""
+        from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        events = gen_change_stream(n_convs=30, n_events=3000, seed=77, p_delete=0.3)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=4)
+        before = read_lake_pandas(lake)
+        internal = read_lake_pandas(lake, include_tombstones=True, internal=True)
+        assert internal["__deleted"].sum() > 0
+
+        res = compact_lake(lake)  # grace None → drop all tombstones
+        assert (res.metrics["tombstones"] == 0).all()
+        internal2 = read_lake_pandas(lake, include_tombstones=True, internal=True)
+        assert internal2["__deleted"].sum() == 0
+        pd.testing.assert_frame_equal(read_lake_pandas(lake), before, check_dtype=False)
