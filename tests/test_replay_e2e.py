@@ -122,3 +122,16 @@ class TestReplayE2E:
         pd.testing.assert_frame_equal(
             got[oracle.columns.tolist()], oracle, check_dtype=False
         )
+
+    def test_groupby_shuffle_path(self, tmp_path):
+        """The object-store groupby exchange (for clusters without shared
+        storage) produces the identical final state."""
+        events = gen_change_stream(n_convs=40, n_events=3000, seed=91)
+        lake = str(tmp_path / "lake_g")
+        replay(events, lake, num_parts=8, shuffle="groupby")
+        assert_matches_oracle(lake, events.to_pandas())
+        # incremental second run through the same path
+        more = gen_change_stream(n_convs=40, n_events=1000, seed=92, seq_start=5000)
+        replay(more, lake, num_parts=8, shuffle="groupby")
+        full = pd.concat([events.to_pandas(), more.to_pandas()], ignore_index=True)
+        assert_matches_oracle(lake, full)
