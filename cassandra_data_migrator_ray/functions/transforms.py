@@ -386,3 +386,22 @@ def build_transforms(specs: Sequence[Mapping]) -> list:
         op = spec.pop("op")
         out.append(TRANSFORM_REGISTRY[op](**spec))
     return out
+
+
+class TTLExpiry:
+    """TTL semantics (reference: per-cell TTL via USING TTL + max-TTL compute,
+    feature/WritetimeTTL.java:235-281): rows whose ``ttl_col`` (seconds) has
+    elapsed relative to ``ts_col`` at ``as_of_us`` are dropped at read time.
+    Null TTL = never expires."""
+
+    def __init__(self, as_of_us: int, ts_col: str = "ts", ttl_col: str = "ttl"):
+        self.as_of_us, self.ts_col, self.ttl_col = as_of_us, ts_col, ttl_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t[self.ts_col], pa.int64())
+        expiry = pc.add(ts_us, pc.multiply(pc.cast(t[self.ttl_col], pa.int64()), 1_000_000))
+        keep = pc.fill_null(pc.greater(expiry, self.as_of_us), True)
+        return t.filter(keep)
+
+
+TRANSFORM_REGISTRY["ttl_expiry"] = TTLExpiry

@@ -155,3 +155,51 @@ class TestCompaction:
         internal2 = read_lake_pandas(lake, include_tombstones=True, internal=True)
         assert internal2["__deleted"].sum() == 0
         pd.testing.assert_frame_equal(read_lake_pandas(lake), before, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVectorAndTTL:
+    def test_vector_column_through_replay(self, tmp_path):
+        """SIT/smoke/06_vector analogue: a list<float> embedding payload column
+        survives the full replay (LWW winner + unset-null semantics)."""
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("embedding", pa.list_(pa.float32())),
+            ]
+        )
+        t = pa.table(
+            {
+                "op": ["INSERT", "UPSERT", "INSERT"],
+                "conv_id": ["a", "a", "b"],
+                "turn_idx": pa.array([0, 0, 1], pa.int32()),
+                "embedding": pa.array(
+                    [[1.0, 2.0], None, [5.0, 6.0]], pa.list_(pa.float32())
+                ),
+                "writetime": pa.array([1, 2, 1], pa.int64()),
+                "event_seq": pa.array([0, 1, 2], pa.int64()),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        replay(t, lake, num_parts=2, payload_schema=schema)
+        got = read_lake_pandas(lake).set_index(["conv_id", "turn_idx"])
+        assert list(got.loc[("a", 0), "embedding"]) == [1.0, 2.0]  # unset kept
+        assert list(got.loc[("b", 1), "embedding"]) == [5.0, 6.0]
+
+    def test_ttl_expiry_filter(self):
+        from cassandra_data_migrator_ray.functions.transforms import TTLExpiry
+
+        t = pa.table(
+            {
+                "id": [1, 2, 3],
+                "ts": pa.array(
+                    [1_000_000_000_000, 1_000_000_000_000, 1_000_000_000_000],
+                    pa.timestamp("us"),
+                ),
+                "ttl": pa.array([10, 10_000, None], pa.int64()),
+            }
+        )
+        as_of = 1_000_000_000_000 + 3600 * 1_000_000  # one hour later
+        out = TTLExpiry(as_of)(t)
+        assert out["id"].to_pylist() == [2, 3]  # 10s TTL expired; null never
