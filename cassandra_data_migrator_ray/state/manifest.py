@@ -53,13 +53,25 @@ _TYPE_TO_ARROW = {
 }
 
 
-def schema_to_json(schema: pa.Schema) -> list[list[str]]:
-    return [[f.name, str(f.type)] for f in schema]
+def schema_to_json(schema: pa.Schema) -> dict:
+    """Portable manifest form: Arrow IPC schema bytes (supports every Arrow
+    type — structs/UDTs, lists/vectors, maps) + a readable field listing."""
+    import base64
+
+    return {
+        "ipc_b64": base64.b64encode(schema.serialize().to_pybytes()).decode(),
+        "fields": [[f.name, str(f.type)] for f in schema],
+    }
 
 
-def schema_from_json(fields: list[list[str]]) -> pa.Schema:
+def schema_from_json(obj) -> pa.Schema:
+    import base64
+
+    if isinstance(obj, dict) and "ipc_b64" in obj:
+        return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(obj["ipc_b64"])))
+    # legacy list-of-[name, type] form
     out = []
-    for name, typ in fields:
+    for name, typ in obj:
         if typ in _TYPE_TO_ARROW:
             out.append(pa.field(name, _TYPE_TO_ARROW[typ]))
         elif typ.startswith("list<item: float>") or typ == "list<element: float>":

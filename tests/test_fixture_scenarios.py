@@ -203,3 +203,44 @@ class TestVectorAndTTL:
         as_of = 1_000_000_000_000 + 3600 * 1_000_000  # one hour later
         out = TTLExpiry(as_of)(t)
         assert out["id"].to_pylist() == [2, 3]  # 10s TTL expired; null never
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUdtAndStreaming:
+    def test_struct_udt_column_through_replay(self, tmp_path):
+        """SIT/features/04_udt_mapper analogue: a struct (UDT) payload column
+        survives LWW replay with unset-null semantics."""
+        udt = pa.struct([("city", pa.string()), ("zip", pa.int32())])
+        schema = pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("addr", udt)]
+        )
+        t = pa.table(
+            {
+                "op": ["INSERT", "UPSERT", "INSERT"],
+                "conv_id": ["a", "a", "b"],
+                "turn_idx": pa.array([0, 0, 1], pa.int32()),
+                "addr": pa.array(
+                    [{"city": "paris", "zip": 75001}, None, {"city": "rome", "zip": 1}],
+                    udt,
+                ),
+                "writetime": pa.array([1, 2, 1], pa.int64()),
+                "event_seq": pa.array([0, 1, 2], pa.int64()),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        replay(t, lake, num_parts=2, payload_schema=schema)
+        got = read_lake_pandas(lake).set_index(["conv_id", "turn_idx"])
+        assert got.loc[("a", 0), "addr"]["city"] == "paris"  # unset kept
+        assert got.loc[("b", 1), "addr"]["zip"] == 1
+
+    def test_streaming_microbatches(self, tmp_path):
+        """Continuous ingestion: N sequential micro-batches, each an
+        exactly-once replay; final state equals the one-shot oracle."""
+        full = gen_change_stream(n_convs=40, n_events=5000, seed=123).to_pandas()
+        lake = str(tmp_path / "lake")
+        for i in range(5):
+            chunk = full[(full["event_seq"] >= i * 1000) & (full["event_seq"] < (i + 1) * 1000)]
+            replay(chunk.reset_index(drop=True), lake, num_parts=8)
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake), oracle_final_state(full), check_dtype=False
+        )
