@@ -85,12 +85,53 @@ def _tag_side(
     return tbl.cast(pa.schema(fields))
 
 
+def _compare_staged_part(
+    staging_dir: str,
+    payload_cols: list[str],
+    batch: pd.DataFrame,
+) -> pd.DataFrame:
+    """Staged-exchange comparator task: read one partition's staged slices
+    (both sides), run the vectorized comparator."""
+    import os
+
+    import pyarrow as _pa
+
+    if _pa.cpu_count() != 1:
+        _pa.set_cpu_count(1)
+    outs = []
+    for part in batch["part"]:
+        pdir = os.path.join(staging_dir, f"part={int(part):05d}")
+        files = (
+            sorted(os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".arrow"))
+            if os.path.isdir(pdir)
+            else []
+        )
+        if not files:
+            continue
+
+        def _read_ipc(path):
+            with _pa.memory_map(path) as src:
+                return _pa.ipc.open_file(src).read_all()
+
+        g = _pa.concat_tables([_read_ipc(f) for f in files]).to_pandas()
+        g[PART_COL] = np.int32(part)
+        outs.append(
+            compare_group(g, key_cols=KEY_COLS, payload_cols=payload_cols, part_col=PART_COL)
+        )
+    if not outs:
+        return pd.DataFrame(
+            columns=[*KEY_COLS, "status", "cols_differ", "fix_wt"]
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
 def validate(
     expected: Any,
     lake_dir: str,
     *,
     report_path: str | None = None,
     batch_size: int | None = 65536,
+    shuffle: str = "staging",
 ) -> ValidateResult:
     """Compare the lake's final state against an expected (origin) dataset."""
     from cassandra_data_migrator_ray.pipelines.replay import _as_dataset
@@ -130,11 +171,40 @@ def validate(
     else:
         union = exp_ds
 
-    diff_ds = union.groupby(PART_COL).map_groups(
-        partial(compare_group, key_cols=KEY_COLS, payload_cols=payload_cols, part_col=PART_COL),
-        batch_format="pandas",
-    )
-    report = diff_ds.to_pandas()
+    if shuffle == "staging":
+        # same lakehouse exchange as replay: map-only staged write by part,
+        # then one independent comparator task per partition (no sort shuffle)
+        import os
+        import shutil
+        import uuid as _uuid
+
+        from cassandra_data_migrator_ray.stages.staging import StageWriter
+
+        staging = os.path.join(lake_dir, "_staging", "validate-" + _uuid.uuid4().hex[:8])
+        try:
+            stats = union.map_batches(
+                StageWriter(staging), batch_format="pyarrow", batch_size=262144
+            ).to_pandas()
+            parts = sorted(int(p) for p in stats["part"].unique()) if len(stats) else []
+            if parts:
+                parts_ds = ray.data.from_items(
+                    [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
+                )
+                report = parts_ds.map_batches(
+                    partial(_compare_staged_part, staging, payload_cols),
+                    batch_format="pandas",
+                    batch_size=None,
+                ).to_pandas()
+            else:
+                report = pd.DataFrame()
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    else:
+        diff_ds = union.groupby(PART_COL).map_groups(
+            partial(compare_group, key_cols=KEY_COLS, payload_cols=payload_cols, part_col=PART_COL),
+            batch_format="pandas",
+        )
+        report = diff_ds.to_pandas()
 
     counts = {"VALID": 0, "MISSING": 0, "MISMATCH": 0, "EXTRA": 0}
     if len(report):

@@ -129,3 +129,15 @@ class TestResume:
         third = gen_change_stream(n_convs=20, n_events=500, seed=45, seq_start=4000)
         replay(third, lake, num_parts=4)
         assert glob.glob(os.path.join(lake, "data", "*deadrun*")) == []
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValidateGroupbyPath:
+    def test_validate_groupby_shuffle(self, tmp_path):
+        """The sort-shuffle comparator path (no shared storage) agrees."""
+        events = gen_change_stream(n_convs=30, n_events=2000, seed=61)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=4)
+        expected = oracle_final_state(events.to_pandas())
+        res = validate(expected, lake, shuffle="groupby")
+        assert res.ok and res.counts["VALID"] == len(expected)
