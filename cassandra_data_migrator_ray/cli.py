@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--max-kb", type=float, default=1.0)
     g.add_argument("--columns", nargs="*", default=None)
 
+    c = sub.add_parser("compact", help="rewrite partitions dropping tombstones")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--grace-wt", type=int, default=None)
+
     args = p.parse_args(argv)
     ray = _init_ray(args.num_cpus)
     try:
@@ -96,6 +100,22 @@ def main(argv: list[str] | None = None) -> int:
                 out["corrected"] = res2.ok
             print(json.dumps(out))
             return 0 if out.get("corrected", res.ok) else 1
+        elif args.cmd == "compact":
+            from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+
+            res = compact_lake(args.lake, args.grace_wt)
+            print(
+                json.dumps(
+                    {
+                        "run_id": res.run_id,
+                        "partitions": int(len(res.metrics)),
+                        "tombstones_left": int(res.metrics["tombstones"].sum())
+                        if len(res.metrics)
+                        else 0,
+                        "seconds": round(res.seconds, 3),
+                    }
+                )
+            )
         elif args.cmd == "guardrail":
             import ray.data as rd
 
