@@ -21,6 +21,11 @@ Resume: a re-run with the same run_id skips partitions that already have a
 receipt (the reference's pending-partition rerun,
 job/BasePartitionJob.scala:41-55); per-partition high-watermark offsets filter
 already-merged events on later runs, making duplicate delivery a no-op.
+
+Concurrency contract: ONE writer job per lake at a time (same as the
+reference's one-Spark-job-per-migration); commit-time GC reclaims any staging
+not belonging to the committing run.  Readers are unaffected — they only ever
+see the last atomically-swapped manifest.
 """
 
 from __future__ import annotations
