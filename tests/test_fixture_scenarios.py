@@ -244,3 +244,65 @@ class TestUdtAndStreaming:
         pd.testing.assert_frame_equal(
             read_lake_pandas(lake), oracle_final_state(full), check_dtype=False
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGcGraceHazard:
+    def test_grace_respecting_compaction_converges(self, tmp_path):
+        """Dropping only tombstones older than the future-delivery low-watermark
+        keeps incremental merges exactly equal to the full-history oracle."""
+        from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+
+        ev = gen_change_stream(n_convs=100, n_events=8000, seed=201, p_delete=0.2)
+        ev2 = gen_change_stream(
+            n_convs=100, n_events=2000, seed=202, seq_start=12000, p_delete=0.2
+        )
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=4)
+        grace = int(ev2.to_pandas()["writetime"].min())
+        compact_lake(lake, grace_wt=grace)
+        replay(ev2, lake, num_parts=4)
+        full = pd.concat([ev.to_pandas(), ev2.to_pandas()], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake), oracle_final_state(full), check_dtype=False
+        )
+
+    def test_ungraced_compaction_resurrects_documented_hazard(self, tmp_path):
+        """grace=None compaction followed by OLDER-writetime deliveries loses
+        tombstone suppression (the Cassandra gc_grace hazard) — asserted here
+        so the semantics stay explicit and documented."""
+        from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+
+        # one key, deleted at a high writetime
+        def mk(op, wt, seq, text=None):
+            return {
+                "op": op, "conv_id": "c", "turn_idx": np.int32(0), "role": None,
+                "text": text, "tool": None, "ts": None,
+                "writetime": wt, "event_seq": seq,
+            }
+
+        import pyarrow as pa
+        from cassandra_data_migrator_ray.schema import EVENTS_SCHEMA
+
+        first = pa.Table.from_pandas(
+            pd.DataFrame([mk("INSERT", 10, 0, "x"), mk("DELETE", 100, 1)]),
+            preserve_index=False,
+        ).cast(EVENTS_SCHEMA)
+        late_old = pa.Table.from_pandas(
+            pd.DataFrame([mk("UPSERT", 50, 2, "resurrected?")]), preserve_index=False
+        ).cast(EVENTS_SCHEMA)
+
+        lake = str(tmp_path / "lake")
+        replay(first, lake, num_parts=2)
+        compact_lake(lake)  # grace=None: tombstone at wt=100 dropped
+        replay(late_old, lake, num_parts=2)
+        got = read_lake_pandas(lake)
+        # without the tombstone the older upsert wins — the documented hazard
+        assert got["text"].tolist() == ["resurrected?"]
+
+        # same stream, grace-kept tombstone → correctly suppressed
+        lake2 = str(tmp_path / "lake2")
+        replay(first, lake2, num_parts=2)
+        compact_lake(lake2, grace_wt=40)  # tombstone wt=100 >= 40 → kept
+        replay(late_old, lake2, num_parts=2)
+        assert len(read_lake_pandas(lake2)) == 0
