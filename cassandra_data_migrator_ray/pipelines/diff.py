@@ -63,26 +63,28 @@ def _tag_side(
     wt_cols: list[str],
     batch: pa.Table,
 ) -> pa.Table:
-    """Project a batch to the unified compare layout + route + side tag."""
-    df = batch.to_pandas()
-    out = pd.DataFrame()
-    for k in KEY_COLS:
-        out[k] = df[k]
-    payload_cols = [n for n in payload_schema.names if n not in KEY_COLS]
-    for c in payload_cols:
-        out[c] = df[c] if c in df.columns else None
+    """Project a batch to the unified compare layout + route + side tag
+    (Arrow-native: only the key columns touch pandas, for the stable hash)."""
+    n = batch.num_rows
+    names = set(batch.column_names)
+    cols: dict[str, object] = {}
+    for f in payload_schema:  # keys + payload, cast to the manifest types
+        if f.name in names:
+            col = batch.column(f.name)
+            cols[f.name] = col.cast(f.type) if col.type != f.type else col
+        else:
+            cols[f.name] = pa.nulls(n, f.type)
     for c in wt_cols:
-        out[c] = df[c].to_numpy(dtype=np.int64) if c in df.columns else np.int64(NEG_INF)
-    out[SIDE_COL] = np.int8(side)
-    out[PART_COL] = assign_partition(out["conv_id"], out["turn_idx"], num_parts, salt)
-    tbl = pa.Table.from_pandas(out, preserve_index=False)
-    # align payload dtypes to the manifest schema (e.g. pandas ns → lake µs
-    # timestamps) so both sides produce identical block schemas
-    fields = [
-        payload_schema.field(n) if n in payload_schema.names else tbl.schema.field(n)
-        for n in tbl.column_names
-    ]
-    return tbl.cast(pa.schema(fields))
+        if c in names:
+            cols[c] = batch.column(c).cast(pa.int64())
+        else:
+            cols[c] = pa.array(np.full(n, NEG_INF, dtype=np.int64))
+    cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+    part = assign_partition(
+        cols["conv_id"].to_pandas(), cols["turn_idx"].to_pandas(), num_parts, salt
+    )
+    cols[PART_COL] = pa.array(part, pa.int32())
+    return pa.table(cols)
 
 
 def _compare_staged_part(
@@ -113,10 +115,11 @@ def _compare_staged_part(
             with _pa.memory_map(path) as src:
                 return _pa.ipc.open_file(src).read_all()
 
-        g = _pa.concat_tables([_read_ipc(f) for f in files]).to_pandas()
-        g[PART_COL] = np.int32(part)
+        tbl = _pa.concat_tables([_read_ipc(f) for f in files])
+        from cassandra_data_migrator_ray.stages.validate import compare_part_arrow
+
         outs.append(
-            compare_group(g, key_cols=KEY_COLS, payload_cols=payload_cols, part_col=PART_COL)
+            compare_part_arrow(tbl, KEY_COLS, payload_cols, int(part))
         )
     if not outs:
         return pd.DataFrame(
