@@ -90,37 +90,57 @@ def _tag_side(
 def _compare_staged_part(
     staging_dir: str,
     payload_cols: list[str],
+    lake_dir: str,
+    lake_files_by_part: dict[int, list[str]],
+    wt_cols: list[str],
+    schema_ipc: bytes,
     batch: pd.DataFrame,
 ) -> pd.DataFrame:
-    """Staged-exchange comparator task: read one partition's staged slices
-    (both sides), run the vectorized comparator."""
+    """Staged-exchange comparator task: staged expected slices + the lake
+    partition read DIRECTLY (it is already partitioned by the same route — no
+    need to re-shuffle the actual side at all)."""
     import os
 
     import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from cassandra_data_migrator_ray.schema import DELETED
+    from cassandra_data_migrator_ray.stages.validate import compare_part_arrow
 
     if _pa.cpu_count() != 1:
         _pa.set_cpu_count(1)
+    payload_schema = _pa.ipc.read_schema(_pa.py_buffer(schema_ipc))
     outs = []
     for part in batch["part"]:
-        pdir = os.path.join(staging_dir, f"part={int(part):05d}")
+        part = int(part)
+        pdir = os.path.join(staging_dir, f"part={part:05d}")
         files = (
             sorted(os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".arrow"))
             if os.path.isdir(pdir)
             else []
         )
-        if not files:
+        sides = []
+        if files:
+
+            def _read_ipc(path):
+                with _pa.memory_map(path) as src:
+                    return _pa.ipc.open_file(src).read_all()
+
+            sides.append(_pa.concat_tables([_read_ipc(f) for f in files]))
+        for rel in lake_files_by_part.get(part, []):
+            t = _pq.read_table(os.path.join(lake_dir, rel), use_threads=False)
+            t = t.filter(_pc.invert(_pc.fill_null(t[DELETED], False)))
+            sides.append(
+                _tag_side(1, 1, 1, payload_schema, wt_cols, t).drop_columns([PART_COL])
+            )
+        if not sides:
             continue
-
-        def _read_ipc(path):
-            with _pa.memory_map(path) as src:
-                return _pa.ipc.open_file(src).read_all()
-
-        tbl = _pa.concat_tables([_read_ipc(f) for f in files])
-        from cassandra_data_migrator_ray.stages.validate import compare_part_arrow
-
-        outs.append(
-            compare_part_arrow(tbl, KEY_COLS, payload_cols, int(part))
-        )
+        # align column order across sides before concat
+        names = sides[0].column_names
+        sides = [s.select(names) for s in sides]
+        tbl = _pa.concat_tables(sides)
+        outs.append(compare_part_arrow(tbl, KEY_COLS, payload_cols, part))
     if not outs:
         return pd.DataFrame(
             columns=[*KEY_COLS, "status", "cols_differ", "fix_wt"]
@@ -155,28 +175,12 @@ def validate(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    files = lake_files(manifest)
-    if files:
-        from cassandra_data_migrator_ray.schema import DELETED
-
-        def _lake_side(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            live = batch.filter(pc.invert(pc.fill_null(batch[DELETED], False)))
-            return _tag_side(
-                1, manifest.num_parts, manifest.salt, full_schema, wt_cols, live
-            )
-
-        act_ds = ray.data.read_parquet(files).map_batches(
-            _lake_side, batch_format="pyarrow", batch_size=batch_size
-        )
-        union = exp_ds.union(act_ds)
-    else:
-        union = exp_ds
 
     if shuffle == "staging":
-        # same lakehouse exchange as replay: map-only staged write by part,
-        # then one independent comparator task per partition (no sort shuffle)
+        # lakehouse exchange, one-sided: only the EXPECTED side is staged by
+        # partition; the actual side is the lake itself, already partitioned
+        # by the identical route — each comparator task reads its partition
+        # file directly (no re-shuffle of the lake at all)
         import os
         import shutil
         import uuid as _uuid
@@ -185,16 +189,28 @@ def validate(
 
         staging = os.path.join(lake_dir, "_staging", "validate-" + _uuid.uuid4().hex[:8])
         try:
-            stats = union.map_batches(
+            stats = exp_ds.map_batches(
                 StageWriter(staging), batch_format="pyarrow", batch_size=262144
             ).to_pandas()
-            parts = sorted(int(p) for p in stats["part"].unique()) if len(stats) else []
+            staged_parts = set(int(p) for p in stats["part"].unique()) if len(stats) else set()
+            lake_by_part = {
+                int(k): v.files for k, v in manifest.partitions.items() if v.files
+            }
+            parts = sorted(staged_parts | set(lake_by_part))
             if parts:
                 parts_ds = ray.data.from_items(
                     [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
                 )
                 report = parts_ds.map_batches(
-                    partial(_compare_staged_part, staging, payload_cols),
+                    partial(
+                        _compare_staged_part,
+                        staging,
+                        payload_cols,
+                        lake_dir,
+                        lake_by_part,
+                        wt_cols,
+                        full_schema.serialize().to_pybytes(),
+                    ),
                     batch_format="pandas",
                     batch_size=None,
                 ).to_pandas()
@@ -203,6 +219,24 @@ def validate(
         finally:
             shutil.rmtree(staging, ignore_errors=True)
     else:
+        files = lake_files(manifest)
+        if files:
+            from cassandra_data_migrator_ray.schema import DELETED
+
+            def _lake_side(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                live = batch.filter(pc.invert(pc.fill_null(batch[DELETED], False)))
+                return _tag_side(
+                    1, manifest.num_parts, manifest.salt, full_schema, wt_cols, live
+                )
+
+            act_ds = ray.data.read_parquet(files).map_batches(
+                _lake_side, batch_format="pyarrow", batch_size=batch_size
+            )
+            union = exp_ds.union(act_ds)
+        else:
+            union = exp_ds
         diff_ds = union.groupby(PART_COL).map_groups(
             partial(compare_group, key_cols=KEY_COLS, payload_cols=payload_cols, part_col=PART_COL),
             batch_format="pandas",
