@@ -134,7 +134,7 @@ WHERE event_id < (SELECT CAST(ceil(count(*) * 0.10) AS BIGINT) FROM events)
 """,
         "counter_rollup": """
 SELECT user_id,
-       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        count(*) AS n
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id ORDER BY user_id
@@ -163,7 +163,8 @@ FROM documents ORDER BY doc_id
 """,
         "tumbling_window_counts": """
 SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start,
-       count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "asof_purchase_click": """

@@ -641,5 +641,7 @@ def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
         .map_groups(join_group, batch_format="pandas")
         .to_pandas()
     )
-    out["click_event_id"] = out["click_event_id"].astype("Int64")
+    # float64, not Int64: the DuckDB oracle's nullable BIGINT surfaces as
+    # float64 in pandas, and the driver's value-hash is dtype-sensitive.
+    out["click_event_id"] = out["click_event_id"].astype("float64")
     return out.sort_values("event_id", ignore_index=True)
