@@ -127,14 +127,31 @@ def fold_events(
     has_del = last_del >= 0
     exists = last_up >= 0  # an upsert after the last delete
 
+    # exactly-once per event for counters: duplicate deliveries share the same
+    # globally-unique event_seq and are adjacent in the (writetime, event_seq)
+    # sort — only the first copy may contribute a delta (reference counters are
+    # read-modify-write and thus rerun-safe, TargetUpdateStatement.java:69-76).
+    dup = np.zeros(n, dtype=bool)
+    dup[1:] = seq[1:] == seq[:-1]
+    dup[starts] = False
+
     out = df.iloc[starts][list(key_cols)].reset_index(drop=True)
     for c in payload_cols:
         if c in counter_cols:
-            delta = pd.to_numeric(df[c], errors="coerce").to_numpy(dtype=np.float64)
-            valid = live & ~np.isnan(delta)
-            sums = np.add.reduceat(np.where(valid, delta, 0.0), starts)
+            # counters accumulate in int64 (reference counters are Long);
+            # float64 folds silently lose precision past 2^53.
+            num = pd.to_numeric(df[c], errors="coerce")
+            notna = num.notna().to_numpy()
+            if pd.api.types.is_integer_dtype(num):
+                delta = num.fillna(0).to_numpy(dtype=np.int64)
+            else:
+                delta = np.rint(
+                    np.nan_to_num(num.to_numpy(dtype=np.float64))
+                ).astype(np.int64)
+            valid = live & notna & ~dup
+            sums = np.add.reduceat(np.where(valid, delta, 0), starts)
             any_valid = np.maximum.reduceat(np.where(valid, idx, -1), starts) >= 0
-            out[c] = pd.array(np.where(any_valid, sums, np.nan))
+            out[c] = pd.array(sums, dtype="Int64")
             out[c] = out[c].where(any_valid)
             # order token of the latest contribution (for merge suppression)
             last_c = np.maximum.reduceat(np.where(valid, idx, -1), starts)
@@ -230,6 +247,12 @@ def fold_events_arrow(
         idx_arr = pa.array(gidx, type=pa.int64(), mask=~ok)
         return pc.take(col, idx_arr)
 
+    # duplicate-delivery mask for counters (same event_seq ⇒ same event; only
+    # the first sorted copy contributes — see fold_events)
+    sdup = np.zeros(n, dtype=bool)
+    sdup[1:] = sseq[1:] == sseq[:-1]
+    sdup[starts] = False
+
     key_take = pa.array(order[starts], type=pa.int64())
     out: dict[str, object] = {}
     for k in key_cols:
@@ -237,13 +260,22 @@ def fold_events_arrow(
     for c in payload_cols:
         col = tbl.column(c)
         if c in counter_cols:
-            vals = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            notnull_c = pc.is_valid(col).to_numpy(zero_copy_only=False).astype(bool)
+            if pa.types.is_integer(col.type):
+                vals = (
+                    pc.fill_null(pc.cast(col, pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            else:
+                fv = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+                vals = np.rint(np.nan_to_num(fv)).astype(np.int64)
             svals = vals[order]
-            valid = live & ~np.isnan(svals)
-            sums = np.add.reduceat(np.where(valid, svals, 0.0), starts)
+            valid = live & notnull_c[order] & ~sdup
+            sums = np.add.reduceat(np.where(valid, svals, 0), starts)
             last_c = np.maximum.reduceat(np.where(valid, sidx, -1), starts)
             ok = last_c >= 0
-            out[c] = pa.array(np.where(ok, sums, np.nan), mask=~ok)
+            out[c] = pa.array(sums, type=pa.int64(), mask=~ok)
             out[c + WT_SUFFIX] = pa.array(
                 np.where(ok, swt[np.clip(last_c, 0, None)], NEG_INF)
             )
@@ -350,11 +382,39 @@ def merge_state_frames(
         w = df[c + WT_SUFFIX].to_numpy(dtype=np.int64)
         s = df[c + SEQ_SUFFIX].to_numpy(dtype=np.int64)
         if c in counter_cols:
-            vals = pd.to_numeric(df[c], errors="coerce").to_numpy(dtype=np.float64)
-            live = _lex_gt(w, s, del_wt[gid], del_seq[gid]) & ~np.isnan(vals)
-            total = np.add.reduceat(np.where(live, vals, 0.0), starts)
+            num = pd.to_numeric(df[c], errors="coerce")
+            notna = num.notna().to_numpy()
+            if pd.api.types.is_integer_dtype(num):
+                vals = num.fillna(0).to_numpy(dtype=np.int64)
+            else:
+                vals = np.rint(
+                    np.nan_to_num(num.to_numpy(dtype=np.float64))
+                ).astype(np.int64)
+            # identical-cell dedup: within a key group, two counter cells with
+            # the same (wt, seq) token AND the same value are the same
+            # contribution seen twice (a retried stage write, or the same
+            # state snapshot present in two lake fragments) — count it once.
+            # Same-token-different-value cells (overlapping-but-unequal event
+            # sets) cannot arise through the watermark-filtered paths and
+            # remain additive.
+            o2 = np.lexsort((vals, s, w, gid))
+            same = (
+                (gid[o2][1:] == gid[o2][:-1])
+                & (w[o2][1:] == w[o2][:-1])
+                & (s[o2][1:] == s[o2][:-1])
+                & (vals[o2][1:] == vals[o2][:-1])
+                & notna[o2][1:]
+                & notna[o2][:-1]
+            )
+            dup = np.zeros(n, dtype=bool)
+            dup[o2[1:]] = same
+            live = (
+                _lex_gt(w, s, del_wt[gid], del_seq[gid]) & notna & ~dup
+            )
+            total = np.add.reduceat(np.where(live, vals, 0), starts)
             any_live = np.maximum.reduceat(np.where(live, idx, -1), starts) >= 0
-            out[c] = pd.Series(total).where(any_live)
+            out[c] = pd.array(total, dtype="Int64")
+            out[c] = out[c].where(any_live)
             ci = _argmax_lex(np.where(live, w, NEG_INF), np.where(live, s, NEG_INF))
             out[c + WT_SUFFIX] = np.where(any_live, w[ci], NEG_INF)
             out[c + SEQ_SUFFIX] = np.where(any_live, s[ci], NEG_INF)

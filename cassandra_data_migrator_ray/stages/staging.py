@@ -10,9 +10,12 @@ shape of lakehouse ingestion (Delta/Hudi-style) expressed as two chained
 Dataset stages.
 
 Why it's safe:
-- a retried stage-1 task writes a second staged copy of the same events; the
-  LWW fold is idempotent under exact duplicates (same (writetime, event_seq)
-  ⇒ same cell), so duplicated staged rows are harmless;
+- staged slice files are content-addressed (fingerprint of the slice's
+  event_seq set), so a retried stage-1 task overwrites its first attempt's
+  files byte-for-byte instead of adding a second copy — exactly-once staging
+  even for additive counter columns; the LWW fold additionally dedups by
+  event_seq inside each key group, so duplicate *deliveries in the input
+  stream* are also applied once;
 - staged files live under the run's staging dir and are deleted on commit —
   readers only ever see manifest-referenced files.
 
@@ -26,8 +29,8 @@ path (`shuffle="groupby"`) remains for deployments without it.
 
 from __future__ import annotations
 
+import hashlib
 import os
-import uuid
 
 import numpy as np
 import pandas as pd
@@ -58,22 +61,56 @@ class StageWriter:
         sp = part[order]
         bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
         bounds = np.r_[bounds, len(sp)]
+        # content-addressed slice names: a retried stage-1 task re-produces the
+        # exact same slices, so the retry OVERWRITES (os.replace) rather than
+        # adding a second staged copy — without this, counter deltas staged
+        # twice would fold twice.  For raw events the fingerprint is over the
+        # slice's event_seq set (globally unique per event, so exact):
+        # count+min+max+sum+xor.  Frames without a seq column (prefolded
+        # partials, validate side frames) fall back to hashing the serialized
+        # IPC bytes — Arrow IPC is deterministic for identical tables.
+        from cassandra_data_migrator_ray.schema import MAX_SEQ
+
+        seq_name = next(
+            (c for c in ("event_seq", MAX_SEQ) if c in batch.column_names), None
+        )
+        seq_all = (
+            batch.column(seq_name).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            if seq_name is not None
+            else None
+        )
         rows = []
-        blk = uuid.uuid4().hex[:16]
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
             k = int(sp[lo])
             pdir = os.path.join(self.staging_dir, f"part={k:05d}")
             os.makedirs(pdir, exist_ok=True)
+            slice_tbl = sorted_tbl.slice(lo, hi - lo).drop_columns([PART_COL])
             # Arrow IPC, not parquet: staged slices are transient and tiny —
             # IPC has near-zero open/parse cost and mmaps zero-copy on tmpfs
-            path = os.path.join(pdir, f"blk-{blk}-{i}.arrow")
-            slice_tbl = sorted_tbl.slice(lo, hi - lo).drop_columns([PART_COL])
-            tmp = path + ".tmp"
-            with pa.OSFile(tmp, "wb") as sink:
-                with pa.ipc.new_file(sink, slice_tbl.schema) as writer:
-                    writer.write_table(slice_tbl)
-            os.replace(tmp, path)
+            tmp = os.path.join(pdir, f".tmp-{os.getpid()}-{i}.arrow")
+            if seq_all is not None:
+                sl = seq_all[lo:hi]
+                fp = hashlib.blake2b(
+                    np.array(
+                        [hi - lo, sl.min(), sl.max(), sl.sum(), np.bitwise_xor.reduce(sl)],
+                        dtype=np.int64,
+                    ).tobytes(),
+                    digest_size=8,
+                ).hexdigest()
+                with pa.OSFile(tmp, "wb") as sink:
+                    with pa.ipc.new_file(sink, slice_tbl.schema) as writer:
+                        writer.write_table(slice_tbl)
+            else:
+                h = hashlib.blake2b(digest_size=8)
+                with pa.OSFile(tmp, "wb") as sink:
+                    with pa.ipc.new_file(sink, slice_tbl.schema) as writer:
+                        writer.write_table(slice_tbl)
+                with open(tmp, "rb") as f:
+                    while chunk := f.read(1 << 20):
+                        h.update(chunk)
+                fp = h.hexdigest()
+            os.replace(tmp, os.path.join(pdir, f"blk-{fp}.arrow"))
             rows.append({"part": np.int32(k), "rows": np.int64(hi - lo)})
         return pd.DataFrame(rows)
 
