@@ -70,10 +70,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _cdc_fold_cte(cache_glob: str) -> str:
+    """DuckDB CTE reproducing the engine's LWW fold over the generated change
+    stream: total order (writetime, event_seq); DELETE opens a new epoch
+    (suppresses every cell at-or-below its token); within the live epoch each
+    cell is the last non-null value (null payload = unset keeps existing)."""
+    return f"""
+WITH e AS (SELECT * FROM read_parquet('{cache_glob}')),
+w AS (
+  SELECT *, count(*) FILTER (WHERE op = 'DELETE') OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY writetime, event_seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM e
+),
+mx AS (SELECT conv_id, turn_idx, max(epoch) AS mep FROM w GROUP BY 1, 2),
+live AS (
+  SELECT w.* FROM w JOIN mx USING (conv_id, turn_idx)
+  WHERE w.epoch = mx.mep AND w.op <> 'DELETE'
+),
+fin AS (
+  SELECT conv_id, turn_idx,
+    last_value(role IGNORE NULLS) OVER pw AS role,
+    last_value(text IGNORE NULLS) OVER pw AS text,
+    last_value(tool IGNORE NULLS) OVER pw AS tool,
+    last_value(ts IGNORE NULLS) OVER pw AS ts,
+    row_number() OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY writetime DESC, event_seq DESC) AS rn
+  FROM live
+  WINDOW pw AS (PARTITION BY conv_id, turn_idx ORDER BY writetime, event_seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)"""
+
+
+def _cdc_cache_glob() -> str:
+    """Materialize the deterministic sf0.01 change-stream cache (the driver's
+    correctness scale) and return its parquet glob for the DuckDB oracle."""
+    from cassandra_data_migrator_ray.pipelines.queries import _gen_cached_events
+
+    return _gen_cached_events("/root/testdata/sf0.01") + "/*.parquet"
+
+
 def oracle_sql() -> dict[str, str]:
     day5 = 1_704_067_200_000_000 + 4 * 86_400_000_000
     day10 = 1_704_067_200_000_000 + 9 * 86_400_000_000
+    cdc = _cdc_fold_cte(_cdc_cache_glob())
     return {
+        "cdc_replay": f"""
+{cdc}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx
+""",
+        "cdc_validate": f"""
+{cdc},
+v AS (SELECT count(*) AS n_valid FROM fin WHERE rn = 1)
+SELECT status, n FROM (
+  SELECT 'EXTRA' AS status, CAST(0 AS BIGINT) AS n
+  UNION ALL SELECT 'MISMATCH', CAST(0 AS BIGINT)
+  UNION ALL SELECT 'MISSING', CAST(0 AS BIGINT)
+  UNION ALL SELECT 'VALID', (SELECT CAST(n_valid AS BIGINT) FROM v)
+) ORDER BY status
+""",
         "lww_latest_state": f"""
 WITH e AS (
   SELECT user_id,
