@@ -103,11 +103,13 @@ fin AS (
 
 
 def _cdc_cache_glob() -> str:
-    """Materialize the deterministic sf0.01 change-stream cache (the driver's
-    correctness scale) and return its parquet glob for the DuckDB oracle."""
+    """Materialize the deterministic change-stream cache at the correctness
+    scale (the driver compares at sf0.01; tests override via
+    GRAFT_ORACLE_SF_DIR) and return its parquet glob for the DuckDB oracle."""
     from cassandra_data_migrator_ray.pipelines.queries import _gen_cached_events
 
-    return _gen_cached_events("/root/testdata/sf0.01") + "/*.parquet"
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return _gen_cached_events(sf_dir) + "/*.parquet"
 
 
 def oracle_sql() -> dict[str, str]:

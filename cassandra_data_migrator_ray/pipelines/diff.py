@@ -130,10 +130,22 @@ def _compare_staged_part(
             sides.append(_pa.concat_tables([_read_ipc(f) for f in files]))
         for rel in lake_files_by_part.get(part, []):
             t = _pq.read_table(os.path.join(lake_dir, rel), use_threads=False)
-            t = t.filter(_pc.invert(_pc.fill_null(t[DELETED], False)))
+            deleted = _pc.fill_null(t[DELETED], False)
+            live = t.filter(_pc.invert(deleted))
             sides.append(
-                _tag_side(1, 1, 1, payload_schema, wt_cols, t).drop_columns([PART_COL])
+                _tag_side(1, 1, 1, payload_schema, wt_cols, live).drop_columns([PART_COL])
             )
+            # tombstoned keys stay visible to the comparator as side=2: they
+            # never produce EXTRA/MISMATCH, but their DEL_WT feeds fix_wt so a
+            # MISSING-but-tombstoned key gets a correction that beats the
+            # tombstone (otherwise autocorrect never converges).
+            tomb = t.filter(deleted)
+            if tomb.num_rows:
+                sides.append(
+                    _tag_side(2, 1, 1, payload_schema, wt_cols, tomb).drop_columns(
+                        [PART_COL]
+                    )
+                )
         if not sides:
             continue
         # align column order across sides before concat
@@ -226,9 +238,31 @@ def validate(
             def _lake_side(batch: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
 
-                live = batch.filter(pc.invert(pc.fill_null(batch[DELETED], False)))
-                return _tag_side(
-                    1, manifest.num_parts, manifest.salt, full_schema, wt_cols, live
+                deleted = pc.fill_null(batch[DELETED], False)
+                live = _tag_side(
+                    1,
+                    manifest.num_parts,
+                    manifest.salt,
+                    full_schema,
+                    wt_cols,
+                    batch.filter(pc.invert(deleted)),
+                )
+                tomb = batch.filter(deleted)
+                if tomb.num_rows == 0:
+                    return live
+                # side=2: tombstones contribute fix_wt only (see staged path)
+                return pa.concat_tables(
+                    [
+                        live,
+                        _tag_side(
+                            2,
+                            manifest.num_parts,
+                            manifest.salt,
+                            full_schema,
+                            wt_cols,
+                            tomb,
+                        ),
+                    ]
                 )
 
             act_ds = ray.data.read_parquet(files).map_batches(
@@ -270,13 +304,17 @@ def autocorrect(
     """Turn diff rows into corrective events and replay them (exactly-once).
 
     MISSING / MISMATCH → upsert the expected payload at fix_wt (beats every
-    surviving cell); EXTRA → DELETE at fix_wt.  event_seq continues above the
-    lake's max watermark so watermark filtering never drops a correction.
+    surviving cell/tombstone); EXTRA → DELETE at fix_wt.  Counter columns are
+    additive, so the correction is the DELTA expected − actual (reference
+    semantics, cql/statement/TargetUpdateStatement.java:69-76), not the
+    expected value verbatim.  event_seq continues above the lake's max
+    watermark so watermark filtering never drops a correction.
     """
     from cassandra_data_migrator_ray.pipelines.replay import replay
 
     manifest = Manifest.load(lake_dir)
     payload_cols = payload_cols_of(manifest.schema)
+    counter_cols = set(manifest.counter_cols)
     rep = result.report
     if rep.empty:
         return None
@@ -287,6 +325,16 @@ def autocorrect(
         ev[k] = rep[k]
     for c in payload_cols:
         col = rep[f"exp_{c}"]
+        if c in counter_cols:
+            exp_n = pd.to_numeric(col, errors="coerce")
+            act_n = (
+                pd.to_numeric(rep[f"act_{c}"], errors="coerce")
+                if f"act_{c}" in rep.columns
+                else pd.Series(np.nan, index=rep.index)
+            )
+            delta = exp_n.fillna(0) - act_n.fillna(0)
+            # only emit a delta where expected has a value (null = unset)
+            col = delta.where(exp_n.notna() | act_n.notna())
         ev[c] = col.where(rep["status"] != "EXTRA")
     ev["writetime"] = rep["fix_wt"].to_numpy(dtype=np.int64)
     ev["event_seq"] = np.arange(base_seq, base_seq + len(rep), dtype=np.int64)

@@ -49,6 +49,7 @@ def compare_group(
     g = group
     exp = g[g[SIDE_COL] == 0]
     act = g[g[SIDE_COL] == 1]
+    tomb = g[g[SIDE_COL] == 2]  # lake tombstones: feed fix_wt only
     m = exp.merge(
         act, on=list(key_cols), how="outer", suffixes=("_e", "_a"), indicator=True
     )
@@ -79,13 +80,30 @@ def compare_group(
         )
 
     # fix_wt: 1 + the max writetime the actual side still holds for the key
-    # (cells, row marker, tombstone) so a corrective upsert always wins LWW
-    wt_sources = [m.get(f"{c}{WT_SUFFIX}_a") for c in payload_cols]
-    wt_sources += [m.get(f"{ROW_WT}_a"), m.get(f"{DEL_WT}_a")]
+    # (cells, row marker, tombstone — INCLUDING tombstoned rows, side=2) so a
+    # corrective upsert always wins LWW even against a surviving tombstone
+    wt_names = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
+    wt_sources = [m.get(f"{n}_a") for n in wt_names]
     fix_wt = np.full(len(m), NEG_INF, dtype=np.int64)
     for s in wt_sources:
         if s is not None:
             fix_wt = np.maximum(fix_wt, s.fillna(NEG_INF).to_numpy(dtype=np.int64))
+    if len(tomb):
+        present = [n for n in wt_names if n in tomb.columns]
+        tmax = (
+            tomb.groupby(list(key_cols), sort=False)[present]
+            .max()
+            .max(axis=1)
+            .rename("__tomb_wt")
+            .reset_index()
+        )
+        tw = (
+            m[list(key_cols)]
+            .merge(tmax, on=list(key_cols), how="left")["__tomb_wt"]
+            .fillna(NEG_INF)
+            .to_numpy(dtype=np.int64)
+        )
+        fix_wt = np.maximum(fix_wt, tw)
     fix_wt = np.where(fix_wt == NEG_INF, 0, fix_wt) + 1
 
     bad = status != "VALID"
@@ -95,6 +113,8 @@ def compare_group(
     out["fix_wt"] = fix_wt[bad]
     for c in payload_cols:
         out[f"exp_{c}"] = m.loc[bad, f"{c}_e"].reset_index(drop=True)
+        # actual-side value for counter-delta autocorrect
+        out[f"act_{c}"] = m.loc[bad, f"{c}_a"].reset_index(drop=True)
     out = out.sort_values(list(key_cols), kind="mergesort", ignore_index=True)
 
     counts = {
@@ -165,13 +185,19 @@ def compare_part_arrow(
 
     exp_pos = np.maximum.reduceat(np.where(sside == 0, sidx, -1), starts)
     act_pos = np.maximum.reduceat(np.where(sside == 1, sidx, -1), starts)
+    tomb_pos = np.maximum.reduceat(np.where(sside == 2, sidx, -1), starts)
     has_exp, has_act = exp_pos >= 0, act_pos >= 0
+    has_tomb = tomb_pos >= 0
     exp_idx = order[np.clip(exp_pos, 0, None)]
     act_idx = order[np.clip(act_pos, 0, None)]
+    tomb_idx = order[np.clip(tomb_pos, 0, None)]
 
     status = np.where(
         has_exp & has_act, "VALID", np.where(has_exp, "MISSING", "EXTRA")
     ).astype(object)
+    # a tombstone with no live row and no expected row is plain absence —
+    # neither EXTRA nor counted
+    status[~has_exp & ~has_act & has_tomb] = "_TOMB"
 
     both = has_exp & has_act
     exp_take = pa.array(exp_idx, pa.int64(), mask=~has_exp)
@@ -200,18 +226,23 @@ def compare_part_arrow(
     )
     status[any_diff & both] = "MISMATCH"
 
-    # fix_wt from the actual side's bookkeeping columns
+    # fix_wt from the actual side's bookkeeping columns — including the
+    # tombstone rows (side=2), so a correction for a tombstoned key beats the
+    # surviving tombstone's writetime
+    tomb_take = pa.array(tomb_idx, pa.int64(), mask=~has_tomb)
     fix_wt = np.full(ngroups, NEG_INF, dtype=np.int64)
     for name in [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]:
         if name in tbl.column_names:
-            v = pc.take(tbl.column(name), act_take)
-            arr = np.nan_to_num(
-                v.to_numpy(zero_copy_only=False).astype(np.float64), nan=float(NEG_INF)
-            ).astype(np.int64)
-            fix_wt = np.maximum(fix_wt, arr)
+            for take in (act_take, tomb_take):
+                v = pc.take(tbl.column(name), take)
+                arr = np.nan_to_num(
+                    v.to_numpy(zero_copy_only=False).astype(np.float64),
+                    nan=float(NEG_INF),
+                ).astype(np.int64)
+                fix_wt = np.maximum(fix_wt, arr)
     fix_wt = np.where(fix_wt == NEG_INF, 0, fix_wt) + 1
 
-    bad = status != "VALID"
+    bad = (status != "VALID") & (status != "_TOMB")
     key_take_bad = pa.array(
         np.where(has_exp, exp_idx, act_idx)[bad], pa.int64()
     )
@@ -222,8 +253,12 @@ def compare_part_arrow(
     out["cols_differ"] = cols_differ[bad]
     out["fix_wt"] = fix_wt[bad]
     exp_take_bad = pa.array(exp_idx[bad], pa.int64(), mask=~has_exp[bad])
+    act_take_bad = pa.array(act_idx[bad], pa.int64(), mask=~has_act[bad])
     for c in payload_cols:
         out[f"exp_{c}"] = pc.take(tbl.column(c), exp_take_bad).to_pandas()
+        # actual-side value: autocorrect needs it to compute counter deltas
+        # (reference binds origin − target, TargetUpdateStatement.java:69-76)
+        out[f"act_{c}"] = pc.take(tbl.column(c), act_take_bad).to_pandas()
     out = out.sort_values(list(key_cols), kind="mergesort", ignore_index=True)
 
     counts = {

@@ -86,6 +86,24 @@ def schema_from_json(obj) -> pa.Schema:
     return pa.schema(out)
 
 
+def _castable_variant(incoming: pa.DataType, declared: pa.DataType) -> bool:
+    """True when ``incoming`` is the same logical type as ``declared`` in a
+    different physical representation that align_to_schema casts per batch —
+    e.g. pandas-inferred timestamp[ns] against a declared timestamp[us], or
+    large_string against string.  Genuine type changes stay rejected."""
+    if pa.types.is_timestamp(incoming) and pa.types.is_timestamp(declared):
+        return True
+    if (pa.types.is_string(incoming) or pa.types.is_large_string(incoming)) and (
+        pa.types.is_string(declared) or pa.types.is_large_string(declared)
+    ):
+        return True
+    if (pa.types.is_binary(incoming) or pa.types.is_large_binary(incoming)) and (
+        pa.types.is_binary(declared) or pa.types.is_large_binary(declared)
+    ):
+        return True
+    return False
+
+
 def atomic_write_json(path: str, obj: Any) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -216,12 +234,17 @@ class Manifest:
         changed = False
         names = set(self.schema.names)
         for f in incoming:
+            # an all-null column arrives as Arrow null type (e.g. a pandas
+            # frame whose nullable column is entirely None) — compatible with
+            # any declared type, carries no type information of its own
+            if pa.types.is_null(f.type):
+                continue
             if f.name not in names:
                 self.schema = self.schema.append(f)
                 changed = True
             else:
                 have = self.schema.field(f.name).type
-                if have != f.type:
+                if have != f.type and not _castable_variant(f.type, have):
                     raise ValueError(
                         f"non-additive schema change for {f.name}: {have} -> {f.type}"
                     )
@@ -277,6 +300,18 @@ class Manifest:
         )
         atomic_write_json(self.path, self.to_json())
         self.gc(keep_staging={run_id} if receipts else set())
+        # the committing run's staged raw-event copy (~the whole input stream)
+        # is dead weight once receipts are folded in — drop it now, keeping
+        # only the receipt json files for resume bookkeeping
+        if receipts:
+            import shutil
+
+            sdir = self.staging_dir(run_id)
+            if os.path.isdir(sdir):
+                for fn in os.listdir(sdir):
+                    sub = os.path.join(sdir, fn)
+                    if os.path.isdir(sub):
+                        shutil.rmtree(sub, ignore_errors=True)
 
     def gc(self, keep_staging: set[str] | None = None) -> list[str]:
         """Delete data files not referenced by the committed manifest."""

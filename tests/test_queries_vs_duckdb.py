@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __ray_entry__ as contract
 
 SF_DIR = "/root/testdata/sf0.001"
+# the cdc_* oracle SQL embeds the change-stream cache path for this sf
+os.environ["GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
