@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q.dedup_exact_docs,
         "token_count_docs": q.token_count_docs,
         "ann_topk_embeddings": q.ann_topk_embeddings,
+        "ann_topk_ivf": q.ann_topk_ivf_embeddings,
         "langid_docs": q.langid_docs,
         "fingerprint_docs": q.fingerprint_docs,
         "simhash_docs": q.simhash_docs,
@@ -231,6 +232,18 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id
+""",
+        # IVF shares the exact brute-force oracle: rank parity == recall 1.0
+        "ann_topk_ivf": """
+SELECT CAST(0 AS BIGINT) AS query_id,
+       CAST(row_number() OVER (ORDER BY s DESC, vec_id) - 1 AS BIGINT) AS rank,
+       vec_id
+FROM (
+  SELECT vec_id,
+         list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
+  FROM embeddings
+) ORDER BY s DESC, vec_id LIMIT 10
 """,
         "ann_topk_embeddings": """
 SELECT CAST(0 AS BIGINT) AS query_id,

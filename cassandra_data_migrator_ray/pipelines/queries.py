@@ -378,6 +378,26 @@ def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "vec_id"]]
 
 
+def ann_topk_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF cosine top-10 for query vec_id=0, gated against the SAME brute-force
+    oracle as ann_topk_embeddings — rank parity means recall@10 = 1.0 via the
+    bucketed path.  Random gaussian testdata embeddings are near-orthogonal
+    (no cluster structure), so nprobe is set high relative to n_centroids
+    here; clustered real embeddings run at much lower scan fractions."""
+    from cassandra_data_migrator_ray.pipelines.dataops import ann_topk_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in emb.iter_batches(batch_size=4096, batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+            break
+    out = ann_topk_ivf(emb, q, k=10, n_centroids=16, nprobe=12)
+    out["query_id"] = np.int64(0)
+    return out[["query_id", "rank", "vec_id"]]
+
+
 def langid_docs(sf_dir: str) -> pd.DataFrame:
     from cassandra_data_migrator_ray.functions.text import LangId
 

@@ -195,3 +195,64 @@ class TestSimilarity:
         pairs = embedding_neardup(ray.data.from_pandas(df), threshold=0.99).to_pandas()
         found = set(zip(pairs["id_a"], pairs["id_b"]))
         assert {(i, 20 + i) for i in range(5)} <= found
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNoSilentTruncation:
+    def test_minhash_truncation_is_counted(self):
+        """Identical docs flood one bucket past max_bucket: dropped cross-
+        chunk pairs must surface in LAST_RUN_STATS, never silently."""
+        from cassandra_data_migrator_ray.pipelines import dataops
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(10, dtype=np.int64),
+                "text": ["the same exact document text here"] * 10,
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        pairs = dataops.dedup_minhash_lsh(
+            ds, threshold=0.5, max_bucket=4
+        ).to_pandas()
+        stats = dataops.LAST_RUN_STATS["minhash_lsh"]
+        assert stats["pairs_dropped"] > 0
+        # chunked pairs still found (within-chunk)
+        assert len(pairs) > 0 and (pairs["jaccard"] == 1.0).all()
+
+    def test_minhash_no_truncation_small_bucket(self):
+        from cassandra_data_migrator_ray.pipelines import dataops
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon eta",
+                    "one two three four five six",
+                    "seven eight nine ten eleven twelve",
+                    "completely different text goes right here",
+                    "yet another unrelated document body text",
+                ],
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        pairs = dataops.dedup_minhash_lsh(ds, threshold=0.5).to_pandas()
+        assert dataops.LAST_RUN_STATS["minhash_lsh"]["pairs_dropped"] == 0
+        assert {(0, 1)} <= set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfAnn:
+    def test_ivf_full_probe_equals_brute_force(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import ann_topk, ann_topk_ivf
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((300, 16))
+        df = pd.DataFrame(
+            {"vec_id": np.arange(300, dtype=np.int64), "embedding": list(vecs)}
+        )
+        ds = ray.data.from_pandas(df)
+        q = vecs[7]
+        bf = ann_topk(ds, q, k=5)
+        ivf = ann_topk_ivf(ds, q, k=5, n_centroids=8, nprobe=8)
+        assert list(bf["vec_id"]) == list(ivf["vec_id"])
