@@ -28,7 +28,6 @@ import ray.data
 
 from cassandra_data_migrator_ray.schema import (
     DEL_WT,
-    KEY_COLS,
     NEG_INF,
     ROW_WT,
     WT_SUFFIX,
@@ -37,7 +36,7 @@ from cassandra_data_migrator_ray.schema import (
 from cassandra_data_migrator_ray.stages.normalize import PART_COL
 from cassandra_data_migrator_ray.stages.validate import SIDE_COL, compare_group
 from cassandra_data_migrator_ray.state.manifest import Manifest
-from cassandra_data_migrator_ray.state.partitioning import assign_partition
+from cassandra_data_migrator_ray.state.partitioning import assign_partition_keys
 
 
 @dataclass
@@ -62,6 +61,7 @@ def _tag_side(
     payload_schema: pa.Schema,
     wt_cols: list[str],
     batch: pa.Table,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> pa.Table:
     """Project a batch to the unified compare layout + route + side tag
     (Arrow-native: only the key columns touch pandas, for the stable hash)."""
@@ -80,8 +80,8 @@ def _tag_side(
         else:
             cols[c] = pa.array(np.full(n, NEG_INF, dtype=np.int64))
     cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
-    part = assign_partition(
-        cols["conv_id"].to_pandas(), cols["turn_idx"].to_pandas(), num_parts, salt
+    part = assign_partition_keys(
+        [cols[k].to_pandas() for k in key_cols], num_parts, salt
     )
     cols[PART_COL] = pa.array(part, pa.int32())
     return pa.table(cols)
@@ -94,6 +94,7 @@ def _compare_staged_part(
     lake_files_by_part: dict[int, list[str]],
     wt_cols: list[str],
     schema_ipc: bytes,
+    key_cols: tuple[str, ...],
     batch: pd.DataFrame,
 ) -> pd.DataFrame:
     """Staged-exchange comparator task: staged expected slices + the lake
@@ -133,7 +134,9 @@ def _compare_staged_part(
             deleted = _pc.fill_null(t[DELETED], False)
             live = t.filter(_pc.invert(deleted))
             sides.append(
-                _tag_side(1, 1, 1, payload_schema, wt_cols, live).drop_columns([PART_COL])
+                _tag_side(1, 1, 1, payload_schema, wt_cols, live, key_cols).drop_columns(
+                    [PART_COL]
+                )
             )
             # tombstoned keys stay visible to the comparator as side=2: they
             # never produce EXTRA/MISMATCH, but their DEL_WT feeds fix_wt so a
@@ -142,7 +145,7 @@ def _compare_staged_part(
             tomb = t.filter(deleted)
             if tomb.num_rows:
                 sides.append(
-                    _tag_side(2, 1, 1, payload_schema, wt_cols, tomb).drop_columns(
+                    _tag_side(2, 1, 1, payload_schema, wt_cols, tomb, key_cols).drop_columns(
                         [PART_COL]
                     )
                 )
@@ -152,10 +155,10 @@ def _compare_staged_part(
         names = sides[0].column_names
         sides = [s.select(names) for s in sides]
         tbl = _pa.concat_tables(sides)
-        outs.append(compare_part_arrow(tbl, KEY_COLS, payload_cols, part))
+        outs.append(compare_part_arrow(tbl, list(key_cols), payload_cols, part))
     if not outs:
         return pd.DataFrame(
-            columns=[*KEY_COLS, "status", "cols_differ", "fix_wt"]
+            columns=[*key_cols, "status", "cols_differ", "fix_wt"]
         )
     return pd.concat(outs, ignore_index=True)
 
@@ -176,14 +179,23 @@ def validate(
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
-    payload_cols = payload_cols_of(manifest.schema)
+    key_cols = tuple(manifest.key_cols)
+    payload_cols = manifest.payload_cols()
     wt_cols = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
 
     full_schema = pa.schema(
         [manifest.schema.field(n) for n in manifest.schema.names]
     )
     exp_ds = _as_dataset(expected).map_batches(
-        partial(_tag_side, 0, manifest.num_parts, manifest.salt, full_schema, wt_cols),
+        partial(
+            _tag_side,
+            0,
+            manifest.num_parts,
+            manifest.salt,
+            full_schema,
+            wt_cols,
+            key_cols=key_cols,
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -222,6 +234,7 @@ def validate(
                         lake_by_part,
                         wt_cols,
                         full_schema.serialize().to_pybytes(),
+                        key_cols,
                     ),
                     batch_format="pandas",
                     batch_size=None,
@@ -246,6 +259,7 @@ def validate(
                     full_schema,
                     wt_cols,
                     batch.filter(pc.invert(deleted)),
+                    key_cols,
                 )
                 tomb = batch.filter(deleted)
                 if tomb.num_rows == 0:
@@ -261,6 +275,7 @@ def validate(
                             full_schema,
                             wt_cols,
                             tomb,
+                            key_cols,
                         ),
                     ]
                 )
@@ -272,7 +287,12 @@ def validate(
         else:
             union = exp_ds
         diff_ds = union.groupby(PART_COL).map_groups(
-            partial(compare_group, key_cols=KEY_COLS, payload_cols=payload_cols, part_col=PART_COL),
+            partial(
+                compare_group,
+                key_cols=list(key_cols),
+                payload_cols=payload_cols,
+                part_col=PART_COL,
+            ),
             batch_format="pandas",
         )
         report = diff_ds.to_pandas()
@@ -286,7 +306,7 @@ def validate(
                 counts[k] += int(v)
         report = (
             report[report["status"] != "_COUNTS"]
-            .sort_values(KEY_COLS, kind="mergesort", ignore_index=True)
+            .sort_values(list(key_cols), kind="mergesort", ignore_index=True)
         )
     if report_path is not None and len(report):
         import pyarrow.parquet as pq
@@ -313,7 +333,7 @@ def autocorrect(
     from cassandra_data_migrator_ray.pipelines.replay import replay
 
     manifest = Manifest.load(lake_dir)
-    payload_cols = payload_cols_of(manifest.schema)
+    payload_cols = manifest.payload_cols()
     counter_cols = set(manifest.counter_cols)
     rep = result.report
     if rep.empty:
@@ -321,7 +341,7 @@ def autocorrect(
     base_seq = max([v for v in manifest.watermarks().values()] + [0]) + 1
     ev = pd.DataFrame()
     ev["op"] = np.where(rep["status"] == "EXTRA", "DELETE", "UPSERT")
-    for k in KEY_COLS:
+    for k in manifest.key_cols:
         ev[k] = rep[k]
     for c in payload_cols:
         col = rep[f"exp_{c}"]

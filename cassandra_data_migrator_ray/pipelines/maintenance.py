@@ -19,7 +19,7 @@ import pandas as pd
 
 import ray.data
 
-from cassandra_data_migrator_ray.schema import KEY_COLS, payload_cols_of
+from cassandra_data_migrator_ray.schema import payload_cols_of
 from cassandra_data_migrator_ray.stages.merge import (
     MergeConfig,
     read_partition_state,
@@ -54,7 +54,7 @@ def _compact_part(cfg: MergeConfig, batch: pd.DataFrame) -> pd.DataFrame:
         if state is None:
             continue
         state = compact_tombstones(state, cfg.grace_wt)
-        state = state.sort_values(KEY_COLS, kind="mergesort", ignore_index=True)
+        state = state.sort_values(list(cfg.key_cols), kind="mergesort", ignore_index=True)
         rel = write_partition_state(cfg, part, state)
         tombstones = int(state[DELETED].sum())
         receipt = {
@@ -97,9 +97,10 @@ def compact_lake(lake_dir: str, grace_wt: int | None = None) -> CompactResult:
     cfg = MergeConfig(
         lake_dir=lake_dir,
         run_id=run_id,
-        payload_cols=payload_cols_of(manifest.schema),
+        payload_cols=manifest.payload_cols(),
         payload_schema_json=schema_to_json(manifest.schema),
         counter_cols=tuple(manifest.counter_cols),
+        key_cols=tuple(manifest.key_cols),
         grace_wt=grace_wt,
         prior_files={k: v.files for k, v in manifest.partitions.items()},
         prior_watermarks=manifest.watermarks(),

@@ -75,6 +75,7 @@ def replay(
     num_parts: int = 32,
     salt: int = 1,
     counter_cols: tuple[str, ...] = (),
+    key_cols: tuple[str, ...] | None = None,
     compact: bool = False,
     grace_wt: int | None = None,
     run_id: str | None = None,
@@ -106,6 +107,7 @@ def replay(
         num_parts,
         salt=salt,
         counter_cols=list(counter_cols),
+        key_cols=list(key_cols) if key_cols else None,
     )
     incoming = ds.schema()
     incoming_payload = pa.schema(
@@ -120,6 +122,7 @@ def replay(
     num_parts = manifest.num_parts
     salt = manifest.salt
     counter_cols = tuple(manifest.counter_cols)
+    key_cols = tuple(manifest.key_cols)
     run_id = run_id or uuid.uuid4().hex[:12]
 
     for t in transforms or []:
@@ -132,6 +135,7 @@ def replay(
         watermarks=manifest.watermarks(),
         counter_cols=counter_cols,
         prefold=prefold,
+        key_cols=key_cols,
     )
     kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": batch_size}
     if normalize_concurrency:
@@ -141,9 +145,10 @@ def replay(
     cfg = MergeConfig(
         lake_dir=lake_dir,
         run_id=run_id,
-        payload_cols=payload_cols_of(manifest.schema),
+        payload_cols=manifest.payload_cols(),
         payload_schema_json=schema_to_json(manifest.schema),
         counter_cols=counter_cols,
+        key_cols=key_cols,
         compact=compact,
         grace_wt=grace_wt,
         prior_files={k: v.files for k, v in manifest.partitions.items()},

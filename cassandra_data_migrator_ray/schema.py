@@ -65,18 +65,19 @@ MAX_SEQ = "__max_seq"  # max event_seq ever folded into the key (watermark basis
 NEG_INF = -(2**62)
 
 
-def state_schema(payload_schema: pa.Schema) -> pa.Schema:
+def state_schema(payload_schema: pa.Schema, key_cols: list[str] | None = None) -> pa.Schema:
     """Lake *internal* schema for a given public payload schema.
 
     Per payload column c we persist c, c__wt, c__seq (cell-level LWW, mirroring
     Cassandra's per-cell timestamps that the reference reads via WRITETIME(c)),
     plus row-level tombstone + liveness markers.
     """
+    key_cols = KEY_COLS if key_cols is None else key_cols
     fields: list[pa.Field] = []
     names = payload_schema.names
     for name in names:
         fields.append(payload_schema.field(name))
-        if name not in KEY_COLS:
+        if name not in key_cols:
             fields.append(pa.field(name + WT_SUFFIX, pa.int64()))
             fields.append(pa.field(name + SEQ_SUFFIX, pa.int64()))
     fields += [
@@ -112,5 +113,6 @@ def align_to_schema(table: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
-def payload_cols_of(schema: pa.Schema) -> list[str]:
-    return [n for n in schema.names if n not in KEY_COLS]
+def payload_cols_of(schema: pa.Schema, key_cols: list[str] | None = None) -> list[str]:
+    key_cols = KEY_COLS if key_cols is None else key_cols
+    return [n for n in schema.names if n not in key_cols]

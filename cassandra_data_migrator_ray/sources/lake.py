@@ -15,7 +15,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from cassandra_data_migrator_ray.schema import DELETED, KEY_COLS, payload_cols_of
+from cassandra_data_migrator_ray.schema import DELETED, payload_cols_of
 from cassandra_data_migrator_ray.state.manifest import Manifest
 
 
@@ -39,7 +39,7 @@ def read_lake(
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
     files = lake_files(manifest, parts)
-    public_cols = columns or [*KEY_COLS, *payload_cols_of(manifest.schema)]
+    public_cols = columns or [*manifest.key_cols, *manifest.payload_cols()]
     read_cols = list(dict.fromkeys([*public_cols, DELETED]))
     if not files:
         return ray.data.from_arrow(
@@ -65,11 +65,11 @@ def read_lake_pandas(
         raise FileNotFoundError(f"no manifest at {lake_dir}")
     files = lake_files(manifest)
     if not files:
-        return pd.DataFrame(columns=[*KEY_COLS, *payload_cols_of(manifest.schema)])
+        return pd.DataFrame(columns=[*manifest.key_cols, *manifest.payload_cols()])
     tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
     df = tbl.to_pandas()
     if not include_tombstones:
         df = df[~df[DELETED].to_numpy(dtype=bool)]
     if not internal:
-        df = df[[*KEY_COLS, *payload_cols_of(manifest.schema)]]
-    return df.sort_values(KEY_COLS, kind="mergesort", ignore_index=True)
+        df = df[[*manifest.key_cols, *manifest.payload_cols()]]
+    return df.sort_values(list(manifest.key_cols), kind="mergesort", ignore_index=True)

@@ -27,7 +27,6 @@ from cassandra_data_migrator_ray.functions.lww import (
 )
 from cassandra_data_migrator_ray.schema import (
     DELETED,
-    KEY_COLS,
     MAX_SEQ,
     state_schema,
 )
@@ -52,6 +51,7 @@ class MergeConfig:
     payload_cols: list[str]
     payload_schema_json: list[list[str]]  # manifest.schema_to_json form
     counter_cols: tuple[str, ...] = ()
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     compact: bool = False  # drop all tombstones (stream fully drained)
     grace_wt: int | None = None  # else drop tombstones older than this watermark
     prior_files: dict[int, list[str]] = field(default_factory=dict)
@@ -61,7 +61,7 @@ class MergeConfig:
 def _arrow_state_schema(cfg: MergeConfig) -> pa.Schema:
     from cassandra_data_migrator_ray.state.manifest import schema_from_json
 
-    return state_schema(schema_from_json(cfg.payload_schema_json))
+    return state_schema(schema_from_json(cfg.payload_schema_json), list(cfg.key_cols))
 
 
 def read_partition_state(cfg: MergeConfig, part: int) -> pd.DataFrame | None:
@@ -106,7 +106,7 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
         from cassandra_data_migrator_ray.functions.lww import fold_events
 
         partials = fold_events(
-            partials, KEY_COLS, cfg.payload_cols, cfg.counter_cols
+            partials, list(cfg.key_cols), cfg.payload_cols, cfg.counter_cols
         )
 
     # resume: a receipt from this run means the partition is already merged
@@ -137,12 +137,14 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
     old = read_partition_state(cfg, part)
     if old is not None and len(old):
         frames.append(old)
-    state = merge_state_frames(frames, KEY_COLS, cfg.payload_cols, cfg.counter_cols)
+    state = merge_state_frames(
+        frames, list(cfg.key_cols), cfg.payload_cols, cfg.counter_cols
+    )
     if cfg.compact:
         state = compact_tombstones(state, None)
     elif cfg.grace_wt is not None:
         state = compact_tombstones(state, cfg.grace_wt)
-    state = state.sort_values(KEY_COLS, kind="mergesort", ignore_index=True)
+    state = state.sort_values(list(cfg.key_cols), kind="mergesort", ignore_index=True)
 
     watermark = max(
         int(cfg.prior_watermarks.get(part, -1)),

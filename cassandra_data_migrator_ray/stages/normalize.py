@@ -32,11 +32,22 @@ from cassandra_data_migrator_ray.schema import (
     align_to_schema,
     payload_cols_of,
 )
-from cassandra_data_migrator_ray.state.partitioning import assign_partition
+from cassandra_data_migrator_ray.state.partitioning import assign_partition_keys
 
 PART_COL = "__part"
 
 _PK_DEFAULTS: dict[str, object] = {"conv_id": "", "turn_idx": -1}
+
+
+def _default_for(t: pa.DataType) -> object:
+    """Type-based null-PK default (reference convertNull semantics)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return -1
+    if pa.types.is_boolean(t):
+        return False
+    return None
 
 
 class Normalize:
@@ -62,14 +73,24 @@ class Normalize:
         counter_cols: tuple[str, ...] = (),
         pk_defaults: Mapping[str, object] | None = None,
         prefold: bool = False,
+        key_cols: tuple[str, ...] | None = None,
     ) -> None:
         self.prefold = prefold
         self.payload_schema = payload_schema
-        self.payload_cols = payload_cols_of(payload_schema)
+        self.key_cols = list(key_cols) if key_cols else list(KEY_COLS)
+        self.payload_cols = payload_cols_of(payload_schema, self.key_cols)
         self.num_parts = num_parts
         self.salt = salt
         self.counter_cols = tuple(counter_cols)
-        self.pk_defaults = dict(pk_defaults or _PK_DEFAULTS)
+        if pk_defaults is not None:
+            self.pk_defaults = dict(pk_defaults)
+        else:
+            self.pk_defaults = {
+                k: _default_for(payload_schema.field(k).type)
+                if k in payload_schema.names
+                else _PK_DEFAULTS.get(k)
+                for k in self.key_cols
+            }
         # dense watermark vector for O(1) vectorized lookup
         wm = np.full(num_parts, -1, dtype=np.int64)
         for k, v in (watermarks or {}).items():
@@ -86,21 +107,25 @@ class Normalize:
     def _out_schema(self) -> pa.Schema:
         from cassandra_data_migrator_ray.schema import state_schema
 
-        return state_schema(self.payload_schema).append(pa.field(PART_COL, pa.int32()))
+        return state_schema(self.payload_schema, self.key_cols).append(
+            pa.field(PART_COL, pa.int32())
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         batch = align_to_schema(batch, self._event_schema())
         # null-PK defaulting (reference convertNull semantics) — Arrow kernels
-        for k in KEY_COLS:
+        for k in self.key_cols:
             col = batch.column(k)
             if col.null_count:
                 i = batch.column_names.index(k)
                 batch = batch.set_column(i, k, pc.fill_null(col, self.pk_defaults.get(k)))
-        conv = batch.column("conv_id").to_pandas()
-        turn = batch.column("turn_idx").to_pandas()
-        part = assign_partition(conv, turn, self.num_parts, self.salt)
+        part = assign_partition_keys(
+            [batch.column(k).to_pandas() for k in self.key_cols],
+            self.num_parts,
+            self.salt,
+        )
         # watermark filter: events at or below a partition's high-watermark were
         # already merged in a committed run — drop them (exactly-once replay)
         keep = batch.column("event_seq").to_numpy(zero_copy_only=False) > self.wm[part]
@@ -111,10 +136,10 @@ class Normalize:
             return batch.append_column(PART_COL, pa.array(part, pa.int32()))
 
         df = batch.to_pandas()
-        folded = fold_events(df, KEY_COLS, self.payload_cols, self.counter_cols)
+        folded = fold_events(df, self.key_cols, self.payload_cols, self.counter_cols)
         if len(folded):
-            folded[PART_COL] = assign_partition(
-                folded["conv_id"], folded["turn_idx"], self.num_parts, self.salt
+            folded[PART_COL] = assign_partition_keys(
+                [folded[k] for k in self.key_cols], self.num_parts, self.salt
             )
         else:
             folded[PART_COL] = np.array([], dtype=np.int32)

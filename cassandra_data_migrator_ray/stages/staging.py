@@ -163,7 +163,7 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
     import pyarrow.compute as pc
 
     from cassandra_data_migrator_ray.functions.lww import fold_events_arrow
-    from cassandra_data_migrator_ray.schema import DEL_WT, DELETED, KEY_COLS, MAX_SEQ
+    from cassandra_data_migrator_ray.schema import DEL_WT, DELETED, MAX_SEQ
     from cassandra_data_migrator_ray.state.manifest import atomic_write_json
     from cassandra_data_migrator_ray.stages.merge import _arrow_state_schema
 
@@ -191,7 +191,9 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
         )
 
     _t1 = _time.perf_counter()
-    state = fold_events_arrow(events_tbl, KEY_COLS, cfg.payload_cols, cfg.counter_cols)
+    state = fold_events_arrow(
+        events_tbl, list(cfg.key_cols), cfg.payload_cols, cfg.counter_cols
+    )
     _t_fold = _time.perf_counter() - _t1
     keys_in = state.num_rows
     if cfg.compact:
@@ -202,7 +204,7 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
         )
         state = state.filter(keep)
     order = pc.sort_indices(
-        state, sort_keys=[(k, "ascending") for k in KEY_COLS]
+        state, sort_keys=[(k, "ascending") for k in cfg.key_cols]
     )
     state = state.take(order)
 

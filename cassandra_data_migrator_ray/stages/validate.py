@@ -28,7 +28,23 @@ from cassandra_data_migrator_ray.schema import (
     WT_SUFFIX,
 )
 
-SIDE_COL = "__side"  # 0 = expected (origin), 1 = actual (target/lake)
+SIDE_COL = "__side"  # 0 = expected (origin), 1 = actual (target/lake), 2 = lake tombstone
+
+
+def _counts_key_sentinels(key_cols, dtypes) -> dict:
+    """Type-appropriate key values for the synthetic '_COUNTS' row (string
+    keys get '', numeric keys -1) so the report frame keeps stable dtypes
+    for any PK shape."""
+    out = {}
+    for k in key_cols:
+        dt = dtypes.get(k)
+        if dt is not None and (np.issubdtype(dt, np.integer) or np.issubdtype(dt, np.floating)):
+            out[k] = dt.type(-1)
+        else:
+            out[k] = ""
+    return out
+
+
 
 REPORT_COLUMNS = ["conv_id", "turn_idx", "status", "cols_differ", "fix_wt"]
 
@@ -124,10 +140,9 @@ def compare_group(
         "EXTRA": int((status == "EXTRA").sum()),
     }
     counts_row = {k: None for k in out.columns}
+    counts_row.update(_counts_key_sentinels(key_cols, dict(g.dtypes)))
     counts_row.update(
         {
-            key_cols[0]: "",
-            key_cols[1]: np.int32(-1),
             "status": "_COUNTS",
             "cols_differ": ";".join(f"{k}={v}" for k, v in counts.items()),
             "fix_wt": np.int64(int(g[part_col].iloc[0])),
@@ -268,10 +283,9 @@ def compare_part_arrow(
         "EXTRA": int((status == "EXTRA").sum()),
     }
     counts_row = {k: None for k in out.columns}
+    counts_row.update(_counts_key_sentinels(key_cols, dict(out.dtypes)))
     counts_row.update(
         {
-            key_cols[0]: "",
-            key_cols[1]: np.int32(-1),
             "status": "_COUNTS",
             "cols_differ": ";".join(f"{k}={v}" for k, v in counts.items()),
             "fix_wt": np.int64(part),

@@ -136,6 +136,11 @@ class Manifest:
     num_parts: int
     salt: int = 1
     counter_cols: list[str] = field(default_factory=list)
+    # primary-key columns of the lake table (reference PKFactory composes PKs
+    # from origin columns, constants and exploded map keys,
+    # data/PKFactory.java:106-133,241-322 — here transforms compose the key
+    # columns before normalize, and the manifest pins which columns they are)
+    key_cols: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
     version: int = 0
     partitions: dict[int, PartitionState] = field(default_factory=dict)
     runs: list[dict] = field(default_factory=list)
@@ -162,6 +167,7 @@ class Manifest:
             "num_parts": self.num_parts,
             "salt": self.salt,
             "counter_cols": self.counter_cols,
+            "key_cols": self.key_cols,
             "version": self.version,
             "partitions": {
                 str(k): {
@@ -190,6 +196,7 @@ class Manifest:
             num_parts=j["num_parts"],
             salt=j.get("salt", 1),
             counter_cols=j.get("counter_cols", []),
+            key_cols=j.get("key_cols", ["conv_id", "turn_idx"]),
             version=j["version"],
             runs=j.get("runs", []),
         )
@@ -212,6 +219,7 @@ class Manifest:
         num_parts: int,
         salt: int = 1,
         counter_cols: list[str] | None = None,
+        key_cols: list[str] | None = None,
     ) -> "Manifest":
         m = cls.load(lake_dir)
         if m is None:
@@ -222,8 +230,12 @@ class Manifest:
                 num_parts=num_parts,
                 salt=salt,
                 counter_cols=list(counter_cols or []),
+                key_cols=list(key_cols or ["conv_id", "turn_idx"]),
             )
         return m
+
+    def payload_cols(self) -> list[str]:
+        return [n for n in self.schema.names if n not in self.key_cols]
 
     # ---------- schema evolution ----------
     def evolve_schema(self, incoming: pa.Schema) -> bool:

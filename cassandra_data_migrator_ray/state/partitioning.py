@@ -41,3 +41,25 @@ def assign_partition(
         t = turn_idx.to_numpy() if isinstance(turn_idx, pd.Series) else np.asarray(turn_idx)
         h = h ^ ((t.astype(np.uint64) % np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15))
     return (h % np.uint64(num_parts)).astype(np.int32)
+
+
+def assign_partition_keys(
+    keys: "list[np.ndarray | pd.Series]",
+    num_parts: int,
+    salt: int = 1,
+) -> np.ndarray:
+    """Generalized route for an arbitrary PK column list: hash of the FIRST
+    key component (any function of a key prefix co-locates the full key),
+    with ``salt`` mixing the second component so a hot first-component value
+    spreads over up to salt partitions.  For the canonical transcripts key
+    this is byte-identical to :func:`assign_partition`."""
+    h = hash_key(keys[0])
+    if salt > 1 and len(keys) > 1:
+        t = keys[1]
+        arr = t.to_numpy() if isinstance(t, pd.Series) else np.asarray(t)
+        if np.issubdtype(arr.dtype, np.integer):
+            mix = arr.astype(np.uint64) % np.uint64(salt)
+        else:
+            mix = hash_key(arr) % np.uint64(salt)
+        h = h ^ (mix * np.uint64(0x9E3779B97F4A7C15))
+    return (h % np.uint64(num_parts)).astype(np.int32)
