@@ -38,9 +38,12 @@ from cassandra_data_migrator_ray.schema import (
     DELETED,
     MAX_SEQ,
     NEG_INF,
+    NO_EXPIRY,
     ROW_SEQ,
+    ROW_TTLX,
     ROW_WT,
     SEQ_SUFFIX,
+    TTLX_SUFFIX,
     WT_SUFFIX,
 )
 
@@ -97,6 +100,7 @@ def fold_events(
     key_cols: Sequence[str],
     payload_cols: Sequence[str],
     counter_cols: Sequence[str] = (),
+    ttl: bool = False,
 ) -> pd.DataFrame:
     """Fold a frame of change events into one state row per key.
 
@@ -104,13 +108,25 @@ def fold_events(
     Output: the internal state frame (see schema.state_schema).
     """
     if df.empty:
-        return empty_state(df, key_cols, payload_cols, counter_cols)
+        return empty_state(df, key_cols, payload_cols, counter_cols, ttl=ttl)
     df, starts = _cluster_and_starts(df, key_cols, ("writetime", "event_seq"))
     n = len(df)
     idx = np.arange(n, dtype=np.int64)
     is_del = df["op"].to_numpy() == "DELETE"
     wt = df["writetime"].to_numpy(dtype=np.int64)
     seq = df["event_seq"].to_numpy(dtype=np.int64)
+    if ttl:
+        # per-event expiry = writetime + ttl seconds (reference USING TTL,
+        # feature/WritetimeTTL.java:235-281); null ttl = never expires
+        if "ttl" in df.columns:
+            tsec = pd.to_numeric(df["ttl"], errors="coerce")
+            ttlx = np.where(
+                tsec.notna().to_numpy(),
+                wt + np.nan_to_num(tsec.to_numpy(dtype=np.float64)).astype(np.int64) * 1_000_000,
+                NO_EXPIRY,
+            )
+        else:
+            ttlx = np.full(n, NO_EXPIRY, dtype=np.int64)
     ends = np.r_[starts[1:], n] - 1  # last row index of each group
     ngroups = len(starts)
     gid = np.repeat(np.arange(ngroups), np.diff(np.r_[starts, n]))
@@ -157,6 +173,8 @@ def fold_events(
             last_c = np.maximum.reduceat(np.where(valid, idx, -1), starts)
             out[c + WT_SUFFIX] = np.where(last_c >= 0, wt[np.clip(last_c, 0, None)], NEG_INF)
             out[c + SEQ_SUFFIX] = np.where(last_c >= 0, seq[np.clip(last_c, 0, None)], NEG_INF)
+            if ttl:
+                out[c + TTLX_SUFFIX] = np.full(len(starts), NO_EXPIRY, dtype=np.int64)
             continue
         notnull = df[c].notna().to_numpy()
         valid = live & notnull
@@ -165,6 +183,10 @@ def fold_events(
         out[c] = _take_or(df[c], last_c, ok)
         out[c + WT_SUFFIX] = np.where(ok, wt[np.clip(last_c, 0, None)], NEG_INF)
         out[c + SEQ_SUFFIX] = np.where(ok, seq[np.clip(last_c, 0, None)], NEG_INF)
+        if ttl:
+            out[c + TTLX_SUFFIX] = np.where(
+                ok, ttlx[np.clip(last_c, 0, None)], NO_EXPIRY
+            )
 
     out[DEL_WT] = np.where(has_del, wt[np.clip(last_del, 0, None)], NEG_INF)
     out[DEL_SEQ] = np.where(has_del, seq[np.clip(last_del, 0, None)], NEG_INF)
@@ -172,6 +194,8 @@ def fold_events(
     out[ROW_SEQ] = np.where(exists, seq[np.clip(last_up, 0, None)], NEG_INF)
     out[DELETED] = ~exists
     out[MAX_SEQ] = np.maximum.reduceat(seq, starts)
+    if ttl:
+        out[ROW_TTLX] = np.where(exists, ttlx[np.clip(last_up, 0, None)], NO_EXPIRY)
     return out
 
 
@@ -180,6 +204,7 @@ def fold_events_arrow(
     key_cols: Sequence[str],
     payload_cols: Sequence[str],
     counter_cols: Sequence[str] = (),
+    ttl: bool = False,
 ) -> "pa.Table":
     """Arrow-native :func:`fold_events`: identical semantics, but the hot path
     never materializes Python-object strings — winner indices are computed on
@@ -201,7 +226,9 @@ def fold_events_arrow(
         payload_schema = pa.schema(
             [tbl.schema.field(c) for c in (*key_cols, *payload_cols)]
         )
-        return pa.Table.from_pylist([], schema=state_schema(payload_schema))
+        return pa.Table.from_pylist(
+            [], schema=state_schema(payload_schema, list(key_cols), ttl=ttl)
+        )
     # integer codes per key column without object conversion
     codes: list[np.ndarray] = []
     for k in key_cols:
@@ -215,6 +242,17 @@ def fold_events_arrow(
             codes.append(np.nan_to_num(idxs, nan=-1).astype(np.int64))
     wt = tbl.column("writetime").to_numpy(zero_copy_only=False).astype(np.int64)
     seq = tbl.column("event_seq").to_numpy(zero_copy_only=False).astype(np.int64)
+    if ttl:
+        if "ttl" in tbl.column_names:
+            tcol = pc.cast(tbl.column("ttl"), pa.float64())
+            tnum = tcol.to_numpy(zero_copy_only=False)
+            ttlx_all = np.where(
+                ~np.isnan(tnum),
+                wt + np.nan_to_num(tnum).astype(np.int64) * 1_000_000,
+                NO_EXPIRY,
+            )
+        else:
+            ttlx_all = np.full(n, NO_EXPIRY, dtype=np.int64)
     is_del = (
         pc.fill_null(pc.equal(tbl.column("op"), "DELETE"), False)
         .to_numpy(zero_copy_only=False)
@@ -223,6 +261,7 @@ def fold_events_arrow(
 
     order = np.lexsort((seq, wt, *codes[::-1]))
     swt, sseq, sdel = wt[order], seq[order], is_del[order]
+    sttlx = ttlx_all[order] if ttl else None
     change = np.zeros(n, dtype=bool)
     if n:
         change[0] = True
@@ -282,6 +321,10 @@ def fold_events_arrow(
             out[c + SEQ_SUFFIX] = pa.array(
                 np.where(ok, sseq[np.clip(last_c, 0, None)], NEG_INF)
             )
+            if ttl:
+                out[c + TTLX_SUFFIX] = pa.array(
+                    np.full(ngroups, NO_EXPIRY, dtype=np.int64)
+                )
             continue
         notnull = (
             pc.is_valid(col).to_numpy(zero_copy_only=False).astype(bool)[order]
@@ -292,6 +335,10 @@ def fold_events_arrow(
         out[c] = _nullable_take(col, last_c, ok)
         out[c + WT_SUFFIX] = pa.array(np.where(ok, swt[np.clip(last_c, 0, None)], NEG_INF))
         out[c + SEQ_SUFFIX] = pa.array(np.where(ok, sseq[np.clip(last_c, 0, None)], NEG_INF))
+        if ttl:
+            out[c + TTLX_SUFFIX] = pa.array(
+                np.where(ok, sttlx[np.clip(last_c, 0, None)], NO_EXPIRY)
+            )
 
     out[DEL_WT] = pa.array(np.where(has_del, swt[np.clip(last_del, 0, None)], NEG_INF))
     out[DEL_SEQ] = pa.array(np.where(has_del, sseq[np.clip(last_del, 0, None)], NEG_INF))
@@ -299,6 +346,10 @@ def fold_events_arrow(
     out[ROW_SEQ] = pa.array(np.where(exists, sseq[np.clip(last_up, 0, None)], NEG_INF))
     out[DELETED] = pa.array(~exists)
     out[MAX_SEQ] = pa.array(np.maximum.reduceat(seq[order], starts) if n else np.array([], np.int64))
+    if ttl:
+        out[ROW_TTLX] = pa.array(
+            np.where(exists, sttlx[np.clip(last_up, 0, None)], NO_EXPIRY)
+        )
     return pa.table(out)
 
 
@@ -307,6 +358,7 @@ def empty_state(
     key_cols: Sequence[str],
     payload_cols: Sequence[str],
     counter_cols: Sequence[str] = (),
+    ttl: bool = False,
 ) -> pd.DataFrame:
     cols: dict[str, pd.Series] = {}
     for k in key_cols:
@@ -317,9 +369,13 @@ def empty_state(
         )
         cols[c + WT_SUFFIX] = pd.Series([], dtype=np.int64)
         cols[c + SEQ_SUFFIX] = pd.Series([], dtype=np.int64)
+        if ttl:
+            cols[c + TTLX_SUFFIX] = pd.Series([], dtype=np.int64)
     for extra in (DEL_WT, DEL_SEQ, ROW_WT, ROW_SEQ, MAX_SEQ):
         cols[extra] = pd.Series([], dtype=np.int64)
     cols[DELETED] = pd.Series([], dtype=bool)
+    if ttl:
+        cols[ROW_TTLX] = pd.Series([], dtype=np.int64)
     return pd.DataFrame(cols)
 
 
@@ -328,6 +384,7 @@ def merge_state_frames(
     key_cols: Sequence[str],
     payload_cols: Sequence[str],
     counter_cols: Sequence[str] = (),
+    ttl: bool = False,
 ) -> pd.DataFrame:
     """Associative, commutative multi-way merge of state frames.
 
@@ -418,6 +475,8 @@ def merge_state_frames(
             ci = _argmax_lex(np.where(live, w, NEG_INF), np.where(live, s, NEG_INF))
             out[c + WT_SUFFIX] = np.where(any_live, w[ci], NEG_INF)
             out[c + SEQ_SUFFIX] = np.where(any_live, s[ci], NEG_INF)
+            if ttl:
+                out[c + TTLX_SUFFIX] = np.full(ngroups, NO_EXPIRY, dtype=np.int64)
             continue
         wi = _argmax_lex(w, s)
         win_wt, win_seq = w[wi], s[wi]
@@ -425,6 +484,13 @@ def merge_state_frames(
         out[c] = _take_or(df[c], wi, alive)
         out[c + WT_SUFFIX] = np.where(alive, win_wt, NEG_INF)
         out[c + SEQ_SUFFIX] = np.where(alive, win_seq, NEG_INF)
+        if ttl:
+            tx = (
+                df[c + TTLX_SUFFIX].fillna(NO_EXPIRY).to_numpy(dtype=np.int64)
+                if c + TTLX_SUFFIX in df.columns
+                else np.full(n, NO_EXPIRY, dtype=np.int64)
+            )
+            out[c + TTLX_SUFFIX] = np.where(alive, tx[wi], NO_EXPIRY)
 
     out[DEL_WT] = del_wt
     out[DEL_SEQ] = del_seq
@@ -432,6 +498,13 @@ def merge_state_frames(
     out[ROW_SEQ] = np.where(exists, row_seq, NEG_INF)
     out[DELETED] = ~exists
     out[MAX_SEQ] = np.maximum.reduceat(df[MAX_SEQ].to_numpy(dtype=np.int64), starts)
+    if ttl:
+        rtx = (
+            df[ROW_TTLX].fillna(NO_EXPIRY).to_numpy(dtype=np.int64)
+            if ROW_TTLX in df.columns
+            else np.full(n, NO_EXPIRY, dtype=np.int64)
+        )
+        out[ROW_TTLX] = np.where(exists, rtx[ri], NO_EXPIRY)
     return out
 
 
@@ -456,6 +529,58 @@ def state_to_public(
     """Project internal state to the user-facing table (tombstones dropped)."""
     live = state[~state[DELETED].to_numpy(dtype=bool)]
     return live[[*key_cols, *payload_cols]].reset_index(drop=True)
+
+
+def apply_ttl_expiry(
+    state: pd.DataFrame,
+    as_of: int,
+    payload_cols: Sequence[str],
+    harden: bool = False,
+) -> pd.DataFrame:
+    """Evaluate per-cell TTL at ``as_of`` µs (reference cells expire in
+    Cassandra itself; here expiry is an explicit evaluation point).
+
+    Expired cells read as null — their ``c__wt`` is KEPT so an older
+    redelivered event cannot resurrect the value.  A row whose row marker
+    expired and has no live cell becomes deleted; with ``harden=True``
+    (compaction) it is converted to a regular tombstone at the row's
+    writetime, after which normal gc_grace rules apply.
+    """
+    st = state.copy()
+    n = len(st)
+    if n == 0:
+        return st
+    any_live_cell = np.zeros(n, dtype=bool)
+    for c in payload_cols:
+        tc = c + TTLX_SUFFIX
+        if tc not in st.columns:
+            any_live_cell |= st[c].notna().to_numpy()
+            continue
+        ttlx = st[tc].fillna(NO_EXPIRY).to_numpy(dtype=np.int64)
+        expired = ttlx <= as_of
+        if expired.any():
+            dead = st[c].copy()
+            dead[expired] = None
+            st[c] = dead
+        any_live_cell |= st[c].notna().to_numpy()
+    if ROW_TTLX in st.columns:
+        row_expired = st[ROW_TTLX].fillna(NO_EXPIRY).to_numpy(dtype=np.int64) <= as_of
+        deleted = st[DELETED].to_numpy(dtype=bool)
+        gone = row_expired & ~any_live_cell & ~deleted
+        if gone.any():
+            st.loc[gone, DELETED] = True
+            if harden:
+                rw = st[ROW_WT].to_numpy(dtype=np.int64)
+                rs = st[ROW_SEQ].to_numpy(dtype=np.int64)
+                st.loc[gone, DEL_WT] = np.maximum(
+                    st[DEL_WT].to_numpy(dtype=np.int64)[gone], rw[gone]
+                )
+                st.loc[gone, DEL_SEQ] = np.maximum(
+                    st[DEL_SEQ].to_numpy(dtype=np.int64)[gone], rs[gone]
+                )
+            st.loc[gone, ROW_WT] = NEG_INF
+            st.loc[gone, ROW_SEQ] = NEG_INF
+    return st
 
 
 def compact_tombstones(state: pd.DataFrame, grace_wt: int | None = None) -> pd.DataFrame:

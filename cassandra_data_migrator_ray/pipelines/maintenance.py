@@ -35,7 +35,7 @@ class CompactResult:
     seconds: float
 
 
-def _compact_part(cfg: MergeConfig, batch: pd.DataFrame) -> pd.DataFrame:
+def _compact_part(cfg: MergeConfig, ttl_as_of: int | None, batch: pd.DataFrame) -> pd.DataFrame:
     import time
 
     import pyarrow as pa
@@ -53,6 +53,10 @@ def _compact_part(cfg: MergeConfig, batch: pd.DataFrame) -> pd.DataFrame:
         state = read_partition_state(cfg, part)
         if state is None:
             continue
+        if cfg.ttl_enabled and ttl_as_of is not None:
+            from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
+
+            state = apply_ttl_expiry(state, ttl_as_of, cfg.payload_cols, harden=True)
         state = compact_tombstones(state, cfg.grace_wt)
         state = state.sort_values(list(cfg.key_cols), kind="mergesort", ignore_index=True)
         rel = write_partition_state(cfg, part, state)
@@ -85,7 +89,9 @@ def _compact_part(cfg: MergeConfig, batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def compact_lake(lake_dir: str, grace_wt: int | None = None) -> CompactResult:
+def compact_lake(
+    lake_dir: str, grace_wt: int | None = None, ttl_as_of: int | None = None
+) -> CompactResult:
     """Rewrite every partition dropping eligible tombstones (2-phase commit)."""
     import time
 
@@ -101,6 +107,7 @@ def compact_lake(lake_dir: str, grace_wt: int | None = None) -> CompactResult:
         payload_schema_json=schema_to_json(manifest.schema),
         counter_cols=tuple(manifest.counter_cols),
         key_cols=tuple(manifest.key_cols),
+        ttl_enabled=manifest.ttl_enabled,
         grace_wt=grace_wt,
         prior_files={k: v.files for k, v in manifest.partitions.items()},
         prior_watermarks=manifest.watermarks(),
@@ -112,7 +119,7 @@ def compact_lake(lake_dir: str, grace_wt: int | None = None) -> CompactResult:
         [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
     )
     metrics = ds.map_batches(
-        partial(_compact_part, cfg), batch_format="pandas", batch_size=None
+        partial(_compact_part, cfg, ttl_as_of), batch_format="pandas", batch_size=None
     ).to_pandas()
     manifest.commit_run(run_id, extra={"type": "compact", "grace_wt": grace_wt})
     return CompactResult(run_id, metrics, time.perf_counter() - t0)

@@ -114,15 +114,21 @@ def replay(
         [
             pa.field(n, t)
             for n, t in zip(incoming.names, incoming.types)
-            if n not in ("op", "writetime", "event_seq")
+            if n not in ("op", "writetime", "event_seq", "ttl")
         ]
     )
+    if manifest.version == 0 and "ttl" in incoming.names:
+        # a ttl column in the first-ever batch turns on durable per-cell TTL
+        # bookkeeping for the lake (reference USING TTL persistence,
+        # feature/WritetimeTTL.java:235-281)
+        manifest.ttl_enabled = True
     if payload_schema is None:
         manifest.evolve_schema(incoming_payload)
     num_parts = manifest.num_parts
     salt = manifest.salt
     counter_cols = tuple(manifest.counter_cols)
     key_cols = tuple(manifest.key_cols)
+    ttl_enabled = manifest.ttl_enabled
     run_id = run_id or uuid.uuid4().hex[:12]
 
     for t in transforms or []:
@@ -136,6 +142,7 @@ def replay(
         counter_cols=counter_cols,
         prefold=prefold,
         key_cols=key_cols,
+        ttl_enabled=ttl_enabled,
     )
     kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": batch_size}
     if normalize_concurrency:
@@ -149,6 +156,7 @@ def replay(
         payload_schema_json=schema_to_json(manifest.schema),
         counter_cols=counter_cols,
         key_cols=key_cols,
+        ttl_enabled=ttl_enabled,
         compact=compact,
         grace_wt=grace_wt,
         prior_files={k: v.files for k, v in manifest.partitions.items()},

@@ -53,6 +53,8 @@ EVENTS_SCHEMA = pa.schema(
 # Internal per-column LWW bookkeeping suffixes used in lake state frames.
 WT_SUFFIX = "__wt"
 SEQ_SUFFIX = "__seq"
+TTLX_SUFFIX = "__ttlx"  # per-cell expiry timestamp (µs); NO_EXPIRY = never
+ROW_TTLX = "__row_ttlx"
 DEL_WT = "__del_wt"
 DEL_SEQ = "__del_seq"
 ROW_WT = "__row_wt"
@@ -63,9 +65,15 @@ MAX_SEQ = "__max_seq"  # max event_seq ever folded into the key (watermark basis
 # Sentinel "minus infinity" for wt/seq bookkeeping (never collides with real
 # microsecond timestamps or sequence numbers, both of which are >= 0).
 NEG_INF = -(2**62)
+# Sentinel expiry for cells written without TTL (reference: no USING TTL).
+NO_EXPIRY = 2**62
 
 
-def state_schema(payload_schema: pa.Schema, key_cols: list[str] | None = None) -> pa.Schema:
+def state_schema(
+    payload_schema: pa.Schema,
+    key_cols: list[str] | None = None,
+    ttl: bool = False,
+) -> pa.Schema:
     """Lake *internal* schema for a given public payload schema.
 
     Per payload column c we persist c, c__wt, c__seq (cell-level LWW, mirroring
@@ -80,6 +88,8 @@ def state_schema(payload_schema: pa.Schema, key_cols: list[str] | None = None) -
         if name not in key_cols:
             fields.append(pa.field(name + WT_SUFFIX, pa.int64()))
             fields.append(pa.field(name + SEQ_SUFFIX, pa.int64()))
+            if ttl:
+                fields.append(pa.field(name + TTLX_SUFFIX, pa.int64()))
     fields += [
         pa.field(DEL_WT, pa.int64()),
         pa.field(DEL_SEQ, pa.int64()),
@@ -88,6 +98,8 @@ def state_schema(payload_schema: pa.Schema, key_cols: list[str] | None = None) -
         pa.field(DELETED, pa.bool_()),
         pa.field(MAX_SEQ, pa.int64()),
     ]
+    if ttl:
+        fields.append(pa.field(ROW_TTLX, pa.int64()))
     return pa.schema(fields)
 
 

@@ -57,9 +57,15 @@ def read_lake(
 
 
 def read_lake_pandas(
-    lake_dir: str, include_tombstones: bool = False, internal: bool = False
+    lake_dir: str,
+    include_tombstones: bool = False,
+    internal: bool = False,
+    as_of: int | None = None,
 ) -> pd.DataFrame:
-    """Driver-side full read — tests and small lakes only."""
+    """Driver-side full read — tests and small lakes only.
+
+    ``as_of`` (µs): for TTL-enabled lakes, evaluate per-cell expiry at this
+    instant — expired cells read as null, fully-expired rows disappear."""
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
@@ -68,6 +74,10 @@ def read_lake_pandas(
         return pd.DataFrame(columns=[*manifest.key_cols, *manifest.payload_cols()])
     tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
     df = tbl.to_pandas()
+    if as_of is not None and manifest.ttl_enabled:
+        from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
+
+        df = apply_ttl_expiry(df, as_of, manifest.payload_cols())
     if not include_tombstones:
         df = df[~df[DELETED].to_numpy(dtype=bool)]
     if not internal:

@@ -52,6 +52,7 @@ class MergeConfig:
     payload_schema_json: list[list[str]]  # manifest.schema_to_json form
     counter_cols: tuple[str, ...] = ()
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    ttl_enabled: bool = False
     compact: bool = False  # drop all tombstones (stream fully drained)
     grace_wt: int | None = None  # else drop tombstones older than this watermark
     prior_files: dict[int, list[str]] = field(default_factory=dict)
@@ -61,7 +62,11 @@ class MergeConfig:
 def _arrow_state_schema(cfg: MergeConfig) -> pa.Schema:
     from cassandra_data_migrator_ray.state.manifest import schema_from_json
 
-    return state_schema(schema_from_json(cfg.payload_schema_json), list(cfg.key_cols))
+    return state_schema(
+        schema_from_json(cfg.payload_schema_json),
+        list(cfg.key_cols),
+        ttl=cfg.ttl_enabled,
+    )
 
 
 def read_partition_state(cfg: MergeConfig, part: int) -> pd.DataFrame | None:
@@ -106,7 +111,11 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
         from cassandra_data_migrator_ray.functions.lww import fold_events
 
         partials = fold_events(
-            partials, list(cfg.key_cols), cfg.payload_cols, cfg.counter_cols
+            partials,
+            list(cfg.key_cols),
+            cfg.payload_cols,
+            cfg.counter_cols,
+            ttl=cfg.ttl_enabled,
         )
 
     # resume: a receipt from this run means the partition is already merged
@@ -138,7 +147,11 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
     if old is not None and len(old):
         frames.append(old)
     state = merge_state_frames(
-        frames, list(cfg.key_cols), cfg.payload_cols, cfg.counter_cols
+        frames,
+        list(cfg.key_cols),
+        cfg.payload_cols,
+        cfg.counter_cols,
+        ttl=cfg.ttl_enabled,
     )
     if cfg.compact:
         state = compact_tombstones(state, None)

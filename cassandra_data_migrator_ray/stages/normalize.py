@@ -74,8 +74,10 @@ class Normalize:
         pk_defaults: Mapping[str, object] | None = None,
         prefold: bool = False,
         key_cols: tuple[str, ...] | None = None,
+        ttl_enabled: bool = False,
     ) -> None:
         self.prefold = prefold
+        self.ttl_enabled = ttl_enabled
         self.payload_schema = payload_schema
         self.key_cols = list(key_cols) if key_cols else list(KEY_COLS)
         self.payload_cols = payload_cols_of(payload_schema, self.key_cols)
@@ -102,14 +104,16 @@ class Normalize:
         fields = [pa.field("op", pa.string())]
         fields += [self.payload_schema.field(n) for n in self.payload_schema.names]
         fields += [pa.field("writetime", pa.int64()), pa.field("event_seq", pa.int64())]
+        if self.ttl_enabled:
+            fields.append(pa.field("ttl", pa.int64()))
         return pa.schema(fields)
 
     def _out_schema(self) -> pa.Schema:
         from cassandra_data_migrator_ray.schema import state_schema
 
-        return state_schema(self.payload_schema, self.key_cols).append(
-            pa.field(PART_COL, pa.int32())
-        )
+        return state_schema(
+            self.payload_schema, self.key_cols, ttl=self.ttl_enabled
+        ).append(pa.field(PART_COL, pa.int32()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -136,7 +140,10 @@ class Normalize:
             return batch.append_column(PART_COL, pa.array(part, pa.int32()))
 
         df = batch.to_pandas()
-        folded = fold_events(df, self.key_cols, self.payload_cols, self.counter_cols)
+        folded = fold_events(
+            df, self.key_cols, self.payload_cols, self.counter_cols,
+            ttl=self.ttl_enabled,
+        )
         if len(folded):
             folded[PART_COL] = assign_partition_keys(
                 [folded[k] for k in self.key_cols], self.num_parts, self.salt

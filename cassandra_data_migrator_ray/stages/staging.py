@@ -192,7 +192,11 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
 
     _t1 = _time.perf_counter()
     state = fold_events_arrow(
-        events_tbl, list(cfg.key_cols), cfg.payload_cols, cfg.counter_cols
+        events_tbl,
+        list(cfg.key_cols),
+        cfg.payload_cols,
+        cfg.counter_cols,
+        ttl=cfg.ttl_enabled,
     )
     _t_fold = _time.perf_counter() - _t1
     keys_in = state.num_rows

@@ -141,6 +141,8 @@ class Manifest:
     # data/PKFactory.java:106-133,241-322 — here transforms compose the key
     # columns before normalize, and the manifest pins which columns they are)
     key_cols: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
+    # durable per-cell TTL bookkeeping (c__ttlx / __row_ttlx state columns)
+    ttl_enabled: bool = False
     version: int = 0
     partitions: dict[int, PartitionState] = field(default_factory=dict)
     runs: list[dict] = field(default_factory=list)
@@ -168,6 +170,7 @@ class Manifest:
             "salt": self.salt,
             "counter_cols": self.counter_cols,
             "key_cols": self.key_cols,
+            "ttl_enabled": self.ttl_enabled,
             "version": self.version,
             "partitions": {
                 str(k): {
@@ -197,6 +200,7 @@ class Manifest:
             salt=j.get("salt", 1),
             counter_cols=j.get("counter_cols", []),
             key_cols=j.get("key_cols", ["conv_id", "turn_idx"]),
+            ttl_enabled=j.get("ttl_enabled", False),
             version=j["version"],
             runs=j.get("runs", []),
         )
@@ -220,6 +224,7 @@ class Manifest:
         salt: int = 1,
         counter_cols: list[str] | None = None,
         key_cols: list[str] | None = None,
+        ttl_enabled: bool = False,
     ) -> "Manifest":
         m = cls.load(lake_dir)
         if m is None:
@@ -231,6 +236,7 @@ class Manifest:
                 salt=salt,
                 counter_cols=list(counter_cols or []),
                 key_cols=list(key_cols or ["conv_id", "turn_idx"]),
+                ttl_enabled=ttl_enabled,
             )
         return m
 
