@@ -22,29 +22,75 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _WS = re.compile(r"\s+")
 
 
+def split_words(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-split every doc: (flat_word_array[object], counts[int64]).
+
+    One pandas C-level split + one chain flatten — the shared front-end for
+    every word-level kernel (shingles, stopword profiles, unique-word ratios).
+    """
+    from itertools import chain
+
+    s = texts.fillna("").astype(str)
+    words = s.str.strip().str.split()
+    counts = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(s))
+    flat = (
+        np.array(list(chain.from_iterable(words)), dtype=object)
+        if counts.sum()
+        else np.empty(0, dtype=object)
+    )
+    return flat, counts
+
+
 def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Concatenated uint64 shingle hashes + per-doc boundaries (offsets).
 
-    Word-level k-shingles; docs with < k words contribute their full text as
-    one shingle.  Returns (hashes, offsets[len+1]).
+    Word-level k-shingles hashed as a polynomial rolling combine over the
+    word-hash array (one hash_array pass + k vectorized shifts — no
+    per-shingle string materialization).  Docs with < k words contribute the
+    hash of their full text as one shingle.  Returns (hashes, offsets[len+1]).
     """
-    all_shingles: list[np.ndarray] = []
-    counts = np.zeros(len(texts) + 1, dtype=np.int64)
-    for i, txt in enumerate(texts.fillna("")):
-        ws = _WS.split(txt.strip()) if txt.strip() else []
-        if len(ws) < k:
-            sh = np.array([txt], dtype=object)
-        else:
-            sh = np.array(
-                [" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)], dtype=object
-            )
-        all_shingles.append(sh)
-        counts[i + 1] = len(sh)
-    offsets = np.cumsum(counts)
-    if offsets[-1] == 0:
-        return np.empty(0, dtype=np.uint64), offsets
-    flat = np.concatenate(all_shingles)
-    return hash_array(flat, categorize=False), offsets
+    s = texts.fillna("").astype(str)
+    n = len(s)
+    flat_words, counts = split_words(s)
+    n_sh = np.where(counts >= k, counts - k + 1, 1)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=np.uint64)
+    if n == 0:
+        return out, offsets
+
+    big = counts >= k
+    if big.any():
+        # word hashes for big docs only, as one contiguous slab
+        woff_all = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=woff_all[1:])
+        big_idx = np.flatnonzero(big)
+        take = np.concatenate(
+            [np.arange(woff_all[i], woff_all[i + 1]) for i in big_idx]
+        )
+        wh = hash_array(flat_words[take], categorize=False)
+        # rolling polynomial over every window of k consecutive word hashes
+        # (windows crossing doc boundaries are computed but never selected)
+        m = len(wh) - k + 1
+        A = np.uint64(1099511628211)
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * A + wh[j : j + m]
+        nw = counts[big] - k + 1
+        woff = np.zeros(len(big_idx) + 1, dtype=np.int64)
+        np.cumsum(counts[big], out=woff[1:])
+        total_w = int(nw.sum())
+        within = np.arange(total_w, dtype=np.int64) - np.repeat(
+            np.cumsum(np.r_[np.int64(0), nw[:-1]]), nw
+        )
+        pos = np.repeat(woff[:-1], nw) + within
+        out[np.repeat(offsets[:-1][big], nw) + within] = acc[pos]
+    small = ~big
+    if small.any():
+        out[offsets[:-1][small]] = hash_array(
+            s.to_numpy(dtype=object)[small], categorize=False
+        )
+    return out, offsets
 
 
 def minhash_signatures(

@@ -109,16 +109,22 @@ class FrameSampler:
         self.n_frames = n_frames
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in batch.iterrows():
-            p = r["payload"] or b""
-            step = max(1, len(p) // self.n_frames)
-            for f in range(self.n_frames):
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "frame_idx": np.int32(f),
-                        "frame_bytes": p[f * step : (f + 1) * step],
-                    }
-                )
-        return pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+        # columnar row-multiplication (repeat/tile) instead of iterrows; the
+        # only per-item work left is the bytes slicing itself
+        nf = self.n_frames
+        payloads = [p or b"" for p in batch["payload"]]
+        steps = np.maximum(1, np.fromiter(map(len, payloads), dtype=np.int64) // nf)
+        frame_idx = np.tile(np.arange(nf, dtype=np.int32), len(batch))
+        frames = [
+            p[f * st : (f + 1) * st]
+            for p, st in zip(payloads, steps)
+            for f in range(nf)
+        ]
+        return pd.DataFrame(
+            {
+                "media_id": np.repeat(batch["media_id"].to_numpy(), nf),
+                "frame_idx": frame_idx,
+                "frame_bytes": frames,
+            },
+            columns=["media_id", "frame_idx", "frame_bytes"],
+        )

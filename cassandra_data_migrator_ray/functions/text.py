@@ -2,14 +2,17 @@
 
 Beyond the reference's operator surface (which has no text analytics), these
 are the ops a 100 TB transcript/document lake needs: token counting, quality
-scoring, language ID and document fingerprinting.  All are per-batch
-vectorized (pandas .str / numpy); regexes are compiled once per transform
+scoring, language ID and document fingerprinting.  All are batch-vectorized
+end to end: one pandas C-level split/findall per batch, then flat numpy over
+the concatenated word array (factorize / bincount / reduceat) — no per-doc
+Python lambdas in any kernel.  Regexes are compiled once per transform
 instance (once per actor when used with ``map_batches(Cls, concurrency=N)``).
 """
 
 from __future__ import annotations
 
 import re
+from itertools import chain
 
 import numpy as np
 import pandas as pd
@@ -29,6 +32,52 @@ _STOPWORDS = {
 }
 
 
+def _flat_codes(words: pd.Series) -> tuple[np.ndarray, np.ndarray, pd.Index, np.ndarray]:
+    """Flatten per-doc word lists: (doc_ids, codes, vocabulary, counts).
+
+    One chain-flatten + one factorize; every downstream word statistic is a
+    bincount/lexsort over these integer arrays.
+    """
+    n = len(words)
+    counts = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            pd.Index([]),
+            counts,
+        )
+    flat = np.array(list(chain.from_iterable(words)), dtype=object)
+    codes, vocab = pd.factorize(flat)
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    return doc_ids, codes.astype(np.int64), vocab, counts
+
+
+def _stop_hits(
+    doc_ids: np.ndarray, codes: np.ndarray, vocab: pd.Index, stop: set, n: int
+) -> np.ndarray:
+    """Per-doc stopword hit counts: vocabulary membership once, bincount."""
+    if len(codes) == 0:
+        return np.zeros(n, dtype=np.int64)
+    stop_mask_vocab = np.fromiter(
+        (w in stop for w in vocab), dtype=bool, count=len(vocab)
+    )
+    hits = stop_mask_vocab[codes]
+    return np.bincount(doc_ids[hits], minlength=n)
+
+
+def _uniq_per_doc(doc_ids: np.ndarray, codes: np.ndarray, n: int) -> np.ndarray:
+    """Distinct word count per doc: lexsort + adjacent-change count."""
+    if len(codes) == 0:
+        return np.zeros(n, dtype=np.int64)
+    order = np.lexsort((codes, doc_ids))
+    d, c = doc_ids[order], codes[order]
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    return np.bincount(d[new], minlength=n)
+
+
 class TokenCount:
     """Whitespace + BPE-ish token counts per document.
 
@@ -44,9 +93,10 @@ class TokenCount:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
         if self.sep is not None:
-            n = s.str.split(self.sep, regex=False).map(len)
+            n = s.str.count(self.sep) + 1
         else:
-            n = s.str.strip().str.split(self.ws_re).map(lambda x: len(x) if x != [""] else 0)
+            stripped = s.str.strip()
+            n = (stripped.str.count(self.ws_re) + 1).where(stripped != "", 0)
         batch["n_ws_tokens"] = n.astype(np.int64)
         batch["n_bpe_tokens"] = s.str.count(self.token_re).astype(np.int64)
         return batch
@@ -67,28 +117,33 @@ class QualityScore:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
+        n_docs = len(s)
         n_chars = s.str.len().astype(np.int64)
         words = s.str.lower().str.findall(self.word_re)
-        n_words = words.map(len).astype(np.int64)
+        doc_ids, codes, vocab, counts = _flat_codes(words)
+        n_words = pd.Series(counts, index=batch.index)
         n_punct = s.str.count(self.punct_re).astype(np.int64)
-        n_stop = words.map(lambda ws: sum(1 for w in ws if w in self.stop))
-        n_uniq = words.map(lambda ws: len(set(ws)))
+        n_stop = _stop_hits(doc_ids, codes, vocab, self.stop, n_docs)
+        n_uniq = _uniq_per_doc(doc_ids, codes, n_docs)
 
+        nw = counts
         batch["n_chars"] = n_chars
-        batch["n_words"] = n_words
+        batch["n_words"] = n_words.astype(np.int64)
         batch["punct_ratio"] = np.where(n_chars > 0, n_punct / n_chars.clip(lower=1), 0.0)
-        batch["stopword_ratio"] = np.where(n_words > 0, n_stop / n_words.clip(lower=1), 0.0)
-        batch["uniq_word_ratio"] = np.where(n_words > 0, n_uniq / n_words.clip(lower=1), 0.0)
-        mean_wl = np.where(n_words > 0, (n_chars - n_words + 1) / n_words.clip(lower=1), 0.0)
+        batch["stopword_ratio"] = np.where(nw > 0, n_stop / np.maximum(nw, 1), 0.0)
+        batch["uniq_word_ratio"] = np.where(nw > 0, n_uniq / np.maximum(nw, 1), 0.0)
+        mean_wl = np.where(nw > 0, (n_chars - nw + 1) / np.maximum(nw, 1), 0.0)
 
         checks = [
-            (n_chars >= self.min_chars) & (n_chars <= self.max_chars),
-            batch["punct_ratio"] < 0.2,
+            ((n_chars >= self.min_chars) & (n_chars <= self.max_chars)).to_numpy(),
+            batch["punct_ratio"].to_numpy() < 0.2,
             (mean_wl > 2) & (mean_wl < 12),
-            batch["uniq_word_ratio"] > 0.2,
-            n_words >= 8,
+            batch["uniq_word_ratio"].to_numpy() > 0.2,
+            nw >= 8,
         ]
-        batch["quality_score"] = np.mean([c.astype(np.float64) for c in checks], axis=0)
+        batch["quality_score"] = np.mean(
+            [c.astype(np.float64) for c in checks], axis=0
+        )
         return batch
 
 
@@ -106,16 +161,19 @@ class LangId:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
-        cjk = s.str.count(self.cjk_re)
-        n = s.str.len().clip(lower=1)
+        n_docs = len(s)
+        cjk = s.str.count(self.cjk_re).to_numpy()
+        n = s.str.len().clip(lower=1).to_numpy()
         words = s.str.lower().str.findall(self.word_re)
+        doc_ids, codes, vocab, counts = _flat_codes(words)
 
-        scores = {}
-        for lang, stops in _STOPWORDS.items():
-            scores[lang] = words.map(
-                lambda ws, st=stops: sum(1 for w in ws if w in st) / max(1, len(ws))
-            ).to_numpy()
-        mat = np.vstack([scores[lang] for lang in _STOPWORDS])
+        denom = np.maximum(counts, 1).astype(np.float64)
+        mat = np.vstack(
+            [
+                _stop_hits(doc_ids, codes, vocab, stops, n_docs) / denom
+                for stops in _STOPWORDS.values()
+            ]
+        )
         langs = np.array(list(_STOPWORDS))
         best = langs[mat.argmax(axis=0)]
         best = np.where(mat.max(axis=0) == 0.0, "unknown", best)
@@ -128,27 +186,28 @@ class Fingerprint:
 
     64-bit polynomial rolling hash over word-level 3-shingles; the fingerprint
     is the minimum shingle hash (a 1-perm MinHash) plus the full-text hash —
-    cheap keys for exact and near-duplicate joins.
+    cheap keys for exact and near-duplicate joins.  Shares the vectorized
+    reduceat shingle kernel with functions/dedup.py (one hash pass + k shifts,
+    no per-doc Python loops).
     """
 
     def __init__(self, text_col: str = "text", shingle: int = 3):
         self.text_col = text_col
         self.k = shingle
-        self.ws_re = re.compile(_WS_RE)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from cassandra_data_migrator_ray.functions.dedup import _shingle_hashes
+
         s = batch[self.text_col].fillna("")
         batch["text_hash"] = hash_array(s.to_numpy(dtype=object), categorize=False).astype(
             np.int64
         )
-        k = self.k
-        mins = np.empty(len(s), dtype=np.int64)
-        for i, txt in enumerate(s):
-            ws = self.ws_re.split(txt.strip()) if txt else []
-            if len(ws) < k:
-                mins[i] = batch["text_hash"].iat[i]
-                continue
-            sh = np.array([" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)], dtype=object)
-            mins[i] = hash_array(sh, categorize=False).min().astype(np.int64)
-        batch["min_shingle_hash"] = mins
+        hashes, offsets = _shingle_hashes(s, self.k)
+        starts = offsets[:-1].clip(0, max(0, len(hashes) - 1))
+        nonempty = offsets[1:] > offsets[:-1]
+        mins = np.full(len(s), 0, dtype=np.uint64)
+        if len(hashes):
+            red = np.minimum.reduceat(hashes, starts)
+            mins[nonempty] = red[nonempty]
+        batch["min_shingle_hash"] = mins.astype(np.int64)
         return batch

@@ -538,10 +538,17 @@ def cdc_replay(sf_dir: str) -> pd.DataFrame:
     from cassandra_data_migrator_ray.pipelines.replay import replay
     from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
 
+    import shutil
+
     cache = _gen_cached_events(sf_dir)
     lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
-    replay(cache, lake, num_parts=NUM_PARTS, salt=2)
-    return read_lake_pandas(lake)
+    try:
+        replay(cache, lake, num_parts=NUM_PARTS, salt=2)
+        return read_lake_pandas(lake)
+    finally:
+        # temp lakes are multi-GB at bench scale; leaking them degrades disk
+        # state for every later run on this host
+        shutil.rmtree(lake, ignore_errors=True)
 
 
 def cdc_validate(sf_dir: str) -> pd.DataFrame:
@@ -553,11 +560,16 @@ def cdc_validate(sf_dir: str) -> pd.DataFrame:
 
     import pyarrow.parquet as pq
 
+    import shutil
+
     cache = _gen_cached_events(sf_dir)
     lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
-    replay(cache, lake, num_parts=NUM_PARTS)
-    oracle = oracle_final_state(pq.read_table(cache).to_pandas())
-    res = validate(oracle, lake)
+    try:
+        replay(cache, lake, num_parts=NUM_PARTS)
+        oracle = oracle_final_state(pq.read_table(cache).to_pandas())
+        res = validate(oracle, lake)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
     return pd.DataFrame(
         [
             {"status": k, "n": np.int64(v)}

@@ -319,17 +319,33 @@ class Manifest:
         atomic_write_json(self.path, self.to_json())
         self.gc(keep_staging={run_id} if receipts else set())
         # the committing run's staged raw-event copy (~the whole input stream)
-        # is dead weight once receipts are folded in — drop it now, keeping
-        # only the receipt json files for resume bookkeeping
+        # is dead weight once receipts are folded in.  Deleting tens of
+        # thousands of staged slices inline costs tens of seconds, so: O(1)
+        # rename out of the run dir, then best-effort background delete; any
+        # survivor .trash dir is swept by the next commit's gc.
         if receipts:
             import shutil
+            import threading
 
             sdir = self.staging_dir(run_id)
+            trash: list[str] = []
             if os.path.isdir(sdir):
                 for fn in os.listdir(sdir):
                     sub = os.path.join(sdir, fn)
                     if os.path.isdir(sub):
-                        shutil.rmtree(sub, ignore_errors=True)
+                        t = os.path.join(
+                            self.lake_dir, "_staging", f".trash-{run_id}-{fn}"
+                        )
+                        try:
+                            os.rename(sub, t)
+                            trash.append(t)
+                        except OSError:
+                            shutil.rmtree(sub, ignore_errors=True)
+            if trash:
+                threading.Thread(
+                    target=lambda: [shutil.rmtree(t, ignore_errors=True) for t in trash],
+                    daemon=True,
+                ).start()
 
     def gc(self, keep_staging: set[str] | None = None) -> list[str]:
         """Delete data files not referenced by the committed manifest."""
@@ -347,7 +363,12 @@ class Manifest:
             import shutil
 
             for run in os.listdir(sdir):
-                if keep_staging is not None and run in keep_staging:
+                # .trash-* dirs (renamed-out staged events) are always garbage
+                if (
+                    keep_staging is not None
+                    and run in keep_staging
+                    and not run.startswith(".trash-")
+                ):
                     continue
                 shutil.rmtree(os.path.join(sdir, run), ignore_errors=True)
         return removed
