@@ -357,9 +357,56 @@ class ByteSizeGuard:
         return t.append_column("oversize", pc.greater(size, int(self.max_bytes)))
 
 
+class UdtFieldMapper:
+    """UDT (struct) field-wise mapping: rename / cast / add-constant / drop
+    fields inside a struct column, Arrow-native (flatten → per-field kernel →
+    StructArray rebuild; row validity preserved).
+
+    Reference: UDTs are converted field-by-field between origin and target
+    shapes (data/CqlConversion.java:321-357; SIT features/04_udt_mapper).
+    """
+
+    def __init__(
+        self,
+        col: str,
+        rename: Mapping[str, str] | None = None,
+        casts: Mapping[str, str] | None = None,
+        add: Mapping[str, tuple] | None = None,
+        drop: Sequence[str] = (),
+    ):
+        self.col = col
+        self.rename = dict(rename or {})
+        self.casts = dict(casts or {})
+        self.add = dict(add or {})  # name -> (value, arrow type string)
+        self.drop = set(drop)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arr = t.column(self.col).combine_chunks()
+        n = len(arr)
+        names: list[str] = []
+        arrays: list[pa.Array] = []
+        for i, f in enumerate(arr.type):
+            if f.name in self.drop:
+                continue
+            a = arr.field(i)
+            if f.name in self.casts:
+                a = a.cast(_dtype(self.casts[f.name]))
+            names.append(self.rename.get(f.name, f.name))
+            arrays.append(a)
+        for name, (value, typ) in self.add.items():
+            arrays.append(pa.array([value] * n, type=_dtype(typ)))
+            names.append(name)
+        mask = pc.is_null(arr)
+        new = pa.StructArray.from_arrays(
+            arrays, names, mask=mask if arr.null_count else None
+        )
+        return t.set_column(t.column_names.index(self.col), self.col, new)
+
+
 # ---- Featureset-style registry (feature/Featureset.java:18-21) --------------
 
 TRANSFORM_REGISTRY = {
+    "udt_map": UdtFieldMapper,
     "rename": Rename,
     "select": Select,
     "constant": Constant,

@@ -634,7 +634,13 @@ def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     Partitioning assumption: all rows of one user fit one group (true for
     per-user event volumes)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
-    nparts = 16
+    # scale join parallelism with data size (never a fixed cap): one group per
+    # ~64k input rows, floor 16 so small inputs still spread over the pool
+    try:
+        est = ds.count()
+    except Exception:
+        est = 0
+    nparts = max(16, min(1024, est // 65536))
 
     def tag(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()

@@ -217,3 +217,99 @@ class TestTransformsInReplay:
         assert got["text"].tolist() == ["hello", "world", "solo"]
         assert got["turn_idx"].tolist() == [0, 1, 0]
         assert (got["role"] == "user").all()
+
+
+class TestUdtFieldMapper:
+    """Reference UDT conversion analogue (data/CqlConversion.java:321-357):
+    field-wise rename / cast / add / drop inside a struct column."""
+
+    def _t(self):
+        return pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "udt": pa.array(
+                    [
+                        {"a": 1, "b": "x"},
+                        {"a": 2, "b": "y"},
+                        None,
+                    ],
+                    pa.struct([("a", pa.int32()), ("b", pa.string())]),
+                ),
+            }
+        )
+
+    def test_rename_cast_add_drop(self):
+        from cassandra_data_migrator_ray.functions.transforms import UdtFieldMapper
+
+        out = UdtFieldMapper(
+            "udt",
+            rename={"a": "alpha"},
+            casts={"a": "int64"},
+            add={"env": ("prod", "string")},
+            drop=["b"],
+        )(self._t())
+        typ = out.schema.field("udt").type
+        assert [typ.field(i).name for i in range(typ.num_fields)] == ["alpha", "env"]
+        assert typ.field(0).type == pa.int64()
+        rows = out.column("udt").to_pylist()
+        assert rows[0] == {"alpha": 1, "env": "prod"}
+        assert rows[2] is None  # row validity preserved
+
+    def test_registry_spec(self):
+        from cassandra_data_migrator_ray.functions.transforms import build_transforms
+
+        chain = build_transforms(
+            [{"op": "udt_map", "col": "udt", "rename": {"b": "beta"}}]
+        )
+        out = chain[0](self._t())
+        typ = out.schema.field("udt").type
+        assert {typ.field(i).name for i in range(typ.num_fields)} == {"a", "beta"}
+
+    def test_through_replay(self, tmp_path):
+        """Struct column mapped by the transform chain and persisted in the
+        lake (structs are first-class lake payloads)."""
+        import ray
+
+        from cassandra_data_migrator_ray.functions.transforms import UdtFieldMapper
+        from cassandra_data_migrator_ray.pipelines.replay import replay
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("udt", pa.struct([("alpha", pa.int64()), ("env", pa.string())])),
+            ]
+        )
+        ev = pa.table(
+            {
+                "op": ["INSERT", "INSERT"],
+                "conv_id": ["c1", "c2"],
+                "turn_idx": pa.array([0, 0], pa.int32()),
+                "udt": pa.array(
+                    [{"a": 7, "b": "x"}, {"a": 8, "b": "y"}],
+                    pa.struct([("a", pa.int32()), ("b", pa.string())]),
+                ),
+                "writetime": pa.array([1, 2], pa.int64()),
+                "event_seq": pa.array([0, 1], pa.int64()),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        replay(
+            ev,
+            lake,
+            num_parts=2,
+            payload_schema=schema,
+            transforms=[
+                UdtFieldMapper(
+                    "udt",
+                    rename={"a": "alpha"},
+                    casts={"a": "int64"},
+                    add={"env": ("prod", "string")},
+                    drop=["b"],
+                )
+            ],
+        )
+        got = read_lake_pandas(lake).sort_values("conv_id", ignore_index=True)
+        assert got["udt"][0] == {"alpha": 7, "env": "prod"}
+        assert got["udt"][1] == {"alpha": 8, "env": "prod"}
