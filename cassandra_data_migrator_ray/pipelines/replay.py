@@ -45,11 +45,13 @@ class ReplayResult:
     seconds: float
 
 
-def _merge_staged_batch(cfg, staging_events: str, batch: pd.DataFrame) -> pd.DataFrame:
+def _merge_staged_batch(
+    cfg, staging_events: str, coarse_factor: int, batch: pd.DataFrame
+) -> pd.DataFrame:
     from cassandra_data_migrator_ray.stages.staging import merge_staged_partition
 
     outs = [
-        merge_staged_partition(cfg, staging_events, batch.iloc[[i]])
+        merge_staged_partition(cfg, staging_events, batch.iloc[[i]], coarse_factor)
         for i in range(len(batch))
     ]
     return pd.concat(outs, ignore_index=True)
@@ -173,6 +175,11 @@ def replay(
         )
 
         staging_events = os.path.join(lake_dir, "_staging", run_id, "events")
+        # two-level exchange above ~256 dirs: staged-file count (and stage-1
+        # dir-create contention, measured at >=768 parts) is blocks x dirs, so
+        # bound dirs at ~256 and let stage 2 split each coarse slab into its
+        # fine partitions (reads every staged byte exactly once either way)
+        coarse_factor = max(1, (num_parts + 255) // 256)
         # adaptive stage-1 batches: staged-file count ≈ (rows/batch) × parts and
         # per-file overhead dominates, so scale the batch with the input to
         # bound stage tasks at ~128 regardless of stream size (data-dependent,
@@ -180,8 +187,10 @@ def replay(
         stage_batch = int(max(1 << 18, min(1 << 22, est_rows // 128 or 1 << 18)))
         t_s1 = time.perf_counter()
         stats = folded.map_batches(
-            StageWriter(staging_events), batch_format="pyarrow", batch_size=stage_batch
-        ).to_pandas()  # one row per (batch, part) — tiny; triggers stage 1
+            StageWriter(staging_events, coarse_factor),
+            batch_format="pyarrow",
+            batch_size=stage_batch,
+        ).to_pandas()  # one row per (batch, dir key) — tiny; triggers stage 1
         t_s1 = time.perf_counter() - t_s1
         parts = sorted(int(p) for p in stats["part"].unique()) if len(stats) else []
         t_s2 = time.perf_counter()
@@ -190,7 +199,7 @@ def replay(
                 [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
             )
             metrics = parts_ds.map_batches(
-                partial(_merge_staged_batch, cfg, staging_events),
+                partial(_merge_staged_batch, cfg, staging_events, coarse_factor),
                 batch_format="pandas",
                 batch_size=None,
             ).to_pandas()

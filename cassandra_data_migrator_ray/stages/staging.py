@@ -42,10 +42,18 @@ from cassandra_data_migrator_ray.stages.normalize import PART_COL
 
 class StageWriter:
     """Map-only stage 1: split each normalized block by partition and append
-    staged parquet slices.  Emits one bookkeeping row per (block, part)."""
+    staged parquet slices.  Emits one bookkeeping row per (block, dir key).
 
-    def __init__(self, staging_dir: str):
+    ``coarse_factor > 1`` enables the two-level exchange: slices are grouped
+    into ``fine // coarse_factor`` directories (bounding the staged-file count
+    at blocks × coarse dirs instead of blocks × partitions — the ≥768-part
+    dir/file blowup), and the fine partition id rides along INSIDE the slice
+    (PART_COL kept) for stage 2 to split on.
+    """
+
+    def __init__(self, staging_dir: str, coarse_factor: int = 1):
         self.staging_dir = staging_dir
+        self.coarse_factor = max(1, int(coarse_factor))
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         # one Ray task == one CPU: stop Arrow from spinning up a full-machine
@@ -55,7 +63,8 @@ class StageWriter:
         if batch.num_rows == 0:
             return pd.DataFrame({"part": pd.Series([], dtype="int32"),
                                  "rows": pd.Series([], dtype="int64")})
-        part = batch.column(PART_COL).to_numpy(zero_copy_only=False)
+        fine = batch.column(PART_COL).to_numpy(zero_copy_only=False)
+        part = fine // self.coarse_factor if self.coarse_factor > 1 else fine
         order = np.argsort(part, kind="stable")
         sorted_tbl = batch.take(pa.array(order))
         sp = part[order]
@@ -85,7 +94,9 @@ class StageWriter:
             k = int(sp[lo])
             pdir = os.path.join(self.staging_dir, f"part={k:05d}")
             os.makedirs(pdir, exist_ok=True)
-            slice_tbl = sorted_tbl.slice(lo, hi - lo).drop_columns([PART_COL])
+            slice_tbl = sorted_tbl.slice(lo, hi - lo)
+            if self.coarse_factor == 1:
+                slice_tbl = slice_tbl.drop_columns([PART_COL])
             # Arrow IPC, not parquet: staged slices are transient and tiny —
             # IPC has near-zero open/parse cost and mmaps zero-copy on tmpfs
             tmp = os.path.join(pdir, f".tmp-{os.getpid()}-{i}.arrow")
@@ -115,8 +126,13 @@ class StageWriter:
         return pd.DataFrame(rows)
 
 
-def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.DataFrame:
-    """Stage 2 body: fold one partition's staged events + prior lake state.
+def merge_staged_partition(
+    cfg, staging_dir: str, group: pd.DataFrame, coarse_factor: int = 1
+) -> pd.DataFrame:
+    """Stage 2 body: fold staged events + prior lake state for the dir keys in
+    ``group``.  One-level (coarse_factor=1): dir key == fine partition.
+    Two-level: each dir holds several fine partitions, split on PART_COL here
+    (reads every staged byte exactly once either way).
 
     ``cfg`` is a stages.merge.MergeConfig; reuses its receipt/commit protocol.
     Fresh partitions (no prior state) run the Arrow-native fold end to end —
@@ -125,11 +141,7 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
     """
     import time as _time
 
-    from cassandra_data_migrator_ray.stages.merge import (
-        METRICS_COLUMNS,
-        merge_partition_group,
-        read_partition_state,
-    )
+    from cassandra_data_migrator_ray.stages.merge import METRICS_COLUMNS
 
     _t0 = _time.perf_counter()
     part = int(group["part"].iloc[0])
@@ -150,6 +162,38 @@ def merge_staged_partition(cfg, staging_dir: str, group: pd.DataFrame) -> pd.Dat
 
     events_tbl = pa.concat_tables([_read_ipc(f) for f in files])
     _t_read = _time.perf_counter() - _t0
+
+    if coarse_factor > 1:
+        # two-level: split the coarse slab into its fine partitions
+        fine = events_tbl.column(PART_COL).to_numpy(zero_copy_only=False)
+        order = np.argsort(fine, kind="stable")
+        sorted_tbl = events_tbl.take(pa.array(order))
+        sf = fine[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, sf[1:] != sf[:-1]]), len(sf)]
+        outs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            sub = sorted_tbl.slice(lo, hi - lo).drop_columns([PART_COL])
+            outs.append(_merge_fine(cfg, int(sf[lo]), sub, _t_read, _t0))
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=METRICS_COLUMNS)
+        )
+    return _merge_fine(cfg, part, events_tbl, _t_read, _t0)
+
+
+def _merge_fine(
+    cfg, part: int, events_tbl: pa.Table, _t_read: float, _t0: float
+) -> pd.DataFrame:
+    """Fold ONE fine partition's staged events + prior lake state and write
+    its partition file + receipt (the exactly-once unit)."""
+    import time as _time
+
+    from cassandra_data_migrator_ray.stages.merge import (
+        merge_partition_group,
+        read_partition_state,
+    )
 
     old = read_partition_state(cfg, part)
     is_raw_events = "op" in events_tbl.column_names

@@ -135,3 +135,40 @@ class TestReplayE2E:
         replay(more, lake, num_parts=8, shuffle="groupby")
         full = pd.concat([events.to_pandas(), more.to_pandas()], ignore_index=True)
         assert_matches_oracle(lake, full)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTwoLevelStaging:
+    def test_high_partition_count_matches_oracle(self, tmp_path):
+        """num_parts > 256 triggers the two-level exchange (coarse staged
+        dirs, fine split in stage 2); results identical to the oracle."""
+        events = gen_change_stream(n_convs=200, n_events=5000, seed=55)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=320, salt=2)
+        got = read_lake_pandas(lake)
+        want = oracle_final_state(events.to_pandas())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_staged_dir_count_bounded(self, tmp_path):
+        """The staged directory count is bounded by ~256 regardless of
+        num_parts (blocks x dirs is the ≥768-part contention point)."""
+        import os
+
+        events = gen_change_stream(n_convs=200, n_events=5000, seed=56)
+        lake = str(tmp_path / "lake")
+        res = replay(events, lake, num_parts=768, commit=False)
+        sdir = os.path.join(lake, "_staging", res.run_id, "events")
+        dirs = [d for d in os.listdir(sdir) if d.startswith("part=")]
+        assert len(dirs) <= 256, len(dirs)
+
+    def test_incremental_merge_two_level(self, tmp_path):
+        """Second run (merge-on-read path) through the coarse exchange."""
+        ev1 = gen_change_stream(n_convs=100, n_events=2500, seed=57)
+        ev2 = gen_change_stream(n_convs=100, n_events=2500, seed=58, seq_start=2500)
+        lake = str(tmp_path / "lake")
+        replay(ev1, lake, num_parts=320)
+        replay(ev2, lake, num_parts=320)
+        both = pd.concat([ev1.to_pandas(), ev2.to_pandas()], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake), oracle_final_state(both), check_dtype=False
+        )
