@@ -210,6 +210,37 @@ WHERE length(text) > 256
         "explode_words": """
 SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 """,
+        # brute-force word-3-gram Jaccard ground truth: the LSH pipeline must
+        # find exactly the true pair set (near-dups on this data sit at
+        # jaccard >= 0.89 where banded-LSH recall is ~1.0), with exact scores
+        "minhash_neardup_docs": r"""
+WITH d AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS gram
+  FROM d, unnest(range(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 3
+  UNION ALL
+  SELECT doc_id, text AS gram FROM d WHERE len(ws) < 3
+),
+gset AS (SELECT DISTINCT doc_id, gram FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM gset a JOIN gset b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+ORDER BY id_a, id_b
+""",
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
 FROM documents GROUP BY text ORDER BY doc_id

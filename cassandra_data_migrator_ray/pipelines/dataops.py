@@ -153,14 +153,17 @@ def _gather_column(
     """Distributed point-lookup: fetch ``value_col`` for a bounded id set via
     a broadcast membership filter (ray.put once, read per task) — no shuffle,
     one column-pruned pass over the corpus."""
-    ref = ray.put(set(int(i) for i in ids))
+    import pyarrow.compute as pc
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+    ref = ray.put(np.asarray(sorted(int(i) for i in ids), dtype=np.int64))
+
+    def pick(batch: pa.Table) -> pa.Table:
         want = ray.get(ref)
-        hit = batch[batch[id_col].isin(want)]
-        return hit[[id_col, value_col]]
+        vs = pa.array(want, pa.int64()).cast(batch.schema.field(id_col).type)
+        mask = pc.is_in(batch[id_col], value_set=vs)
+        return batch.filter(mask).select([id_col, value_col])
 
-    got = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    got = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     return got.drop_duplicates(subset=[id_col]).set_index(id_col)[value_col]
 
 
