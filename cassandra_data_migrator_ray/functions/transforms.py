@@ -116,6 +116,8 @@ class CastColumns:
             return pc.cast(col, pa.binary())
         if spec == "blob_text":
             return pc.cast(col, pa.string())
+        if spec in _GEO_CODECS:
+            return _GEO_CODECS[spec](col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
         return pc.cast(col, _dtype(spec))
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -123,6 +125,166 @@ class CastColumns:
             i = t.column_names.index(name)
             t = t.set_column(i, name, self._one(t.column(name), spec))
         return t
+
+
+# ---- geo / duration / date-range codecs --------------------------------------
+# The reference bridges Cassandra's exotic types through codecs
+# (data/CqlData.java:42-70, cql/codec/CodecFactory.java:29-64): POINT /
+# LINE_STRING / POLYGON render as WKT strings, DURATION as the compact
+# months/days/nanos form, DATE_RANGE as "[lo TO hi]".  Arrow representations:
+# point = struct<x: double, y: double>; linestring / polygon(single ring) =
+# list<point>; duration = struct<months: int32, days: int32, nanos: int64>;
+# daterange = struct<lo: timestamp[us], hi: timestamp[us]>.  All codecs are
+# vectorized Arrow kernels (joins / regex extract / offsets rebuild).
+
+
+def _xy_text(flat_struct) -> pa.Array:
+    xs = pc.cast(flat_struct.field("x"), pa.string())
+    ys = pc.cast(flat_struct.field("y"), pa.string())
+    return pc.binary_join_element_wise(xs, ys, " ")
+
+
+def _point_wkt(col: pa.Array) -> pa.Array:
+    out = pc.binary_join_element_wise(
+        pa.array(["POINT ("] * len(col)), _xy_text(col), pa.array([")"] * len(col)), ""
+    )
+    return pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()), out)
+
+
+def _field_or_null(g, name: str) -> pa.Array:
+    """extract_regex struct field with the parent's validity applied (a null
+    parent row can carry '' in the child, which breaks numeric casts)."""
+    return pc.if_else(pc.is_valid(g), g.field(name), pa.scalar(None, pa.string()))
+
+
+def _wkt_point(col: pa.Array) -> pa.Array:
+    g = pc.extract_regex(col, r"POINT \((?P<x>[^ ]+) (?P<y>[^)]+)\)")
+    nulls = pc.is_null(g)
+    nulls = nulls.combine_chunks() if isinstance(nulls, pa.ChunkedArray) else nulls
+    return pa.StructArray.from_arrays(
+        [
+            pc.cast(_field_or_null(g, "x"), pa.float64()),
+            pc.cast(_field_or_null(g, "y"), pa.float64()),
+        ],
+        ["x", "y"],
+        mask=nulls,
+    )
+
+
+def _coords_join(col: pa.Array) -> pa.Array:
+    """list<struct<x,y>> → 'x y, x y, ...' per row."""
+    off = np.asarray(col.offsets)
+    flat = col.values.slice(int(off[0]), int(off[-1] - off[0]))
+    txt = _xy_text(flat)
+    lst = pa.ListArray.from_arrays(pa.array(off - off[0], pa.int32()), txt)
+    return pc.binary_join(lst, ", ")
+
+
+def _coords_parse(body: pa.Array) -> pa.Array:
+    """'x y, x y, ...' per row → list<struct<x,y>> (offsets rebuild)."""
+    pairs = pc.split_pattern(body, ", ")
+    pairs = pairs.combine_chunks() if isinstance(pairs, pa.ChunkedArray) else pairs
+    off = np.asarray(pairs.offsets)
+    flat = pairs.values.slice(int(off[0]), int(off[-1] - off[0]))
+    xy = pc.split_pattern(flat, " ")
+    pts = pa.StructArray.from_arrays(
+        [
+            pc.cast(pc.list_element(xy, 0), pa.float64()),
+            pc.cast(pc.list_element(xy, 1), pa.float64()),
+        ],
+        ["x", "y"],
+    )
+    return pa.ListArray.from_arrays(pa.array(off - off[0], pa.int32()), pts)
+
+
+def _wrap(col: pa.Array, prefix: str, suffix: str) -> pa.Array:
+    out = pc.binary_join_element_wise(
+        pa.array([prefix] * len(col)), col, pa.array([suffix] * len(col)), ""
+    )
+    return pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()), out)
+
+
+def _unwrap_regex(col: pa.Array, pattern: str) -> pa.Array:
+    g = pc.extract_regex(col, pattern)
+    return g.field("body")
+
+
+def _linestring_wkt(col: pa.Array) -> pa.Array:
+    return _wrap(_coords_join(col), "LINESTRING (", ")")
+
+
+def _wkt_linestring(col: pa.Array) -> pa.Array:
+    return _coords_parse(_unwrap_regex(col, r"LINESTRING \((?P<body>.*)\)"))
+
+
+def _polygon_wkt(col: pa.Array) -> pa.Array:
+    """Single-ring polygon (list<point>) → 'POLYGON ((x y, ...))'.  Multi-ring
+    polygons are out of scope (the reference SITs only exercise simple rings)."""
+    return _wrap(_coords_join(col), "POLYGON ((", "))")
+
+
+def _wkt_polygon(col: pa.Array) -> pa.Array:
+    return _coords_parse(_unwrap_regex(col, r"POLYGON \(\((?P<body>.*)\)\)"))
+
+
+def _duration_string(col: pa.Array) -> pa.Array:
+    """struct<months, days, nanos> → compact 'XmoYdZns' (CqlDuration shape)."""
+    mo = pc.cast(col.field("months"), pa.string())
+    d = pc.cast(col.field("days"), pa.string())
+    ns = pc.cast(col.field("nanos"), pa.string())
+    n = len(col)
+    out = pc.binary_join_element_wise(
+        mo, pa.array(["mo"] * n), d, pa.array(["d"] * n), ns, pa.array(["ns"] * n), ""
+    )
+    return pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()), out)
+
+
+def _string_duration(col: pa.Array) -> pa.Array:
+    g = pc.extract_regex(col, r"(?P<mo>-?\d+)mo(?P<d>-?\d+)d(?P<ns>-?\d+)ns")
+    return pa.StructArray.from_arrays(
+        [
+            pc.cast(g.field("mo"), pa.int32()),
+            pc.cast(g.field("d"), pa.int32()),
+            pc.cast(g.field("ns"), pa.int64()),
+        ],
+        ["months", "days", "nanos"],
+    )
+
+
+def _daterange_string(col: pa.Array) -> pa.Array:
+    """struct<lo: timestamp, hi: timestamp> → '[lo TO hi]' (DSE DateRange)."""
+    lo = pc.strftime(pc.cast(col.field("lo"), pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S")
+    hi = pc.strftime(pc.cast(col.field("hi"), pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S")
+    n = len(col)
+    out = pc.binary_join_element_wise(
+        pa.array(["["] * n), lo, pa.array([" TO "] * n), hi, pa.array(["]"] * n), ""
+    )
+    return pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()), out)
+
+
+def _string_daterange(col: pa.Array) -> pa.Array:
+    g = pc.extract_regex(col, r"\[(?P<lo>[^ ]+) TO (?P<hi>[^\]]+)\]")
+    return pa.StructArray.from_arrays(
+        [
+            pc.strptime(g.field("lo"), format="%Y-%m-%dT%H:%M:%S", unit="us"),
+            pc.strptime(g.field("hi"), format="%Y-%m-%dT%H:%M:%S", unit="us"),
+        ],
+        ["lo", "hi"],
+    )
+
+
+_GEO_CODECS = {
+    "point_wkt": _point_wkt,
+    "wkt_point": _wkt_point,
+    "linestring_wkt": _linestring_wkt,
+    "wkt_linestring": _wkt_linestring,
+    "polygon_wkt": _polygon_wkt,
+    "wkt_polygon": _wkt_polygon,
+    "duration_string": _duration_string,
+    "string_duration": _string_duration,
+    "daterange_string": _daterange_string,
+    "string_daterange": _string_daterange,
+}
 
 
 def _map_entries(col: pa.Array) -> tuple[np.ndarray, pa.StructArray]:

@@ -313,3 +313,87 @@ class TestUdtFieldMapper:
         got = read_lake_pandas(lake).sort_values("conv_id", ignore_index=True)
         assert got["udt"][0] == {"alpha": 7, "env": "prod"}
         assert got["udt"][1] == {"alpha": 8, "env": "prod"}
+
+
+class TestGeoDurationCodecs:
+    """Reference codec families with no native Parquet type
+    (CqlData.java:42-70, CodecFactory.java:29-64): POINT/LINESTRING/POLYGON
+    as WKT strings, DURATION compact form, DATE_RANGE '[lo TO hi]' — all
+    vectorized Arrow kernels, round-trip tested."""
+
+    def _cast(self, t, casts):
+        from cassandra_data_migrator_ray.functions.transforms import CastColumns
+
+        return CastColumns(casts)(t)
+
+    def test_point_roundtrip(self):
+        pts = pa.array(
+            [{"x": 1.5, "y": -2.0}, {"x": 0.0, "y": 3.25}, None],
+            pa.struct([("x", pa.float64()), ("y", pa.float64())]),
+        )
+        t = pa.table({"g": pts})
+        wkt = self._cast(t, {"g": "point_wkt"})
+        assert wkt["g"].to_pylist()[0] == "POINT (1.5 -2)"
+        assert wkt["g"].to_pylist()[2] is None
+        back = self._cast(wkt, {"g": "wkt_point"})
+        got = back["g"].to_pylist()
+        assert got[0] == {"x": 1.5, "y": -2.0} and got[1] == {"x": 0.0, "y": 3.25}
+
+    def test_linestring_polygon_roundtrip(self):
+        pt = pa.struct([("x", pa.float64()), ("y", pa.float64())])
+        ls = pa.array(
+            [[{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 2.5}], [{"x": 3.0, "y": 4.0}]],
+            pa.list_(pt),
+        )
+        t = pa.table({"g": ls})
+        wkt = self._cast(t, {"g": "linestring_wkt"})
+        assert wkt["g"].to_pylist()[0] == "LINESTRING (0 0, 1 2.5)"
+        back = self._cast(wkt, {"g": "wkt_linestring"})
+        assert back["g"].to_pylist() == ls.to_pylist()
+
+        poly = self._cast(t, {"g": "polygon_wkt"})
+        assert poly["g"].to_pylist()[1] == "POLYGON ((3 4))"
+        back2 = self._cast(poly, {"g": "wkt_polygon"})
+        assert back2["g"].to_pylist() == ls.to_pylist()
+
+    def test_duration_roundtrip(self):
+        dur = pa.array(
+            [
+                {"months": 14, "days": 3, "nanos": 7_000_000_000},
+                {"months": 0, "days": -2, "nanos": 0},
+            ],
+            pa.struct([("months", pa.int32()), ("days", pa.int32()), ("nanos", pa.int64())]),
+        )
+        t = pa.table({"d": dur})
+        s = self._cast(t, {"d": "duration_string"})
+        assert s["d"].to_pylist() == ["14mo3d7000000000ns", "0mo-2d0ns"]
+        back = self._cast(s, {"d": "string_duration"})
+        assert back["d"].to_pylist() == dur.to_pylist()
+
+    def test_daterange_roundtrip(self):
+        import datetime as dt
+
+        rng = pa.array(
+            [
+                {
+                    "lo": dt.datetime(2021, 1, 1, 0, 0, 0),
+                    "hi": dt.datetime(2021, 12, 31, 23, 59, 59),
+                }
+            ],
+            pa.struct([("lo", pa.timestamp("us")), ("hi", pa.timestamp("us"))]),
+        )
+        t = pa.table({"r": rng})
+        s = self._cast(t, {"r": "daterange_string"})
+        assert s["r"].to_pylist() == ["[2021-01-01T00:00:00 TO 2021-12-31T23:59:59]"]
+        back = self._cast(s, {"r": "string_daterange"})
+        assert back["r"].to_pylist() == rng.to_pylist()
+
+    def test_decimal_string_roundtrip(self):
+        from decimal import Decimal
+
+        dec = pa.array([Decimal("12345.678900000")], pa.decimal128(38, 9))
+        t = pa.table({"v": dec})
+        s = self._cast(t, {"v": "string"})
+        assert s["v"].to_pylist() == ["12345.678900000"]
+        back = self._cast(s, {"v": "decimal"})
+        assert back["v"].to_pylist() == dec.to_pylist()
