@@ -87,6 +87,7 @@ def replay(
     commit: bool = True,
     prefold: bool = False,
     shuffle: str = "staging",
+    rerun_multiplier: int = 1,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -94,6 +95,13 @@ def replay(
     functions/transforms.py) applied to raw event batches before normalize —
     the reference's feature chain (rename, codecs, constants, explode,
     extract-json, filters).
+
+    ``rerun_multiplier`` (reference rerunMultiplier, TrackRun.java:59-71):
+    partitions still pending (no receipt — e.g. failed on the previous
+    attempt of this run_id) are merged via M parallel sub-fold tasks over
+    their staged file subsets plus a final partial-merge task, instead of one
+    whole-partition task — finer retry/memory granularity, exact by
+    fold/merge associativity.
     """
     t0 = time.perf_counter()
     ds = _as_dataset(events)
@@ -194,7 +202,65 @@ def replay(
         t_s1 = time.perf_counter() - t_s1
         parts = sorted(int(p) for p in stats["part"].unique()) if len(stats) else []
         t_s2 = time.perf_counter()
-        if parts:
+        if parts and rerun_multiplier > 1:
+            from cassandra_data_migrator_ray.stages.staging import (
+                fold_staged_subslice,
+                merge_partials_partition,
+            )
+
+            done = set(manifest.staged_receipts(run_id))
+            # dir keys whose every fine partition already has a receipt skip
+            # subdivision (handled by the normal path's SKIPPED_RESUME)
+            pend = [
+                k
+                for k in parts
+                if any(
+                    (k * coarse_factor + i) not in done
+                    for i in range(coarse_factor)
+                )
+            ] if coarse_factor > 1 else [k for k in parts if k not in done]
+            skip = [k for k in parts if k not in pend]
+            m = int(rerun_multiplier)
+            frames = []
+            if pend:
+                sub_ds = ray.data.from_items(
+                    [{"part": int(k), "sub": i} for k in pend for i in range(m)],
+                    override_num_blocks=len(pend) * m,
+                )
+                sub_ds.map_batches(
+                    partial(
+                        fold_staged_subslice, cfg, staging_events, coarse_factor, m
+                    ),
+                    batch_format="pandas",
+                    batch_size=None,
+                ).materialize()
+                fin_ds = ray.data.from_items(
+                    [{"part": int(k)} for k in pend], override_num_blocks=len(pend)
+                )
+                frames.append(
+                    fin_ds.map_batches(
+                        partial(
+                            merge_partials_partition, cfg, staging_events, coarse_factor
+                        ),
+                        batch_format="pandas",
+                        batch_size=None,
+                    ).to_pandas()
+                )
+            if skip:
+                skip_ds = ray.data.from_items(
+                    [{"part": int(k)} for k in skip], override_num_blocks=len(skip)
+                )
+                frames.append(
+                    skip_ds.map_batches(
+                        partial(_merge_staged_batch, cfg, staging_events, coarse_factor),
+                        batch_format="pandas",
+                        batch_size=None,
+                    ).to_pandas()
+                )
+            metrics = (
+                pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+            )
+        elif parts:
             parts_ds = ray.data.from_items(
                 [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
             )

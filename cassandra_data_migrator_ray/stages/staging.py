@@ -298,3 +298,121 @@ def _merge_fine(
             }
         ]
     )
+
+
+# ---- failed-partition subdivision on rerun (reference rerunMultiplier, ------
+# feature/TrackRun.java:59-71).  A resumed run normally re-merges a failed
+# partition whole; with rerun_multiplier=M its staged file list is split into
+# M subsets, each folded to a partial state by its own Ray task (finer retry /
+# memory granularity — fold/merge associativity makes this exact), and a final
+# per-partition task merges the partials with prior lake state and writes.
+
+_PARTIALS_DIR = "_partials"
+
+
+def fold_staged_subslice(
+    cfg, staging_dir: str, coarse_factor: int, m: int, group: pd.DataFrame
+) -> pd.DataFrame:
+    """Phase A task: fold one (dir key, sub) slice of staged files into a
+    partial state file (content-deterministic name → retry overwrites)."""
+    from cassandra_data_migrator_ray.functions.lww import fold_events_arrow
+
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    out_rows = []
+    for _, r in group.iterrows():
+        part, sub = int(r["part"]), int(r["sub"])
+        pdir = os.path.join(staging_dir, f"part={part:05d}")
+        files = (
+            sorted(
+                os.path.join(pdir, f)
+                for f in os.listdir(pdir)
+                if f.endswith(".arrow") and not f.startswith("partial-")
+            )
+            if os.path.isdir(pdir)
+            else []
+        )
+        mine = files[sub::m]
+        if not mine:
+            continue
+
+        def _read_ipc(path: str) -> pa.Table:
+            with pa.memory_map(path) as src:
+                return pa.ipc.open_file(src).read_all()
+
+        tbl = pa.concat_tables([_read_ipc(f) for f in mine])
+        drop = [PART_COL] if coarse_factor > 1 and PART_COL in tbl.column_names else []
+        fines = (
+            [(part, tbl.drop_columns(drop))]
+            if coarse_factor == 1
+            else _split_by_part(tbl)
+        )
+        for fine, sub_tbl in fines:
+            state = fold_events_arrow(
+                sub_tbl,
+                list(cfg.key_cols),
+                cfg.payload_cols,
+                cfg.counter_cols,
+                ttl=cfg.ttl_enabled,
+            )
+            odir = os.path.join(staging_dir, f"part={part:05d}", _PARTIALS_DIR)
+            os.makedirs(odir, exist_ok=True)
+            path = os.path.join(odir, f"partial-{fine:05d}-{sub:03d}-{m:03d}.arrow")
+            tmp = path + f".tmp{os.getpid()}"
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_file(sink, state.schema) as w:
+                    w.write_table(state)
+            os.replace(tmp, path)
+            out_rows.append({"part": np.int32(part), "rows": np.int64(state.num_rows)})
+    return pd.DataFrame(
+        out_rows or [], columns=["part", "rows"]
+    ).astype({"part": np.int32, "rows": np.int64}, errors="ignore")
+
+
+def _split_by_part(tbl: pa.Table) -> list[tuple[int, pa.Table]]:
+    fine = tbl.column(PART_COL).to_numpy(zero_copy_only=False)
+    order = np.argsort(fine, kind="stable")
+    st = tbl.take(pa.array(order))
+    sf = fine[order]
+    bounds = np.r_[np.flatnonzero(np.r_[True, sf[1:] != sf[:-1]]), len(sf)]
+    return [
+        (int(sf[bounds[i]]), st.slice(bounds[i], bounds[i + 1] - bounds[i]).drop_columns([PART_COL]))
+        for i in range(len(bounds) - 1)
+    ]
+
+
+def merge_partials_partition(
+    cfg, staging_dir: str, coarse_factor: int, group: pd.DataFrame
+) -> pd.DataFrame:
+    """Phase B task: merge a partition's folded partials (state frames) with
+    prior lake state — rides the existing state-partials merge path."""
+    from cassandra_data_migrator_ray.stages.merge import (
+        METRICS_COLUMNS,
+        merge_partition_group,
+    )
+
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    outs = []
+    for dir_key in group["part"]:
+        pdir = os.path.join(staging_dir, f"part={int(dir_key):05d}", _PARTIALS_DIR)
+        if not os.path.isdir(pdir):
+            continue
+        by_fine: dict[int, list[str]] = {}
+        for f in sorted(os.listdir(pdir)):
+            if f.startswith("partial-") and f.endswith(".arrow"):
+                fine = int(f.split("-")[1])
+                by_fine.setdefault(fine, []).append(os.path.join(pdir, f))
+        for fine, files in sorted(by_fine.items()):
+            def _read_ipc(path: str) -> pa.Table:
+                with pa.memory_map(path) as src:
+                    return pa.ipc.open_file(src).read_all()
+
+            partials = pa.concat_tables([_read_ipc(f) for f in files]).to_pandas()
+            partials[PART_COL] = np.int32(fine)
+            outs.append(merge_partition_group(cfg, partials))
+    return (
+        pd.concat(outs, ignore_index=True)
+        if outs
+        else pd.DataFrame(columns=METRICS_COLUMNS)
+    )

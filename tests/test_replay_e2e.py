@@ -172,3 +172,54 @@ class TestTwoLevelStaging:
         pd.testing.assert_frame_equal(
             read_lake_pandas(lake), oracle_final_state(both), check_dtype=False
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRerunMultiplier:
+    """Reference rerunMultiplier (TrackRun.java:59-71): a pending/failed
+    partition reruns as M sub-fold tasks + a partial merge — exact by
+    fold/merge associativity."""
+
+    def test_subdivided_replay_matches_oracle(self, tmp_path):
+        events = gen_change_stream(n_convs=150, n_events=6000, seed=61)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=8, rerun_multiplier=4)
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake),
+            oracle_final_state(events.to_pandas()),
+            check_dtype=False,
+        )
+
+    def test_failed_partition_resumed_subdivided(self, tmp_path):
+        """Stage the run without committing (the 'crashed mid-run' state),
+        delete one partition's receipt (its merge 'failed'), then rerun the
+        same run_id with a multiplier: only the failed partition is re-merged
+        (subdivided), the rest resume from receipts."""
+        import glob
+        import os
+
+        events = gen_change_stream(n_convs=150, n_events=6000, seed=62)
+        lake = str(tmp_path / "lake")
+        res = replay(events, lake, num_parts=8, commit=False)
+        receipts = sorted(
+            glob.glob(os.path.join(lake, "_staging", res.run_id, "part-*.json"))
+        )
+        os.unlink(receipts[0])  # simulate one failed partition merge
+        res2 = replay(events, lake, num_parts=8, run_id=res.run_id, rerun_multiplier=3)
+        statuses = res2.metrics["status"].value_counts().to_dict()
+        assert statuses.get("SKIPPED_RESUME", 0) >= 6, statuses
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake),
+            oracle_final_state(events.to_pandas()),
+            check_dtype=False,
+        )
+
+    def test_two_level_plus_multiplier(self, tmp_path):
+        events = gen_change_stream(n_convs=150, n_events=5000, seed=63)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=320, rerun_multiplier=2)
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake),
+            oracle_final_state(events.to_pandas()),
+            check_dtype=False,
+        )
