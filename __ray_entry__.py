@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q.simhash_docs,
         "minhash_neardup_docs": q.minhash_neardup_docs,
         "embedding_neardup": q.embedding_neardup_q,
+        "embedding_neardup_planted": q.embedding_neardup_planted,
         "quality_docs": q.quality_docs,
         # D. full-engine CDC over generated transcripts (not SQL-expressible)
         "cdc_replay": q.cdc_replay,
@@ -210,6 +211,53 @@ WHERE length(text) > 256
         "explode_words": """
 SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 """,
+        # deterministic heuristic quality scoring, reproduced exactly in SQL
+        # (same integer counts → bit-identical double ratios and score)
+        "quality_docs": r"""
+WITH d AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         regexp_extract_all(lower(text), '[a-z]+') AS ws,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents
+),
+w AS (
+  SELECT doc_id, u.w AS word FROM d, unnest(ws) AS u(w)
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         count(DISTINCT word) AS n_uniq,
+         count(*) FILTER (
+           WHERE word IN ('the','and','of','a','to','in','is','it','that','for')
+         ) AS n_stop
+  FROM w GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(agg.n_words, 0) AS n_words,
+         coalesce(agg.n_uniq, 0) AS n_uniq,
+         d.n_punct
+  FROM d LEFT JOIN agg USING (doc_id)
+)
+SELECT doc_id,
+    (CASE WHEN n_chars >= 64 AND n_chars <= 100000 THEN 1 ELSE 0 END
+     + CASE WHEN (CASE WHEN n_chars > 0
+                       THEN CAST(n_punct AS DOUBLE)/greatest(n_chars,1)
+                       ELSE 0 END) < 0.2 THEN 1 ELSE 0 END
+     + CASE WHEN (CASE WHEN n_words > 0
+                       THEN CAST(n_chars - n_words + 1 AS DOUBLE)/greatest(n_words,1)
+                       ELSE 0 END) > 2
+             AND (CASE WHEN n_words > 0
+                       THEN CAST(n_chars - n_words + 1 AS DOUBLE)/greatest(n_words,1)
+                       ELSE 0 END) < 12 THEN 1 ELSE 0 END
+     + CASE WHEN (CASE WHEN n_words > 0
+                       THEN CAST(n_uniq AS DOUBLE)/greatest(n_words,1)
+                       ELSE 0 END) > 0.2 THEN 1 ELSE 0 END
+     + CASE WHEN n_words >= 8 THEN 1 ELSE 0 END) / 5.0 AS quality_score,
+    CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words
+FROM j ORDER BY doc_id
+""",
         # brute-force word-3-gram Jaccard ground truth: the LSH pipeline must
         # find exactly the true pair set (near-dups on this data sit at
         # jaccard >= 0.89 where banded-LSH recall is ~1.0), with exact scores
@@ -263,6 +311,18 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id
+""",
+        # planted exact-duplicate vectors: LSH pair set vs brute-force truth
+        "embedding_neardup_planted": """
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+ORDER BY id_a, id_b
 """,
         # IVF shares the exact brute-force oracle: rank parity == recall 1.0
         "ann_topk_ivf": """

@@ -441,6 +441,33 @@ def embedding_neardup_q(sf_dir: str) -> pd.DataFrame:
     return _pairs_or_empty(pairs, "cosine")
 
 
+def embedding_neardup_planted(sf_dir: str) -> pd.DataFrame:
+    """Exercised embedding near-dup gate: the input is the embeddings table
+    UNION exact copies of every 50th vector (vec_id + 1_000_000) — a
+    deterministic construction the DuckDB oracle reproduces, so the LSH
+    pipeline's found pair set is checked against brute-force ground truth
+    (testdata's random gaussians have no natural pairs at cosine 0.95)."""
+    from cassandra_data_migrator_ray.pipelines.dataops import embedding_neardup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % 50 == 0)
+        dup = t.filter(keep)
+        dup = dup.set_column(
+            dup.column_names.index("vec_id"),
+            "vec_id",
+            pc.add(dup["vec_id"], 1_000_000),
+        )
+        return pa.concat_tables([t, dup])
+
+    planted = emb.map_batches(plant, batch_format="pyarrow")
+    pairs = embedding_neardup(planted, threshold=0.95).to_pandas()
+    out = _pairs_or_empty(pairs, "cosine")
+    return out[["id_a", "id_b"]]
+
+
 def quality_docs(sf_dir: str) -> pd.DataFrame:
     from cassandra_data_migrator_ray.functions.text import QualityScore
 
