@@ -258,6 +258,45 @@ SELECT doc_id,
     CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words
 FROM j ORDER BY doc_id
 """,
+        # deterministic stopword-profile language ID reproduced in SQL: same
+        # token regex, same hit-rate ratios (bit-identical doubles), same
+        # first-wins argmax tie-break (en > de > fr > es), same CJK gate
+        "langid_docs": r"""
+WITH d AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws,
+         len(regexp_extract_all(text, '[一-鿿]')) AS n_cjk,
+         greatest(length(text), 1) AS n_len
+  FROM documents
+),
+w AS (SELECT doc_id, u.w AS word FROM d, unnest(ws) AS u(w)),
+hits AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE word IN ('the','and','of','a','to','in','is','it','that','for')) AS h_en,
+    count(*) FILTER (WHERE word IN ('der','die','das','und','ist','ein','zu','den','nicht','mit')) AS h_de,
+    count(*) FILTER (WHERE word IN ('le','la','les','et','de','un','une','est','que','pour')) AS h_fr,
+    count(*) FILTER (WHERE word IN ('el','la','los','y','de','un','una','es','que','por')) AS h_es,
+    count(*) AS n_words
+  FROM w GROUP BY doc_id
+),
+r AS (
+  SELECT d.doc_id,
+    CAST(coalesce(h.h_en,0) AS DOUBLE)/greatest(coalesce(h.n_words,0),1) AS r_en,
+    CAST(coalesce(h.h_de,0) AS DOUBLE)/greatest(coalesce(h.n_words,0),1) AS r_de,
+    CAST(coalesce(h.h_fr,0) AS DOUBLE)/greatest(coalesce(h.n_words,0),1) AS r_fr,
+    CAST(coalesce(h.h_es,0) AS DOUBLE)/greatest(coalesce(h.n_words,0),1) AS r_es,
+    CAST(d.n_cjk AS DOUBLE)/d.n_len AS cjk_ratio
+  FROM d LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id,
+  CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+       WHEN greatest(r_en, r_de, r_fr, r_es) = 0.0 THEN 'unknown'
+       WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+       WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+       WHEN r_fr >= r_es THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM r ORDER BY doc_id
+""",
         # brute-force word-3-gram Jaccard ground truth: the LSH pipeline must
         # find exactly the true pair set (near-dups on this data sit at
         # jaccard >= 0.89 where banded-LSH recall is ~1.0), with exact scores
