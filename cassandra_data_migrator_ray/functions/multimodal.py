@@ -6,15 +6,20 @@ real and tested: small batches (large rows), callable-class stages for
 ``map_batches(Cls, concurrency=N, batch_size=small)`` with one-time setup in
 ``__init__``, Arrow binary in / binary + features out.
 
-The actual codecs are STUBBED — this container ships no image/audio libraries —
-behind ``decoder="fake"`` (deterministic, seed-free fake pixels derived from the
-payload bytes) or ``decoder="pil"``-style real imports that raise
-``NotImplementedError`` with a clear message when the library is absent.
+The decode path is REAL for formats decodable without third-party libraries:
+24-bit uncompressed BMP and binary PPM (P6) images (pure numpy + struct) and
+PCM WAV audio (stdlib ``wave``).  ``decoder="auto"`` sniffs the payload magic
+and decodes those; ``decoder="fake"`` remains as the deterministic stub for
+formats this container cannot decode (PNG/JPEG/MP4 — no PIL/ffmpeg here), and
+``decoder="pil"`` raises ``NotImplementedError`` when PIL is absent.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -39,6 +44,127 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+# ---- real image codecs (no third-party libraries) ----------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) → 24-bit uncompressed BI_RGB BMP bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → RGB uint8 (h, w, 3).
+
+    Handles bottom-up (positive height) and top-down (negative height) rows
+    and the 4-byte row padding; rejects compressed or non-24-bit files.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp, compression = struct.unpack_from("<HI", payload, 28)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) → binary PPM (P6, maxval 255) bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → RGB uint8 (h, w, 3); skips `#` comments."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return px.reshape(h, w, 3).copy()
+
+
+def resize_nearest(pixels: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, 3) → (th, tw, 3) — pure numpy indexing."""
+    th, tw = target_hw
+    h, w = pixels.shape[:2]
+    if (h, w) == (th, tw):
+        return pixels
+    ri = np.minimum((np.arange(th) * h) // th, h - 1)
+    ci = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return pixels[ri[:, None], ci[None, :]]
+
+
+# ---- real audio codec (stdlib wave) ------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 PCM samples (n,) or (n, channels) → WAV bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    n_channels = 1 if s.ndim == 1 else s.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (int16 samples (n,) or (n, channels), sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"unsupported WAV sample width {wf.getsampwidth()}")
+        rate = wf.getframerate()
+        n_channels = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    s = np.frombuffer(raw, dtype=np.int16)
+    if n_channels > 1:
+        s = s.reshape(-1, n_channels)
+    return s, rate
+
+
+def sniff_media(payload: bytes) -> str:
+    """Magic-byte format sniff: 'bmp' | 'ppm' | 'wav' | 'unknown'."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
 class DecodeImage:
     """Actor-pool stage: binary payload → decoded ndarray column.
 
@@ -47,7 +173,7 @@ class DecodeImage:
     large; the decoder backend is loaded ONCE per actor here.
     """
 
-    def __init__(self, decoder: str = "fake", target_hw: tuple[int, int] = (32, 32)):
+    def __init__(self, decoder: str = "auto", target_hw: tuple[int, int] = (32, 32)):
         self.target_hw = target_hw
         self.decoder = decoder
         if decoder == "pil":
@@ -57,25 +183,28 @@ class DecodeImage:
                 self._pil = Image
             except ImportError as e:  # pragma: no cover - no PIL in container
                 raise NotImplementedError(
-                    "PIL is not available in this environment; use decoder='fake' "
-                    "for the deterministic stub"
+                    "PIL is not available in this environment; use decoder='auto' "
+                    "(real BMP/PPM decode) or decoder='fake'"
                 ) from e
-        elif decoder != "fake":
+        elif decoder not in ("auto", "fake"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _decode_one(self, payload: bytes | None) -> np.ndarray:
+        p = payload if payload is not None else b""
         h, w = self.target_hw
-        pixels = [
-            _fake_pixels(p if p is not None else b"", h, w)
-            if self.decoder == "fake"
-            else self._decode_real(p)
-            for p in batch["payload"]
-        ]
-        batch["pixels"] = pixels
-        return batch
+        if self.decoder == "fake":
+            return _fake_pixels(p, h, w)
+        fmt = sniff_media(p)
+        if fmt == "bmp":
+            return resize_nearest(decode_bmp(p), self.target_hw)
+        if fmt == "ppm":
+            return resize_nearest(decode_ppm(p), self.target_hw)
+        # unknown container format (PNG/JPEG need external libs) → stub
+        return _fake_pixels(p, h, w)
 
-    def _decode_real(self, payload: bytes) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError("real decode requires an image library")
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["pixels"] = [self._decode_one(p) for p in batch["payload"]]
+        return batch
 
 
 class ImageFeatures:
@@ -86,19 +215,47 @@ class ImageFeatures:
         self.hist_bins = hist_bins
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        feats = []
-        for px in batch["pixels"]:
-            mean_rgb = px.reshape(-1, 3).mean(axis=0)
-            luma = px.mean(axis=2).ravel()
-            hist, _ = np.histogram(luma, bins=self.hist_bins, range=(0, 255))
-            feats.append(
-                np.concatenate([mean_rgb / 255.0, hist / max(1, luma.size)]).astype(
-                    np.float32
-                )
-            )
+        # decoded pixels share target_hw → stack once, all-batch numpy kernels
+        px = np.stack(batch["pixels"].to_list())  # (n, h, w, 3)
+        n = px.shape[0]
+        mean_rgb = px.reshape(n, -1, 3).mean(axis=1) / 255.0  # (n, 3)
+        luma = px.mean(axis=3).reshape(n, -1)  # (n, h*w)
+        bins = np.linspace(0, 255, self.hist_bins + 1)
+        idx = np.clip(np.digitize(luma, bins[1:-1]), 0, self.hist_bins - 1)
+        hist = np.zeros((n, self.hist_bins), dtype=np.int64)
+        np.add.at(hist, (np.repeat(np.arange(n), luma.shape[1]), idx.ravel()), 1)
+        feats = np.concatenate(
+            [mean_rgb, hist / max(1, luma.shape[1])], axis=1
+        ).astype(np.float32)
         out = batch.drop(columns=["pixels"])
-        out["features"] = feats
+        out["features"] = list(feats)
         return out
+
+
+class AudioFeatures:
+    """Actor-pool stage: WAV payload → real decoded features (duration,
+    RMS level, zero-crossing rate, dominant frequency via numpy rFFT)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        dur, rms, zcr, domf = [], [], [], []
+        for p in batch[self.payload_col]:
+            samples, rate = decode_wav(p)
+            mono = samples.mean(axis=1) if samples.ndim > 1 else samples.astype(np.float64)
+            n = max(1, len(mono))
+            dur.append(int(round(len(mono) * 1000.0 / rate)))
+            rms.append(float(np.sqrt(np.mean(mono.astype(np.float64) ** 2))))
+            zcr.append(float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0)
+            spec = np.abs(np.fft.rfft(mono))
+            freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+            domf.append(float(freqs[int(np.argmax(spec))]) if len(spec) else 0.0)
+        batch["duration_ms"] = np.asarray(dur, dtype=np.int32)
+        batch["rms"] = np.asarray(rms, dtype=np.float64)
+        batch["zero_crossing_rate"] = np.asarray(zcr, dtype=np.float64)
+        batch["dominant_hz"] = np.asarray(domf, dtype=np.float64)
+        return batch
 
 
 class FrameSampler:
