@@ -396,11 +396,17 @@ def ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_ids: np.ndarray | None = None,
+    merge: str = "auto",
 ) -> pd.DataFrame:
     """Exact brute-force cosine top-k: (query_id, rank, vec_id, score).
 
     The query matrix is broadcast via ray.put; each batch does one matmul and
-    emits q×k candidate rows; the driver merges candidate heaps (tiny).
+    emits q×k candidate rows.  ``merge`` picks the reduction: ``"driver"``
+    (heap merge of the q × blocks × k candidate frame on the driver — right
+    for small query sets), ``"distributed"`` (``groupby(qi).map_groups`` —
+    the candidate shuffle is distributed and the driver only ever sees the
+    final q × k rows, the shape for 10^5+ query workloads), or ``"auto"``
+    (distributed from 256 queries up).
     """
     queries = np.asarray(queries, dtype=np.float64)
     if queries.ndim == 1:
@@ -421,9 +427,44 @@ def ann_topk(
             }
         )
 
-    cand = ds.map_batches(per_batch, batch_format="pandas").to_pandas()
-    # deterministic driver-side merge (candidate set is q × batches × k — tiny)
+    cand_ds = ds.map_batches(per_batch, batch_format="pandas")
+    if merge == "auto":
+        merge = "distributed" if queries.shape[0] >= 256 else "driver"
+    if merge == "distributed":
+        return _merge_topk_distributed(cand_ds, k, id_col, query_ids)
+    cand = cand_ds.to_pandas()
+    # deterministic driver-side merge (candidate set is q × batches × k)
     return _merge_topk(cand, k, id_col, query_ids)
+
+
+def _merge_topk_distributed(
+    cand_ds: ray.data.Dataset, k: int, id_col: str, query_ids: np.ndarray | None
+) -> pd.DataFrame:
+    """Per-query top-k as a distributed groupby — the candidate rows are
+    shuffled by query id and reduced in parallel; the driver materializes
+    only the final q × k result frame."""
+
+    def head_k(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+        top = g.head(k).reset_index(drop=True)
+        top["rank"] = np.arange(len(top), dtype=np.int64)
+        return top
+
+    top = cand_ds.groupby("qi").map_groups(head_k, batch_format="pandas").to_pandas()
+    top = top.sort_values(["qi", "rank"], ignore_index=True)
+    qid = (
+        query_ids[top["qi"].to_numpy()]
+        if query_ids is not None
+        else top["qi"].to_numpy()
+    )
+    return pd.DataFrame(
+        {
+            "query_id": qid.astype(np.int64),
+            "rank": top["rank"].astype(np.int64),
+            id_col: top[id_col].astype(np.int64),
+            "score": top["score"],
+        }
+    )
 
 
 def _merge_topk(

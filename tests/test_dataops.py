@@ -180,6 +180,23 @@ class TestSimilarity:
         assert got["vec_id"].tolist() == pdf["vec_id"].to_numpy()[order].tolist()
         assert got["rank"].tolist() == [0, 1, 2, 3, 4]
 
+    def test_ann_topk_distributed_merge_matches_driver(self):
+        """The groupby(qi) distributed merge (large-query-set path, driver
+        sees only q×k rows) must match the driver heap merge exactly."""
+        from cassandra_data_migrator_ray.pipelines.dataops import ann_topk
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        pdf = emb.to_pandas()
+        vecs = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = vecs[:6]
+        qids = np.array([100, 200, 300, 400, 500, 600], dtype=np.int64)
+        a = ann_topk(emb, q, k=5, query_ids=qids, merge="driver")
+        b = ann_topk(emb, q, k=5, query_ids=qids, merge="distributed")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+        assert set(a["query_id"]) == set(qids)
+
     def test_embedding_neardup_self_similarity(self):
         from cassandra_data_migrator_ray.pipelines.dataops import embedding_neardup
 
