@@ -176,15 +176,24 @@ def dedup_minhash_lsh(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 64,
+    verify: str = "driver",
 ) -> ray.data.Dataset:
     """Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Shuffle-minimal shape: stage 1 ships ONLY (band, band_hash, id) triples —
     the text never crosses the band shuffle (so bytes/doc through the exchange
     are independent of num_bands).  Candidate pairs are deduped, then verified
-    in a second pass that gathers just the candidate documents' texts via a
-    broadcast point-lookup and computes exact hashed-shingle Jaccard
-    vectorized per pair.
+    exactly (hashed-shingle Jaccard).  ``verify``:
+
+    - ``"driver"``: gather candidate texts via broadcast point-lookup and
+      verify on the driver — right while the candidate set (true near-dups +
+      LSH false positives) fits one process.
+    - ``"distributed"``: the driver holds only the (id_a, id_b) pair list;
+      shingle SETS are computed where the docs live (broadcast id filter, one
+      column-pruned pass) and flow through two candidate-proportional
+      ``groupby`` exchanges — attach-set-per-side, then per-pair Jaccard.
+      The corpus text never moves and no text/set ever lands on the driver —
+      the 100-TB verification path.
     """
     from cassandra_data_migrator_ray.functions.dedup import _shingle_hashes
 
@@ -218,6 +227,10 @@ def dedup_minhash_lsh(
     )
     if pairs.empty:
         return ray.data.from_pandas(empty)
+    if verify == "distributed":
+        return _verify_pairs_distributed(
+            ds, pairs, id_col, text_col, shingle_k, threshold, empty
+        )
 
     need = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
     texts = _gather_column(ds, id_col, text_col, need)
@@ -249,6 +262,118 @@ def dedup_minhash_lsh(
         }
     )
     return ray.data.from_pandas(out if len(out) else empty)
+
+
+def _verify_pairs_distributed(
+    ds: ray.data.Dataset,
+    pairs: pd.DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+    empty: pd.DataFrame,
+) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verify of candidate pairs.
+
+    Pipeline (all candidate-proportional; corpus text never shuffles):
+    1. per-doc hashed shingle SETS for candidate docs only — broadcast id
+       filter (ray.put once) + one column-pruned pass over the corpus;
+    2. union(set-rows, pair-side-rows) → groupby(doc_id) attaches each doc's
+       set to both sides of every pair that references it;
+    3. groupby(id_a, id_b) meets a pair's two sides → exact Jaccard.
+
+    Same semantics as the driver verify, including both-empty-sets → 1.0.
+    """
+    from cassandra_data_migrator_ray.functions.dedup import _shingle_hashes
+
+    need = np.unique(
+        np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])
+    )
+    ref = ray.put(need.astype(np.int64))
+
+    shingle_t = pa.list_(pa.int64())
+
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        want = pa.array(ray.get(ref), pa.int64()).cast(batch.schema.field(id_col).type)
+        picked = batch.filter(pc.is_in(batch[id_col], value_set=want))
+        texts = picked[text_col].to_pandas().fillna("").astype(str)
+        hashes, offsets = _shingle_hashes(texts, shingle_k)
+        sets = [
+            np.unique(hashes[offsets[j] : offsets[j + 1]]).astype(np.int64)
+            for j in range(len(texts))
+        ]
+        n = len(texts)
+        return pa.table(
+            {
+                "doc": picked[id_col].cast(pa.int64()),
+                "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "shingles": pa.array(sets, shingle_t),
+            }
+        )
+
+    sets_ds = ds.map_batches(doc_sets, batch_format="pyarrow")
+
+    side = pa.table(
+        {
+            "doc": pa.array(
+                np.concatenate(
+                    [pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]
+                ).astype(np.int64)
+            ),
+            "id_a": pa.array(np.tile(pairs["id_a"].to_numpy(), 2).astype(np.int64)),
+            "id_b": pa.array(np.tile(pairs["id_b"].to_numpy(), 2).astype(np.int64)),
+            "shingles": pa.nulls(2 * len(pairs), shingle_t),
+        }
+    )
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        m = group["id_a"] < 0
+        sides = group[~m]
+        if sides.empty:
+            return sides[["id_a", "id_b", "shingles"]]
+        srow = group[m]
+        s = srow["shingles"].iloc[0] if len(srow) else None
+        out = sides[["id_a", "id_b"]].copy()
+        out["shingles"] = [s] * len(out)
+        return out
+
+    def pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
+        vals = [v for v in group["shingles"]]
+        if len(vals) != 2 or any(v is None for v in vals):
+            jac = 0.0  # a side's doc is missing from the corpus
+        else:
+            sa, sb = (np.asarray(v, dtype=np.int64) for v in vals)
+            if len(sa) == 0 and len(sb) == 0:
+                jac = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jac = inter / max(1, len(sa) + len(sb) - inter)
+        if jac < threshold:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 "jaccard": pd.Series([], dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": group["id_a"].iloc[:1].astype(np.int64),
+                "id_b": group["id_b"].iloc[:1].astype(np.int64),
+                "jaccard": np.array([jac], dtype=np.float64),
+            }
+        )
+
+    out = (
+        sets_ds.union(ray.data.from_arrow(side))
+        .groupby("doc")
+        .map_groups(attach, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(pair_jaccard, batch_format="pandas")
+    )
+    got = out.to_pandas()
+    return ray.data.from_pandas(got if len(got) else empty)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,188 @@
+"""WAL/binlog-tail micro-batch ingest + per-partition throughput/lag metrics.
+
+The reference is batch-only (each Migrate run covers a token range,
+job/Migrate.scala); its "keep the target caught up" story is re-running the
+job over new data, rerun-safe because writes carry original writetimes
+(cql/statement/TargetInsertStatement.java:128-133).  This module makes that
+loop a first-class operator: ``tail_replay`` watches a directory of
+change-batch Parquet files (the binlog/WAL tail shape — CDC producers append
+closed segment files) and replays each new stable file set through the normal
+exactly-once ``replay`` pipeline.
+
+Exactly-once across crashes needs no coordination between the ledger and the
+manifest: if the process dies after a commit but before the ledger update,
+the next cycle re-replays the same files under a fresh run_id and the
+per-partition high-watermark filter (``stages/normalize.py``) drops every
+already-merged event — the rerun is a no-op merge, after which the ledger
+catches up.  The ledger is therefore only an optimization (skip re-reading
+ingested files), never a correctness dependency.
+
+``lag_report`` is the per-partition throughput/lag metrics surface: manifest
+counters (rows, watermark, status, files) plus, with ``scan=True``, event-time
+lag computed from the lake's persisted ``__row_wt`` state column via one
+column-pruned Arrow scan.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from cassandra_data_migrator_ray.pipelines.replay import ReplayResult, replay
+from cassandra_data_migrator_ray.schema import ROW_WT
+from cassandra_data_migrator_ray.state.manifest import Manifest, atomic_write_json
+
+
+@dataclass
+class TailResult:
+    cycles: int
+    files_ingested: list[str] = field(default_factory=list)
+    keys_merged: int = 0
+    results: list[ReplayResult] = field(default_factory=list)
+
+
+def _ledger_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_tail_ledger.json")
+
+
+def _load_ledger(lake_dir: str) -> dict:
+    try:
+        with open(_ledger_path(lake_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"files": {}}
+
+
+def tail_replay(
+    source_dir: str,
+    lake_dir: str,
+    *,
+    pattern: str = "*.parquet",
+    poll_interval: float = 1.0,
+    min_age_s: float = 0.0,
+    max_cycles: int | None = None,
+    stop_after_idle_cycles: int | None = None,
+    **replay_kwargs,
+) -> TailResult:
+    """Micro-batch tail loop: ingest new change-batch files as they appear.
+
+    - ``min_age_s``: a file must be at least this old (mtime) before it is
+      ingested — lets producers finish writing a segment.  Producers that
+      write-then-rename can run with 0.
+    - ``max_cycles`` / ``stop_after_idle_cycles`` bound the loop (tests /
+      drain-then-exit operation).  With both ``None`` the loop runs forever
+      (the service shape).
+    - extra kwargs flow to :func:`replay` (num_parts, counter_cols, ...).
+    """
+    os.makedirs(lake_dir, exist_ok=True)
+    ledger = _load_ledger(lake_dir)
+    out = TailResult(cycles=0)
+    idle = 0
+    while True:
+        if max_cycles is not None and out.cycles >= max_cycles:
+            break
+        out.cycles += 1
+        now = time.time()
+        seen = sorted(globmod.glob(os.path.join(source_dir, pattern)))
+        fresh = [
+            f
+            for f in seen
+            if f not in ledger["files"]
+            and (min_age_s <= 0 or now - os.path.getmtime(f) >= min_age_s)
+        ]
+        if fresh:
+            idle = 0
+            # deterministic id per ledger position: a crashed cycle's rerun
+            # reuses the id and its receipts, not a new pile of staged files
+            run_id = f"tail-{len(ledger['files']):08d}"
+            res = replay(fresh, lake_dir, run_id=run_id, **replay_kwargs)
+            out.results.append(res)
+            out.keys_merged += res.events_merged_keys
+            out.files_ingested.extend(fresh)
+            for f in fresh:
+                ledger["files"][f] = {
+                    "size": os.path.getsize(f),
+                    "run_id": run_id,
+                }
+            atomic_write_json(_ledger_path(lake_dir), ledger)
+        else:
+            idle += 1
+            if stop_after_idle_cycles is not None and idle >= stop_after_idle_cycles:
+                break
+        if poll_interval > 0 and (max_cycles is None or out.cycles < max_cycles):
+            time.sleep(poll_interval)
+    return out
+
+
+def lag_report(
+    lake_dir: str, *, scan: bool = False, now_us: int | None = None
+) -> pd.DataFrame:
+    """Per-partition throughput/lag metrics (one row per partition).
+
+    Manifest-only columns (no data scan): ``partition, rows, tombstones,
+    watermark_seq, status, n_files``.  With ``scan=True`` adds event-time lag:
+    ``max_row_wt`` (newest live cell writetime in the partition, from the
+    persisted ``__row_wt`` state column via a column-pruned scan) and
+    ``lag_us = now_us - max_row_wt``.
+    """
+    m = Manifest.load(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no lake manifest under {lake_dir}")
+    rows = [
+        {
+            "partition": part,
+            "rows": st.rows,
+            "tombstones": st.tombstones,
+            "watermark_seq": st.watermark,
+            "status": st.status,
+            "n_files": len(st.files),
+        }
+        for part, st in sorted(m.partitions.items())
+    ]
+    rep = pd.DataFrame(
+        rows,
+        columns=["partition", "rows", "tombstones", "watermark_seq", "status", "n_files"],
+    )
+    if scan and len(rep):
+        import pyarrow.parquet as pq
+
+        now = int(now_us if now_us is not None else time.time() * 1_000_000)
+        max_wt = np.full(len(rep), np.iinfo(np.int64).min, dtype=np.int64)
+        for i, (part, st) in enumerate(sorted(m.partitions.items())):
+            for f in st.files:
+                t = pq.read_table(os.path.join(lake_dir, f), columns=[ROW_WT])
+                if len(t):
+                    mx = t.column(ROW_WT).to_numpy(zero_copy_only=False).max()
+                    max_wt[i] = max(max_wt[i], int(mx))
+        rep["max_row_wt"] = max_wt
+        rep["lag_us"] = np.where(
+            max_wt > np.iinfo(np.int64).min, now - max_wt, np.int64(-1)
+        )
+    return rep
+
+
+def run_throughput(lake_dir: str) -> pd.DataFrame:
+    """Per-run ingest throughput from the manifest's run ledger: one row per
+    committed replay run — ``run_id, committed_at, keys_in, partitions``."""
+    m = Manifest.load(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no lake manifest under {lake_dir}")
+    rows = [
+        {
+            "run_id": r.get("run_id"),
+            "committed_at": r.get("committed_at"),
+            "keys_in": r.get("keys_in", 0),
+            "partitions": len(r.get("partitions", [])),
+        }
+        for r in m.runs
+        if r.get("type") == "replay"
+    ]
+    return pd.DataFrame(
+        rows, columns=["run_id", "committed_at", "keys_in", "partitions"]
+    )

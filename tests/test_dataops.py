@@ -153,6 +153,26 @@ class TestDedupPipelines:
         exact = pairs[(pairs["id_a"].isin(fam1)) & (pairs["id_b"].isin(fam1))]
         assert (exact["jaccard"] == 1.0).all() and len(exact) == 36
 
+    def test_minhash_distributed_verify_matches_driver(self):
+        """verify='distributed' (no text/set ever on the driver; two
+        candidate-proportional groupby exchanges) must produce exactly the
+        driver-verified pair set and scores."""
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_minhash_lsh
+
+        ds = ray.data.from_pandas(docs_df())
+        a = (
+            dedup_minhash_lsh(ds, threshold=0.5, verify="driver")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        b = (
+            dedup_minhash_lsh(ds, threshold=0.5, verify="distributed")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 10
+
     def test_dedup_simhash(self):
         from cassandra_data_migrator_ray.pipelines.dataops import dedup_simhash
 
