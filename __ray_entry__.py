@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.embedding_neardup_q,
         "embedding_neardup_planted": q.embedding_neardup_planted,
         "quality_docs": q.quality_docs,
+        "multimodal_bmp_features": q.multimodal_bmp_features,
         # D. full-engine CDC over generated transcripts (not SQL-expressible)
         "cdc_replay": q.cdc_replay,
         "cdc_validate": q.cdc_validate,
@@ -350,6 +351,16 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id
+""",
+        # real BMP encode→decode→feature path vs arithmetic ground truth:
+        # solid-color images mean to exactly their color; engine features are
+        # float32 then widened, so the oracle casts through REAL identically
+        "multimodal_bmp_features": """
+SELECT doc_id,
+       CAST(CAST((doc_id % 256) / 255.0 AS REAL) AS DOUBLE) AS mean_r,
+       CAST(CAST(((doc_id * 7) % 256) / 255.0 AS REAL) AS DOUBLE) AS mean_g,
+       CAST(CAST(((doc_id * 13) % 256) / 255.0 AS REAL) AS DOUBLE) AS mean_b
+FROM documents ORDER BY doc_id
 """,
         # planted exact-duplicate vectors: LSH pair set vs brute-force truth
         "embedding_neardup_planted": """

@@ -6,6 +6,8 @@ Reference: com.datastax.cdm.job.{Migrate, DiffData, GuardrailCheck} Scala Apps
     python -m cassandra_data_migrator_ray migrate   --events E.parquet --lake L [--num-parts 64] [--salt 1] [--compact]
     python -m cassandra_data_migrator_ray validate  --expected X.parquet --lake L [--autocorrect] [--report R.parquet]
     python -m cassandra_data_migrator_ray guardrail --input D.parquet --max-kb 1.0
+    python -m cassandra_data_migrator_ray tail      --source WAL_DIR --lake L [--stop-after-idle 3]
+    python -m cassandra_data_migrator_ray metrics   --lake L [--scan]
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -58,6 +60,23 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="rewrite partitions dropping tombstones")
     c.add_argument("--lake", required=True)
     c.add_argument("--grace-wt", type=int, default=None)
+
+    t = sub.add_parser("tail", help="WAL-tail loop: ingest new change files as they appear")
+    t.add_argument("--source", required=True, help="directory of change-batch parquet files")
+    t.add_argument("--lake", required=True)
+    t.add_argument("--pattern", default="*.parquet")
+    t.add_argument("--num-parts", type=int, default=64)
+    t.add_argument("--salt", type=int, default=1)
+    t.add_argument("--poll-interval", type=float, default=2.0)
+    t.add_argument("--min-age-s", type=float, default=0.0)
+    t.add_argument("--max-cycles", type=int, default=None)
+    t.add_argument("--stop-after-idle", type=int, default=None,
+                   help="exit after this many consecutive empty polls (drain mode)")
+
+    s = sub.add_parser("metrics", help="per-partition throughput/lag report")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--scan", action="store_true",
+                   help="also scan the lake for event-time lag (max __row_wt)")
 
     args = p.parse_args(argv)
     ray = _init_ray(args.num_cpus)
@@ -113,6 +132,42 @@ def main(argv: list[str] | None = None) -> int:
                         if len(res.metrics)
                         else 0,
                         "seconds": round(res.seconds, 3),
+                    }
+                )
+            )
+        elif args.cmd == "tail":
+            from cassandra_data_migrator_ray.pipelines.tail import tail_replay
+
+            res = tail_replay(
+                args.source,
+                args.lake,
+                pattern=args.pattern,
+                poll_interval=args.poll_interval,
+                min_age_s=args.min_age_s,
+                max_cycles=args.max_cycles,
+                stop_after_idle_cycles=args.stop_after_idle,
+                num_parts=args.num_parts,
+                salt=args.salt,
+            )
+            print(
+                json.dumps(
+                    {
+                        "cycles": res.cycles,
+                        "files_ingested": len(res.files_ingested),
+                        "keys_merged": res.keys_merged,
+                    }
+                )
+            )
+        elif args.cmd == "metrics":
+            from cassandra_data_migrator_ray.pipelines.tail import lag_report, run_throughput
+
+            rep = lag_report(args.lake, scan=args.scan)
+            tp = run_throughput(args.lake)
+            print(
+                json.dumps(
+                    {
+                        "partitions": rep.to_dict(orient="records"),
+                        "runs": tp.to_dict(orient="records"),
                     }
                 )
             )

@@ -478,6 +478,58 @@ def quality_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def multimodal_bmp_features(sf_dir: str) -> pd.DataFrame:
+    """Real image-decode gate: deterministic solid-color 24-bit BMPs are
+    ENCODED from doc_id (r=id%256, g=id*7%256, b=id*13%256), shipped as a
+    binary payload column, DECODED by the real numpy BMP codec inside the
+    actor-pool stage, and reduced to mean-RGB features.  The DuckDB oracle
+    reproduces the expected means arithmetically — decode correctness is
+    oracle-checked, not self-attested."""
+    from cassandra_data_migrator_ray.functions.multimodal import (
+        DecodeImage,
+        ImageFeatures,
+        encode_bmp,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        batch["payload"] = [
+            encode_bmp(
+                np.full(
+                    (8, 8, 3),
+                    (int(i) % 256, (int(i) * 7) % 256, (int(i) * 13) % 256),
+                    dtype=np.uint8,
+                )
+            )
+            for i in ids
+        ]
+        return batch
+
+    out = (
+        ds.map_batches(make_payload, batch_format="pandas")
+        .map_batches(
+            DecodeImage(decoder="auto", target_hw=(8, 8)),
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=2,
+        )
+        .map_batches(ImageFeatures, batch_format="pandas", batch_size=256, concurrency=2)
+        .to_pandas()
+    )
+    feats = np.vstack(out["features"].to_numpy()).astype(np.float64)
+    res = pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].astype(np.int64),
+            "mean_r": feats[:, 0],
+            "mean_g": feats[:, 1],
+            "mean_b": feats[:, 2],
+        }
+    )
+    return res.sort_values("doc_id", ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # D. full-engine CDC replay + validate over generated transcripts (rows-only)
 # ---------------------------------------------------------------------------

@@ -107,6 +107,37 @@ class TestTailReplay:
         )
 
 
+class TestTailCli:
+    def test_cli_tail_then_metrics(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        ev = gen_change_stream(n_convs=30, n_events=1200, seed=15)
+        src = str(tmp_path / "wal")
+        lake = str(tmp_path / "lake")
+        _split_parquet(ev, src, 2)
+
+        def run(*args):
+            return subprocess.run(
+                [sys.executable, "-m", "cassandra_data_migrator_ray",
+                 "--num-cpus", "2", *args],
+                capture_output=True, text=True, cwd="/root/repo", timeout=180,
+            )
+
+        r = run("tail", "--source", src, "--lake", lake, "--num-parts", "4",
+                "--poll-interval", "0", "--stop-after-idle", "1")
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["files_ingested"] == 2 and out["keys_merged"] > 0
+
+        r = run("metrics", "--lake", lake, "--scan")
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(out["partitions"]) == 4 and len(out["runs"]) >= 1
+        assert all(p["lag_us"] > 0 for p in out["partitions"])
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestLagMetrics:
     def test_lag_report_and_throughput(self, tmp_path):
