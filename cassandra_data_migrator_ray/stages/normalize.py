@@ -47,6 +47,10 @@ def _default_for(t: pa.DataType) -> object:
         return -1
     if pa.types.is_boolean(t):
         return False
+    if pa.types.is_timestamp(t):
+        # reference: configured epoch-millis default for timestamp PK parts
+        # (properties/KnownProperties.java:197 spark.cdm.transform.replace.nullTs)
+        return np.datetime64(0, t.unit)
     return None
 
 

@@ -151,6 +151,39 @@ def compare_group(
     return pd.concat([out, pd.DataFrame([counts_row])], ignore_index=True)
 
 
+def _null_safe_ne(a, b) -> np.ndarray:
+    """Vectorized null-safe inequality (null == null is equal — reference
+    DataUtility.diff) supporting nested types: structs recurse field-wise
+    (UDT comparison, data/CqlConversion.java:321-357 shapes); types without
+    an Arrow ``equal`` kernel fall back to Python-object comparison (rare)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    a_null = pc.is_null(a).to_numpy(zero_copy_only=False).astype(bool)
+    b_null = pc.is_null(b).to_numpy(zero_copy_only=False).astype(bool)
+    if pa.types.is_struct(a.type):
+        ne = a_null != b_null  # exactly one side null → differ
+        both_valid = ~a_null & ~b_null
+        for i in range(a.type.num_fields):
+            ne |= _null_safe_ne(a.field(i), b.field(i)) & both_valid
+        return ne
+    try:
+        eq = pc.equal(a, b)
+    except pa.lib.ArrowNotImplementedError:
+        av, bv = a.to_pylist(), b.to_pylist()
+        return np.fromiter((x != y for x, y in zip(av, bv)), dtype=bool, count=len(av))
+    both_null = pc.and_(pa.array(a_null), pa.array(b_null))
+    ne = pc.and_(
+        pc.fill_null(pc.invert(pc.fill_null(eq, False)), True),
+        pc.invert(both_null),
+    )
+    return ne.to_numpy(zero_copy_only=False).astype(bool)
+
+
 def compare_part_arrow(
     tbl: "pa.Table",
     key_cols: Sequence[str],
@@ -223,13 +256,7 @@ def compare_part_arrow(
         col = tbl.column(c)
         a = pc.take(col, exp_take)
         b = pc.take(col, act_take)
-        eq = pc.equal(a, b)
-        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
-        ne = pc.and_(
-            pc.fill_null(pc.invert(pc.fill_null(eq, False)), True),
-            pc.invert(both_null),
-        )
-        mask = ne.to_numpy(zero_copy_only=False).astype(bool) & both
+        mask = _null_safe_ne(a, b) & both
         diff_masks[c] = mask
         cols_differ = np.where(
             mask, np.where(cols_differ == "", c, cols_differ + "," + c), cols_differ
