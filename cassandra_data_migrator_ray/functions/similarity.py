@@ -43,6 +43,59 @@ def ivf_assign(vectors: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return d.argmin(1).astype(np.int64)
 
 
+def kmeans_refine_distributed(
+    ds,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> np.ndarray:
+    """Distributed Lloyd refinement over a whole Dataset.
+
+    Each iteration broadcasts the current centroids (ray.put) and runs ONE
+    ``map_batches`` pass emitting per-block partials — a (C, d) sum matrix and
+    a (C,) count vector flattened into C rows — so the driver only ever
+    reduces blocks × C tiny rows, never the vectors themselves.  This is the
+    scale path for IVF training; the driver-side ``kmeans_lite`` over a hash
+    sample remains the cheap initializer.
+    """
+    import pandas as pd
+
+    import ray
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    c, d = cents.shape
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            cur = ray.get(cref)
+            vecs = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(min=1e-12)
+            assign = (vn @ cur.T).argmax(1)
+            sums = np.zeros((c, d), dtype=np.float64)
+            np.add.at(sums, assign, vn)
+            counts = np.bincount(assign, minlength=c).astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "cid": np.arange(c, dtype=np.int64),
+                    "count": counts,
+                    "vsum": list(sums),
+                }
+            )
+
+        part = ds.map_batches(partials, batch_format="pandas").to_pandas()
+        counts = np.zeros(c)
+        sums = np.zeros((c, d))
+        np.add.at(counts, part["cid"].to_numpy(), part["count"].to_numpy())
+        np.add.at(sums, part["cid"].to_numpy(), np.vstack(part["vsum"].to_numpy()))
+        nonempty = counts > 0
+        cents = np.where(
+            nonempty[:, None], sums / counts.clip(min=1)[:, None], cents
+        )
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
+    return cents
+
+
 class TopKMerger:
     """Streaming merge of per-batch (score, id) top-k candidates per query."""
 

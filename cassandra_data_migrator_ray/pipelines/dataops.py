@@ -624,29 +624,51 @@ def ann_topk_ivf(
     n_centroids: int = 32,
     nprobe: int = 8,
     train_sample: int = 4096,
+    refine_iters: int = 0,
 ) -> pd.DataFrame:
     """IVF (inverted-file) cosine top-k — the bucketed scale path.
 
-    Coarse centroids are trained on a driver-side sample (kmeans_lite over
-    normalized vectors), broadcast once (ray.put); each batch assigns its
-    vectors to a centroid and scores only rows whose centroid is among a
-    query's ``nprobe`` closest — the scan fraction is ~nprobe/n_centroids of
-    the corpus per query instead of all of it.  Raise nprobe for recall
-    (nprobe == n_centroids degenerates to exact brute force); clustered real
-    embeddings need far lower nprobe than random gaussians.
+    Coarse centroids are initialized with kmeans_lite over an UNBIASED
+    hash-of-id sample (a broadcast membership-free filter — ``limit()`` would
+    sample only the first blocks) and optionally refined with
+    ``refine_iters`` distributed Lloyd passes (one ``map_batches`` per pass;
+    the driver reduces blocks × C partial-sum rows, never vectors —
+    ``functions/similarity.py kmeans_refine_distributed``).  Centroids are
+    broadcast once (ray.put); each batch assigns its vectors and scores only
+    rows whose centroid is among a query's ``nprobe`` closest — scan fraction
+    ~nprobe/n_centroids per query.  nprobe == n_centroids degenerates to
+    exact brute force; clustered real embeddings need far lower nprobe than
+    random gaussians.
     """
-    from cassandra_data_migrator_ray.functions.similarity import kmeans_lite
+    from cassandra_data_migrator_ray.functions.similarity import (
+        kmeans_lite,
+        kmeans_refine_distributed,
+    )
 
     queries = np.asarray(queries, dtype=np.float64)
     if queries.ndim == 1:
         queries = queries[None, :]
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
 
-    sample = ds.limit(train_sample).to_pandas()
+    total = max(1, ds.count())
+    frac = min(1.0, train_sample / total)
+
+    def hash_sample(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)  # top 24 bits
+        return batch[h < np.uint64(frac * (1 << 24))]
+
+    sample = ds.map_batches(hash_sample, batch_format="pandas").to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(min(train_sample, total)).to_pandas()
     sv = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
     sv /= np.linalg.norm(sv, axis=1, keepdims=True).clip(min=1e-12)
     cents = kmeans_lite(sv, n_centroids)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
+    if refine_iters > 0:
+        cents = kmeans_refine_distributed(
+            ds, cents, vec_col=vec_col, iters=refine_iters
+        )
 
     # probe list per query: nprobe nearest centroids by cosine
     qc = qn @ cents.T  # (nq, C)

