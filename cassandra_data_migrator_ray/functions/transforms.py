@@ -181,11 +181,27 @@ def _coords_join(col: pa.Array) -> pa.Array:
 
 
 def _coords_parse(body: pa.Array) -> pa.Array:
-    """'x y, x y, ...' per row → list<struct<x,y>> (offsets rebuild)."""
-    pairs = pc.split_pattern(body, ", ")
+    """'x y, x y, ...' per row → list<struct<x,y>> (offsets rebuild).
+
+    Null body rows become null lists; empty bodies ('LINESTRING ()') become
+    empty lists — split_pattern would otherwise turn '' into [''].
+    """
+    body = body.combine_chunks() if isinstance(body, pa.ChunkedArray) else body
+    null_np = pc.is_null(body).to_numpy(zero_copy_only=False).astype(bool)
+    filled = pc.fill_null(body, "")
+    degenerate = pc.equal(filled, "").to_numpy(zero_copy_only=False).astype(bool)
+    pairs = pc.split_pattern(filled, ", ")
     pairs = pairs.combine_chunks() if isinstance(pairs, pa.ChunkedArray) else pairs
     off = np.asarray(pairs.offsets)
     flat = pairs.values.slice(int(off[0]), int(off[-1] - off[0]))
+    # each degenerate row contributed exactly one '' element — drop it
+    if degenerate.any():
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[degenerate]] = False
+        flat = flat.filter(pa.array(keep))
+    lengths = np.diff(off)
+    lengths[degenerate] = 0
+    new_off = np.concatenate([[0], np.cumsum(lengths)])
     xy = pc.split_pattern(flat, " ")
     pts = pa.StructArray.from_arrays(
         [
@@ -194,7 +210,10 @@ def _coords_parse(body: pa.Array) -> pa.Array:
         ],
         ["x", "y"],
     )
-    return pa.ListArray.from_arrays(pa.array(off - off[0], pa.int32()), pts)
+    off_arr = pa.array(
+        new_off.astype(np.int32), pa.int32(), mask=np.concatenate([null_np, [False]])
+    )
+    return pa.ListArray.from_arrays(off_arr, pts)
 
 
 def _wrap(col: pa.Array, prefix: str, suffix: str) -> pa.Array:
@@ -206,11 +225,17 @@ def _wrap(col: pa.Array, prefix: str, suffix: str) -> pa.Array:
 
 def _unwrap_regex(col: pa.Array, pattern: str) -> pa.Array:
     g = pc.extract_regex(col, pattern)
-    return g.field("body")
+    g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+    return _field_or_null(g, "body")
+
+
+def _with_validity(col: pa.Array, out: pa.Array) -> pa.Array:
+    """Re-apply ``col``'s null mask (offsets arithmetic drops list validity)."""
+    return pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()), out)
 
 
 def _linestring_wkt(col: pa.Array) -> pa.Array:
-    return _wrap(_coords_join(col), "LINESTRING (", ")")
+    return _with_validity(col, _wrap(_coords_join(col), "LINESTRING (", ")"))
 
 
 def _wkt_linestring(col: pa.Array) -> pa.Array:
@@ -220,7 +245,7 @@ def _wkt_linestring(col: pa.Array) -> pa.Array:
 def _polygon_wkt(col: pa.Array) -> pa.Array:
     """Single-ring polygon (list<point>) → 'POLYGON ((x y, ...))'.  Multi-ring
     polygons are out of scope (the reference SITs only exercise simple rings)."""
-    return _wrap(_coords_join(col), "POLYGON ((", "))")
+    return _with_validity(col, _wrap(_coords_join(col), "POLYGON ((", "))"))
 
 
 def _wkt_polygon(col: pa.Array) -> pa.Array:
@@ -241,13 +266,16 @@ def _duration_string(col: pa.Array) -> pa.Array:
 
 def _string_duration(col: pa.Array) -> pa.Array:
     g = pc.extract_regex(col, r"(?P<mo>-?\d+)mo(?P<d>-?\d+)d(?P<ns>-?\d+)ns")
+    g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+    nulls = pc.is_null(g)
     return pa.StructArray.from_arrays(
         [
-            pc.cast(g.field("mo"), pa.int32()),
-            pc.cast(g.field("d"), pa.int32()),
-            pc.cast(g.field("ns"), pa.int64()),
+            pc.cast(_field_or_null(g, "mo"), pa.int32()),
+            pc.cast(_field_or_null(g, "d"), pa.int32()),
+            pc.cast(_field_or_null(g, "ns"), pa.int64()),
         ],
         ["months", "days", "nanos"],
+        mask=nulls,
     )
 
 
@@ -264,12 +292,15 @@ def _daterange_string(col: pa.Array) -> pa.Array:
 
 def _string_daterange(col: pa.Array) -> pa.Array:
     g = pc.extract_regex(col, r"\[(?P<lo>[^ ]+) TO (?P<hi>[^\]]+)\]")
+    g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+    nulls = pc.is_null(g)
     return pa.StructArray.from_arrays(
         [
-            pc.strptime(g.field("lo"), format="%Y-%m-%dT%H:%M:%S", unit="us"),
-            pc.strptime(g.field("hi"), format="%Y-%m-%dT%H:%M:%S", unit="us"),
+            pc.strptime(_field_or_null(g, "lo"), format="%Y-%m-%dT%H:%M:%S", unit="us"),
+            pc.strptime(_field_or_null(g, "hi"), format="%Y-%m-%dT%H:%M:%S", unit="us"),
         ],
         ["lo", "hi"],
+        mask=nulls,
     )
 
 
