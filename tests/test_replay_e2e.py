@@ -61,6 +61,14 @@ class TestReplayE2E:
         b = read_lake_pandas(lake_b)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert_matches_oracle(lake_a, events.to_pandas())
+        # and the skew must actually flatten: with 40% of events on one
+        # conversation, the unsalted lake's hottest partition holds all of it,
+        # the salted lake spreads it over up to `salt` partitions
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        rows_a = [p.rows for p in Manifest.load(lake_a).partitions.values()]
+        rows_b = [p.rows for p in Manifest.load(lake_b).partitions.values()]
+        assert max(rows_b) < max(rows_a)
 
     def test_read_lake_dataset_matches(self, tmp_path):
         events = gen_change_stream(n_convs=20, n_events=1000, seed=2)
