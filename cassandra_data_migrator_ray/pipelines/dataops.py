@@ -229,7 +229,15 @@ def dedup_minhash_lsh(
         return ray.data.from_pandas(empty)
     if verify == "distributed":
         return _verify_pairs_distributed(
-            ds, pairs, id_col, text_col, shingle_k, threshold, empty
+            ds,
+            pairs,
+            id_col,
+            _jaccard_payload_fn(text_col, shingle_k),
+            pa.list_(pa.int64()),
+            _jaccard_score,
+            threshold,
+            "jaccard",
+            empty,
         )
 
     need = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
@@ -268,53 +276,49 @@ def _verify_pairs_distributed(
     ds: ray.data.Dataset,
     pairs: pd.DataFrame,
     id_col: str,
-    text_col: str,
-    shingle_k: int,
+    payload_fn,
+    payload_type: pa.DataType,
+    score_fn,
     threshold: float,
+    score_col: str,
     empty: pd.DataFrame,
 ) -> ray.data.Dataset:
-    """Distributed exact-Jaccard verify of candidate pairs.
+    """Distributed exact verification of candidate (id_a, id_b) pairs.
 
-    Pipeline (all candidate-proportional; corpus text never shuffles):
-    1. per-doc hashed shingle SETS for candidate docs only — broadcast id
-       filter (ray.put once) + one column-pruned pass over the corpus;
-    2. union(set-rows, pair-side-rows) → groupby(doc_id) attaches each doc's
-       set to both sides of every pair that references it;
-    3. groupby(id_a, id_b) meets a pair's two sides → exact Jaccard.
+    Generic over the per-doc payload (hashed shingle set, normalized vector,
+    …) and the pair score.  Pipeline — all stages candidate-proportional; the
+    corpus payload column never shuffles and nothing row-level lands on the
+    driver:
 
-    Same semantics as the driver verify, including both-empty-sets → 1.0.
+    1. ``payload_fn(picked_batch) -> list`` computes payloads for candidate
+       docs only (broadcast id filter via ray.put, one column-pruned pass);
+    2. union(payload-rows, pair-side-rows) → ``groupby(doc)`` attaches each
+       doc's payload to every pair side referencing it;
+    3. ``groupby(id_a, id_b)`` meets a pair's two sides →
+       ``score_fn(payload_a, payload_b)`` → threshold filter.
     """
-    from cassandra_data_migrator_ray.functions.dedup import _shingle_hashes
-
     need = np.unique(
         np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])
     )
     ref = ray.put(need.astype(np.int64))
 
-    shingle_t = pa.list_(pa.int64())
-
-    def doc_sets(batch: pa.Table) -> pa.Table:
+    def doc_payloads(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         want = pa.array(ray.get(ref), pa.int64()).cast(batch.schema.field(id_col).type)
         picked = batch.filter(pc.is_in(batch[id_col], value_set=want))
-        texts = picked[text_col].to_pandas().fillna("").astype(str)
-        hashes, offsets = _shingle_hashes(texts, shingle_k)
-        sets = [
-            np.unique(hashes[offsets[j] : offsets[j + 1]]).astype(np.int64)
-            for j in range(len(texts))
-        ]
-        n = len(texts)
+        payloads = payload_fn(picked)
+        n = len(picked)
         return pa.table(
             {
                 "doc": picked[id_col].cast(pa.int64()),
                 "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
                 "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
-                "shingles": pa.array(sets, shingle_t),
+                "payload": pa.array(payloads, payload_type),
             }
         )
 
-    sets_ds = ds.map_batches(doc_sets, batch_format="pyarrow")
+    payload_ds = ds.map_batches(doc_payloads, batch_format="pyarrow")
 
     side = pa.table(
         {
@@ -325,7 +329,7 @@ def _verify_pairs_distributed(
             ),
             "id_a": pa.array(np.tile(pairs["id_a"].to_numpy(), 2).astype(np.int64)),
             "id_b": pa.array(np.tile(pairs["id_b"].to_numpy(), 2).astype(np.int64)),
-            "shingles": pa.nulls(2 * len(pairs), shingle_t),
+            "payload": pa.nulls(2 * len(pairs), payload_type),
         }
     )
 
@@ -333,47 +337,65 @@ def _verify_pairs_distributed(
         m = group["id_a"] < 0
         sides = group[~m]
         if sides.empty:
-            return sides[["id_a", "id_b", "shingles"]]
+            return sides[["id_a", "id_b", "payload"]]
         srow = group[m]
-        s = srow["shingles"].iloc[0] if len(srow) else None
+        s = srow["payload"].iloc[0] if len(srow) else None
         out = sides[["id_a", "id_b"]].copy()
-        out["shingles"] = [s] * len(out)
+        out["payload"] = [s] * len(out)
         return out
 
-    def pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
-        vals = [v for v in group["shingles"]]
+    def pair_score(group: pd.DataFrame) -> pd.DataFrame:
+        vals = list(group["payload"])
         if len(vals) != 2 or any(v is None for v in vals):
-            jac = 0.0  # a side's doc is missing from the corpus
+            score = -np.inf  # a side's doc is missing from the corpus
         else:
-            sa, sb = (np.asarray(v, dtype=np.int64) for v in vals)
-            if len(sa) == 0 and len(sb) == 0:
-                jac = 1.0
-            else:
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                jac = inter / max(1, len(sa) + len(sb) - inter)
-        if jac < threshold:
+            score = score_fn(vals[0], vals[1])
+        if score < threshold:
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype=np.int64),
                  "id_b": pd.Series([], dtype=np.int64),
-                 "jaccard": pd.Series([], dtype=np.float64)}
+                 score_col: pd.Series([], dtype=np.float64)}
             )
         return pd.DataFrame(
             {
                 "id_a": group["id_a"].iloc[:1].astype(np.int64),
                 "id_b": group["id_b"].iloc[:1].astype(np.int64),
-                "jaccard": np.array([jac], dtype=np.float64),
+                score_col: np.array([score], dtype=np.float64),
             }
         )
 
     out = (
-        sets_ds.union(ray.data.from_arrow(side))
+        payload_ds.union(ray.data.from_arrow(side))
         .groupby("doc")
         .map_groups(attach, batch_format="pandas")
         .groupby(["id_a", "id_b"])
-        .map_groups(pair_jaccard, batch_format="pandas")
+        .map_groups(pair_score, batch_format="pandas")
     )
     got = out.to_pandas()
     return ray.data.from_pandas(got if len(got) else empty)
+
+
+def _jaccard_payload_fn(text_col: str, shingle_k: int):
+    from cassandra_data_migrator_ray.functions.dedup import _shingle_hashes
+
+    def payloads(picked: pa.Table) -> list:
+        texts = picked[text_col].to_pandas().fillna("").astype(str)
+        hashes, offsets = _shingle_hashes(texts, shingle_k)
+        return [
+            np.unique(hashes[offsets[j] : offsets[j + 1]]).astype(np.int64)
+            for j in range(len(texts))
+        ]
+
+    return payloads
+
+
+def _jaccard_score(sa, sb) -> float:
+    sa = np.asarray(sa, dtype=np.int64)
+    sb = np.asarray(sb, dtype=np.int64)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / max(1, len(sa) + len(sb) - inter)
 
 
 # --------------------------------------------------------------------------
@@ -716,8 +738,13 @@ def embedding_neardup(
     n_bands: int = 8,
     bits_per_band: int = 12,
     max_bucket: int = 512,
+    verify: str = "driver",
 ) -> ray.data.Dataset:
     """Cosine near-dup pairs via BANDED random-hyperplane LSH + exact verify.
+
+    ``verify="distributed"`` routes the exact-cosine check through the same
+    no-payload-on-driver union+groupby machinery as minhash (the driver holds
+    only the (id_a, id_b) pair list, never a vector).
 
     Banding (n_bands independent sign-bit buckets of bits_per_band planes)
     replaces the old single-band 8-bit scheme whose 256 global buckets grew
@@ -769,6 +796,28 @@ def embedding_neardup(
     )
     if pairs.empty:
         return ray.data.from_pandas(empty)
+    if verify == "distributed":
+
+        def vec_payloads(picked: pa.Table) -> list:
+            if len(picked) == 0:
+                return []
+            m = np.vstack(
+                picked[vec_col].to_pandas().to_numpy()
+            ).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+            return list(m)
+
+        return _verify_pairs_distributed(
+            ds,
+            pairs,
+            id_col,
+            vec_payloads,
+            pa.list_(pa.float64()),
+            lambda a, b: float(np.dot(np.asarray(a), np.asarray(b))),
+            threshold,
+            "cosine",
+            empty,
+        )
 
     need = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
     vecs = _gather_column(ds, id_col, vec_col, need)

@@ -254,6 +254,19 @@ class TestSimilarity:
         found = set(zip(pairs["id_a"], pairs["id_b"]))
         assert {(i, 20 + i) for i in range(5)} <= found
 
+        # the distributed exact-cosine verify (no vector ever on the driver)
+        # must find the identical pair set with identical scores
+        dist = (
+            embedding_neardup(
+                ray.data.from_pandas(df), threshold=0.99, verify="distributed"
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            pairs.sort_values(["id_a", "id_b"], ignore_index=True), dist
+        )
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestNoSilentTruncation:
