@@ -101,6 +101,21 @@ def _castable_variant(incoming: pa.DataType, declared: pa.DataType) -> bool:
         pa.types.is_binary(declared) or pa.types.is_large_binary(declared)
     ):
         return True
+    # lossless numeric widening only (int32 batch → int64 column); narrowing
+    # stays a rejected type change
+    if (
+        pa.types.is_integer(incoming)
+        and pa.types.is_integer(declared)
+        and pa.types.is_signed_integer(incoming) == pa.types.is_signed_integer(declared)
+        and incoming.bit_width <= declared.bit_width
+    ):
+        return True
+    if (
+        pa.types.is_floating(incoming)
+        and pa.types.is_floating(declared)
+        and incoming.bit_width <= declared.bit_width
+    ):
+        return True
     return False
 
 

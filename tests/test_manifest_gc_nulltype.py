@@ -61,3 +61,62 @@ class TestNullTypeEvolution:
         assert len(got) == 2 and got["tool"].isna().all()
         m = Manifest.load(lake)
         assert m.schema.field("tool").type == pa.string()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNumericWidening:
+    def test_int32_batch_into_int64_column(self, tmp_path):
+        """Lossless numeric widening is additive (int32 batch → int64 column);
+        narrowing stays a rejected type change."""
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        lake = str(tmp_path / "lake")
+        ev64 = pa.table(
+            {
+                "op": ["UPSERT"],
+                "k": pa.array([1], pa.int64()),
+                "v": pa.array([10], pa.int64()),
+                "writetime": pa.array([1], pa.int64()),
+                "event_seq": pa.array([0], pa.int64()),
+            }
+        )
+        replay(ev64, lake, num_parts=2, payload_schema=schema, key_cols=("k",))
+
+        ev32 = pa.table(
+            {
+                "op": ["UPSERT"],
+                "k": pa.array([2], pa.int64()),
+                "v": pa.array([20], pa.int32()),  # narrower batch, wider column
+                "writetime": pa.array([2], pa.int64()),
+                "event_seq": pa.array([1], pa.int64()),
+            }
+        )
+        replay(ev32, lake, num_parts=2)
+        got = read_lake_pandas(lake).sort_values("k", ignore_index=True)
+        assert got["v"].tolist() == [10, 20]
+        m = Manifest.load(lake)
+        assert m.schema.field("v").type == pa.int64()
+
+    def test_narrowing_rejected(self, tmp_path):
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int32())])
+        lake = str(tmp_path / "lake")
+        ev = pa.table(
+            {
+                "op": ["UPSERT"],
+                "k": pa.array([1], pa.int64()),
+                "v": pa.array([10], pa.int32()),
+                "writetime": pa.array([1], pa.int64()),
+                "event_seq": pa.array([0], pa.int64()),
+            }
+        )
+        replay(ev, lake, num_parts=2, payload_schema=schema, key_cols=("k",))
+        wide = pa.table(
+            {
+                "op": ["UPSERT"],
+                "k": pa.array([2], pa.int64()),
+                "v": pa.array([2**40], pa.int64()),  # would truncate in int32
+                "writetime": pa.array([2], pa.int64()),
+                "event_seq": pa.array([1], pa.int64()),
+            }
+        )
+        with pytest.raises(Exception, match="non-additive|schema"):
+            replay(wide, lake, num_parts=2)
