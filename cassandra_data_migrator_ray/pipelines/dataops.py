@@ -44,9 +44,22 @@ from cassandra_data_migrator_ray.functions.dedup import (
 
 
 def dedup_exact(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_text: bool = True,
 ) -> ray.data.Dataset:
-    """One survivor (min id) per distinct text. Returns (id_col, text_col, n_dups)."""
+    """One survivor (min id) per distinct text. Returns (id_col, text_col, n_dups).
+
+    ``carry_text=True`` (default): the text rides the shuffle and the final
+    fold groups on the actual text — collision-proof.  ``carry_text=False``:
+    only a 128-bit content hash (two independent 64-bit SipHash streams) +
+    (min id, count) per batch crosses the exchange — the 100-TB shape, where
+    shipping the corpus through a shuffle is the cost that matters — and the
+    result is (id_col, n_dups) WITHOUT the text column (re-gather texts for
+    the survivors separately if needed; at scale you rarely want them back).
+    Collision risk at 128 bits is ~n²/2¹²⁹ (≈10⁻²⁰ at 10¹⁰ docs).
+    """
     from pandas.util import hash_array
 
     def partial_fold(batch: pd.DataFrame) -> pd.DataFrame:
@@ -68,10 +81,40 @@ def dedup_exact(
         out["n_dups"] = g["n_dups"].sum()["n_dups"].to_numpy()
         return out
 
+    if carry_text:
+        return (
+            ds.map_batches(partial_fold, batch_format="pandas")
+            .groupby("text_hash")
+            .map_groups(final_fold, batch_format="pandas")
+        )
+
+    def partial_fold_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("").to_numpy(dtype=object)
+        h1 = hash_array(txt, categorize=False).astype(np.int64)
+        h2 = hash_array(txt, hash_key="b8f327e51b7bce40", categorize=False).astype(
+            np.int64
+        )
+        part = pd.DataFrame(
+            {"h1": h1, "h2": h2, id_col: batch[id_col].to_numpy()}
+        ).sort_values(id_col, kind="mergesort")
+        g = part.groupby(["h1", "h2"], sort=False, as_index=False)
+        out = g.first()
+        out["n_dups"] = g.size()["size"].to_numpy()
+        return out
+
+    def final_fold_hash(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(id_col, kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].iloc[:1].to_numpy(),
+                "n_dups": np.array([int(group["n_dups"].sum())], dtype=np.int64),
+            }
+        )
+
     return (
-        ds.map_batches(partial_fold, batch_format="pandas")
-        .groupby("text_hash")
-        .map_groups(final_fold, batch_format="pandas")
+        ds.map_batches(partial_fold_hash, batch_format="pandas")
+        .groupby(["h1", "h2"])
+        .map_groups(final_fold_hash, batch_format="pandas")
     )
 
 

@@ -139,6 +139,24 @@ class TestDedupPipelines:
         assert out["doc_id"].tolist() == [3, 1, 7]
         assert out["n_dups"].tolist() == [2, 2, 1]
 
+    def test_dedup_exact_hash_only_matches(self):
+        """carry_text=False (128-bit hash only through the shuffle) must agree
+        with the collision-proof text-carrying fold on survivors and counts."""
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_exact
+
+        df = docs_df()
+        a = (
+            dedup_exact(ray.data.from_pandas(df))
+            .to_pandas()[["doc_id", "n_dups"]]
+            .sort_values("doc_id", ignore_index=True)
+        )
+        b = (
+            dedup_exact(ray.data.from_pandas(df), carry_text=False)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
     def test_dedup_minhash_lsh_finds_neardups(self):
         from cassandra_data_migrator_ray.pipelines.dataops import dedup_minhash_lsh
 
