@@ -120,6 +120,18 @@ def replay(
         key_cols=list(key_cols) if key_cols else None,
     )
     incoming = ds.schema()
+    if not transforms:
+        # fail fast with a clear message (transforms may synthesize these
+        # columns, so the check only applies to raw event streams)
+        required = ["op", "writetime", "event_seq", *manifest.key_cols]
+        missing = [c for c in required if c not in incoming.names]
+        if missing:
+            raise ValueError(
+                f"event stream is missing required column(s) {missing}; every "
+                "change event needs op/writetime/event_seq plus the lake key "
+                f"columns {list(manifest.key_cols)} (or pass transforms that "
+                "synthesize them)"
+            )
     incoming_payload = pa.schema(
         [
             pa.field(n, t)

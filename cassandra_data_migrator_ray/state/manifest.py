@@ -278,8 +278,16 @@ class Manifest:
             else:
                 have = self.schema.field(f.name).type
                 if have != f.type and not _castable_variant(f.type, have):
+                    hint = ""
+                    if pa.types.is_integer(f.type) and pa.types.is_integer(have):
+                        hint = (
+                            " (pandas infers int64 by default — cast the column"
+                            f" to the declared {have}, or declare a wider"
+                            " payload_schema on the first replay)"
+                        )
                     raise ValueError(
-                        f"non-additive schema change for {f.name}: {have} -> {f.type}"
+                        f"non-additive schema change for {f.name}: "
+                        f"{have} -> {f.type}{hint}"
                     )
         return changed
 
