@@ -370,8 +370,15 @@ class MapScrubNulls:
         counts = np.bincount(kept_idx, minlength=len(t))
         offsets = np.zeros(len(t) + 1, dtype=np.int32)
         np.cumsum(counts, out=offsets[1:])
+        # preserve null map rows (null ≠ empty map) via null offsets
+        null_np = pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool)
+        off_arr = pa.array(
+            offsets,
+            type=pa.int32(),
+            mask=np.concatenate([null_np, [False]]) if null_np.any() else None,
+        )
         rebuilt = pa.MapArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), kept.field(0), kept.field(1), type=typ
+            off_arr, kept.field(0), kept.field(1), type=typ
         )
         return t.set_column(t.column_names.index(self.map_col), self.map_col, rebuilt)
 

@@ -1,0 +1,68 @@
+"""Property tests for the Arrow offsets machinery in map transforms.
+
+ExplodeMap / MapScrubNulls rebuild MapArrays via raw offsets arithmetic
+(pc.list_parent_indices aborts on MapArray in this pyarrow build) — exactly
+the code shape where null-row and empty-row handling slips.  Each transform is
+checked against an obviously-correct Python reference over random maps
+including nulls, empty maps and null values.
+"""
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+from cassandra_data_migrator_ray.functions.transforms import ExplodeMap, MapScrubNulls
+
+keys = st.text(alphabet="abcdef", min_size=1, max_size=3)
+maps = st.one_of(
+    st.none(),
+    st.dictionaries(keys, st.one_of(st.none(), st.integers(-100, 100)), max_size=5),
+)
+
+
+def table_of(ms):
+    return pa.table(
+        {
+            "rid": pa.array(range(len(ms)), pa.int64()),
+            "m": pa.array(
+                [None if v is None else list(v.items()) for v in ms],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+        }
+    )
+
+
+class TestExplodeMapProperty:
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(maps, min_size=1, max_size=8))
+    def test_matches_python_reference(self, ms):
+        out = ExplodeMap("m", "k", "v")(table_of(ms)).to_pylist()
+        expected = [
+            {"rid": i, "k": k, "v": v}
+            for i, m in enumerate(ms)
+            if m
+            for k, v in m.items()
+        ]
+        assert out == expected
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(maps, min_size=1, max_size=8))
+    def test_keep_map_retains_column(self, ms):
+        out = ExplodeMap("m", "k", "v", keep_map=True)(table_of(ms))
+        assert set(out.column_names) == {"rid", "m", "k", "v"}
+        n_entries = sum(len(m) for m in ms if m)
+        assert len(out) == n_entries
+
+
+class TestMapScrubNullsProperty:
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(maps, min_size=1, max_size=8))
+    def test_matches_python_reference(self, ms):
+        out = MapScrubNulls("m")(table_of(ms))["m"].to_pylist()
+        expected = [
+            None
+            if m is None
+            else [(k, v) for k, v in m.items() if v is not None]
+            for m in ms
+        ]
+        assert out == expected, f"input={ms}"
