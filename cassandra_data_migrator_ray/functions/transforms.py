@@ -420,15 +420,44 @@ class ExtractJson:
         return t.append_column(self.dst_col, arr)
 
 
+def _list_row_max(col: pa.Array) -> pa.Array:
+    """Per-row max of a list<int64> column (collection writetimes — reference
+    WritetimeTTL.java:247-258 flattens a collection's cell writetimes and
+    takes the max).  Empty and null lists yield null; null elements are
+    ignored.  Offsets + reduceat, no per-row Python."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.asarray(col.offsets)
+    flat = col.values.slice(int(off[0]), int(off[-1] - off[0]))
+    v = pc.fill_null(pc.cast(flat, pa.int64()), np.iinfo(np.int64).min).to_numpy(
+        zero_copy_only=False
+    )
+    starts = (off[:-1] - off[0]).astype(np.int64)
+    lengths = np.diff(off)
+    n = len(col)
+    out = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    nonempty = lengths > 0
+    if nonempty.any() and len(v):
+        # reduceat over nonempty rows' starts only — empty rows would
+        # otherwise shift segment boundaries
+        out[nonempty] = np.maximum.reduceat(v, starts[nonempty])
+    null_np = pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool)
+    invalid = null_np | ~nonempty | (out == np.iinfo(np.int64).min)
+    return pa.array(out, pa.int64(), mask=invalid)
+
+
 class WritetimeMax:
     """M6/A2: writetime = element-wise max over N source writetime columns
-    (+ configured increment); same shape for TTL."""
+    (+ configured increment); same shape for TTL.  List-typed sources
+    (collection writetimes) are reduced to their per-row max first."""
 
     def __init__(self, cols: Sequence[str], out_col: str = "writetime", increment: int = 0):
         self.cols, self.out_col, self.increment = list(cols), out_col, increment
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        arrs = [t.column(c) for c in self.cols]
+        arrs = [
+            _list_row_max(a) if pa.types.is_list(a.type) else a
+            for a in (t.column(c) for c in self.cols)
+        ]
         m = arrs[0] if len(arrs) == 1 else pc.max_element_wise(*arrs)
         if self.increment:
             m = pc.add(m, self.increment)

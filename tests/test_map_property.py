@@ -66,3 +66,40 @@ class TestMapScrubNullsProperty:
             for m in ms
         ]
         assert out == expected, f"input={ms}"
+
+
+class TestWritetimeMaxListProperty:
+    """Collection writetimes (list columns) reduce to per-row max first
+    (reference WritetimeTTL.java:247-258 flatten+max)."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(0, 10**6)),  # scalar wt col
+                st.one_of(  # list wt col
+                    st.none(),
+                    st.lists(st.one_of(st.none(), st.integers(0, 10**6)), max_size=4),
+                ),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_scalar_plus_list_max(self, rows):
+        from cassandra_data_migrator_ray.functions.transforms import WritetimeMax
+
+        t = pa.table(
+            {
+                "w1": pa.array([r[0] for r in rows], pa.int64()),
+                "w2": pa.array([r[1] for r in rows], pa.list_(pa.int64())),
+            }
+        )
+        out = WritetimeMax(["w1", "w2"], out_col="wt")(t)["wt"].to_pylist()
+        expected = []
+        for s, lst in rows:
+            cand = [] if s is None else [s]
+            if lst:
+                cand += [x for x in lst if x is not None]
+            expected.append(max(cand) if cand else None)
+        assert out == expected, rows
