@@ -109,14 +109,15 @@ def minhash_signatures(
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(hashes) == 0:
         return sig
-    # reduceat needs in-range indices; empty groups are masked out after
-    starts = offsets[:-1].clip(0, max(0, len(hashes) - 1))
+    # every doc has ≥1 shingle (docs < k words hash their full text), but
+    # reduce over nonempty starts anyway — clipped starts for empty groups
+    # would shift the previous group's segment boundary
     nonempty = offsets[1:] > offsets[:-1]
+    starts = offsets[:-1][nonempty]
     x = hashes % _MERSENNE
     for p in range(num_perm):
         hp = (a[p] * x + b[p]) % _MERSENNE  # uint64 wrap-mod is fine for minhash
-        mins = np.minimum.reduceat(hp, starts)
-        sig[nonempty, p] = mins[nonempty]
+        sig[nonempty, p] = np.minimum.reduceat(hp, starts)
     return sig
 
 
@@ -154,11 +155,13 @@ def simhash64(texts: pd.Series) -> np.ndarray:
     h = hash_array(flat, categorize=False)  # uint64 per token
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     signed = bits.astype(np.int32) * 2 - 1  # (ntok, 64) in {-1, +1}
-    sums = np.add.reduceat(signed, offsets[:-1].clip(0, max(0, len(flat) - 1)), axis=0)
     nonempty = offsets[1:] > offsets[:-1]
+    # reduceat over nonempty docs' starts only — a clipped start for an empty
+    # doc would shift the previous doc's segment boundary
+    sums = np.add.reduceat(signed, offsets[:-1][nonempty], axis=0)
     bitvec = (sums > 0).astype(np.uint8)
     packed = np.packbits(bitvec, axis=1, bitorder="little").view(np.uint64).ravel()
-    out[nonempty] = packed[nonempty].astype(np.int64)
+    out[nonempty] = packed.astype(np.int64)
     return out
 
 

@@ -203,11 +203,10 @@ class Fingerprint:
             np.int64
         )
         hashes, offsets = _shingle_hashes(s, self.k)
-        starts = offsets[:-1].clip(0, max(0, len(hashes) - 1))
         nonempty = offsets[1:] > offsets[:-1]
         mins = np.full(len(s), 0, dtype=np.uint64)
         if len(hashes):
-            red = np.minimum.reduceat(hashes, starts)
-            mins[nonempty] = red[nonempty]
+            # safe-segment reduceat (see dedup.py minhash_signatures note)
+            mins[nonempty] = np.minimum.reduceat(hashes, offsets[:-1][nonempty])
         batch["min_shingle_hash"] = mins.astype(np.int64)
         return batch

@@ -103,3 +103,43 @@ class TestWritetimeMaxListProperty:
                 cand += [x for x in lst if x is not None]
             expected.append(max(cand) if cand else None)
         assert out == expected, rows
+
+
+class TestSignatureBatchInvariance:
+    """Per-doc signatures must not depend on batch composition — the Ray
+    pipeline splits docs into arbitrary batches.  (Regression: add.reduceat
+    with clipped starts corrupted the last nonempty doc's simhash when the
+    batch ended in empty docs.)"""
+
+    texts = st.lists(
+        st.one_of(st.just(""), st.text(alphabet="ab cd", max_size=30)),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(texts)
+    def test_simhash_minhash_fingerprint(self, docs):
+        import pandas as pd
+
+        from cassandra_data_migrator_ray.functions.dedup import (
+            minhash_signatures,
+            simhash64,
+        )
+        from cassandra_data_migrator_ray.functions.text import Fingerprint
+
+        import numpy as np
+
+        whole_s = simhash64(pd.Series(docs))
+        whole_m = minhash_signatures(pd.Series(docs), num_perm=8)
+        whole_f = Fingerprint()(pd.DataFrame({"text": docs}))["min_shingle_hash"]
+        for i, d in enumerate(docs):
+            one = pd.Series([d])
+            assert simhash64(one)[0] == whole_s[i], ("simhash", i, docs)
+            assert np.array_equal(
+                minhash_signatures(one, num_perm=8)[0], whole_m[i]
+            ), ("minhash", i, docs)
+            assert (
+                Fingerprint()(pd.DataFrame({"text": [d]}))["min_shingle_hash"][0]
+                == whole_f[i]
+            ), ("fingerprint", i, docs)
