@@ -143,3 +143,32 @@ class TestSignatureBatchInvariance:
                 Fingerprint()(pd.DataFrame({"text": [d]}))["min_shingle_hash"][0]
                 == whole_f[i]
             ), ("fingerprint", i, docs)
+
+
+class TestTextOpsBatchInvariance:
+    """LangId / QualityScore per-doc outputs must not depend on which other
+    docs share the batch (factorize/bincount are batch-level internally)."""
+
+    texts = st.lists(
+        st.one_of(
+            st.just(""),
+            st.text(alphabet="the and der die le la el los x ", max_size=60),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(texts)
+    def test_langid_quality(self, docs):
+        import pandas as pd
+
+        from cassandra_data_migrator_ray.functions.text import LangId, QualityScore
+
+        df = pd.DataFrame({"text": docs})
+        whole_l = LangId()(df.copy())["pred_lang"].tolist()
+        whole_q = QualityScore()(df.copy())["quality_score"].tolist()
+        for i, d in enumerate(docs):
+            one = pd.DataFrame({"text": [d]})
+            assert LangId()(one.copy())["pred_lang"][0] == whole_l[i], (i, docs)
+            assert QualityScore()(one.copy())["quality_score"][0] == whole_q[i]
