@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_planted": q.embedding_neardup_planted,
         "quality_docs": q.quality_docs,
         "multimodal_bmp_features": q.multimodal_bmp_features,
+        "simhash_planted_twins": q.simhash_planted_twins,
+        "fingerprint_dup_join": q.fingerprint_dup_join,
+        "dedup_exact_hash_only": q.dedup_exact_hash_only,
         # D. full-engine CDC over generated transcripts (not SQL-expressible)
         "cdc_replay": q.cdc_replay,
         "cdc_validate": q.cdc_validate,
@@ -332,6 +335,28 @@ ORDER BY id_a, id_b
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        # hash-only dedup (text never shuffles) vs the same GROUP BY truth
+        "dedup_exact_hash_only": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY text ORDER BY doc_id
+""",
+        # planted exact copies MUST pair with their original at hamming 0
+        "simhash_planted_twins": """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+FROM documents WHERE doc_id % 25 = 0 ORDER BY id_a
+""",
+        # fingerprint join keys ≡ text equality over the planted-copy table
+        # (collision odds ~1e-15 here)
+        "fingerprint_dup_join": """
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM planted a JOIN planted b ON a.text = b.text AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
 """,
         "token_count_docs": """
 SELECT doc_id,

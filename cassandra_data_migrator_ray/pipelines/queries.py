@@ -498,6 +498,84 @@ def quality_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def simhash_planted_twins(sf_dir: str) -> pd.DataFrame:
+    """SimHash recall gate with a SQL oracle: exact copies of every 25th doc
+    (doc_id + 1_000_000) MUST pair with their original at Hamming distance 0
+    (identical text → identical simhash → same bands).  The output keeps only
+    the planted twin relation (id_b == id_a + 1e6), which the oracle
+    reproduces arithmetically — banding/bucketing recall is checked, not
+    self-attested."""
+    from cassandra_data_migrator_ray.pipelines.dataops import dedup_simhash
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 25 == 0))
+        dup = dup.set_column(
+            dup.column_names.index("doc_id"),
+            "doc_id",
+            pc.add(dup["doc_id"], 1_000_000),
+        )
+        return pa.concat_tables([t, dup])
+
+    pairs = dedup_simhash(
+        docs.map_batches(plant, batch_format="pyarrow"), max_hamming=0
+    ).to_pandas()
+    twins = pairs[pairs["id_b"] - pairs["id_a"] == 1_000_000]
+    return (
+        twins[["id_a", "id_b"]]
+        .astype(np.int64)
+        .sort_values("id_a", ignore_index=True)
+    )
+
+
+def fingerprint_dup_join(sf_dir: str) -> pd.DataFrame:
+    """Fingerprints as exact-duplicate join keys, with a SQL oracle: over the
+    documents table plus exact copies of every 25th doc (doc_id + 1_000_000),
+    a self-join on (text_hash, min_shingle_hash) must yield exactly the pairs
+    whose texts are equal (64+64-bit collision odds ~1e-15 at this scale).
+    This oracle-checks the fingerprint kernel's determinism AND that equal
+    texts fingerprint equally."""
+    from cassandra_data_migrator_ray.functions.text import Fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 25 == 0))
+        dup = dup.set_column(
+            dup.column_names.index("doc_id"),
+            "doc_id",
+            pc.add(dup["doc_id"], 1_000_000),
+        )
+        return pa.concat_tables([t, dup])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    fp = planted.map_batches(
+        Fingerprint(), batch_format="pandas", concurrency=2
+    ).to_pandas()
+    m = fp.merge(fp, on=["text_hash", "min_shingle_hash"], suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    return (
+        m[["doc_id_a", "doc_id_b"]]
+        .rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
+        .astype(np.int64)
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+
+
+def dedup_exact_hash_only(sf_dir: str) -> pd.DataFrame:
+    """The 100-TB exact-dedup shape (128-bit hash through the exchange, text
+    never shuffles) against the same GROUP BY text oracle truth."""
+    from cassandra_data_migrator_ray.pipelines.dataops import dedup_exact
+
+    out = dedup_exact(
+        _read(sf_dir, "documents", ["doc_id", "text"]), carry_text=False
+    ).to_pandas()
+    return out[["doc_id", "n_dups"]].sort_values("doc_id", ignore_index=True)
+
+
 def multimodal_bmp_features(sf_dir: str) -> pd.DataFrame:
     """Real image-decode gate: deterministic solid-color 24-bit BMPs are
     ENCODED from doc_id (r=id%256, g=id*7%256, b=id*13%256), shipped as a
