@@ -166,3 +166,43 @@ class TestScalarCodecRoundtrips:
         t = pa.table({"v": pa.array(ints, pa.int64())})
         back = _cast(_cast(t, {"v": "string"}), {"v": "int64"})
         assert back["v"].to_pylist() == t["v"].to_pylist()
+
+
+class TestDecimalCodec:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.decimals(
+                    min_value=-(10**20),
+                    max_value=10**20,
+                    places=9,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_decimal_string_roundtrip(self, vals):
+        """DECIMAL↔String codec pair (reference CodecFactory DECIMAL_STRING):
+        decimal128(38,9) survives the string bridge exactly."""
+        t = pa.table({"v": pa.array(vals, pa.decimal128(38, 9))})
+        back = _cast(_cast(t, {"v": "string"}), {"v": "decimal"})
+        assert back["v"].to_pylist() == t["v"].to_pylist()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_bigint_decimal_roundtrip(self, ints):
+        """BIGINT↔BigInteger analogue: int64 through decimal128 and back."""
+        t = pa.table({"v": pa.array(ints, pa.int64())})
+        back = _cast(_cast(t, {"v": "decimal"}), {"v": "int64"})
+        assert back["v"].to_pylist() == t["v"].to_pylist()
