@@ -33,19 +33,36 @@ def read_lake(
     columns: list[str] | None = None,
     include_tombstones: bool = False,
     parts: list[int] | None = None,
+    as_of: int | None = None,
 ) -> ray.data.Dataset:
-    """Public view of the lake as a streaming Dataset (column-pruned read)."""
+    """Public view of the lake as a streaming Dataset (column-pruned read).
+
+    ``as_of`` (µs): for TTL-enabled lakes, evaluate per-cell expiry at this
+    instant (same semantics as :func:`read_lake_pandas`) — expired cells read
+    as null and fully-expired rows disappear, per batch, streaming."""
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
     files = lake_files(manifest, parts)
     public_cols = columns or [*manifest.key_cols, *manifest.payload_cols()]
-    read_cols = list(dict.fromkeys([*public_cols, DELETED]))
+    ttl_eval = as_of is not None and manifest.ttl_enabled
+    read_cols = None if ttl_eval else list(dict.fromkeys([*public_cols, DELETED]))
     if not files:
         return ray.data.from_arrow(
             pa.Table.from_pylist([], schema=pa.schema([(c, pa.string()) for c in public_cols]))
         )
     ds = ray.data.read_parquet(files, columns=read_cols)
+    if ttl_eval:
+        from functools import partial
+
+        from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
+
+        payload = manifest.payload_cols()
+
+        def expire(batch: pd.DataFrame, at: int) -> pd.DataFrame:
+            return apply_ttl_expiry(batch, at, payload)
+
+        ds = ds.map_batches(partial(expire, at=as_of), batch_format="pandas")
     if not include_tombstones:
         import pyarrow.compute as pc
 

@@ -119,3 +119,32 @@ class TestTtlPersistence:
         replay(_ev([("z", 9, "other", BASE + 2, None)], seq0=50), lake, num_parts=2)
         got = read_lake_pandas(lake, as_of=BASE + 11_000_000)
         assert set(got["conv_id"]) == {"z"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStreamingTtlParity:
+    def test_read_lake_as_of_matches_pandas(self, tmp_path):
+        """The streaming read_lake(as_of=...) view must agree with the
+        driver-side read_lake_pandas(as_of=...) at every evaluation point."""
+        from cassandra_data_migrator_ray.sources.lake import read_lake
+
+        lake = str(tmp_path / "lake")
+        replay(
+            _ev(
+                [
+                    ("a", 0, "expires-10s", BASE, 10),
+                    ("b", 0, "expires-60s", BASE, 60),
+                    ("c", 0, "forever", BASE, None),
+                ]
+            ),
+            lake,
+            num_parts=2,
+        )
+        for at in (BASE + 5_000_000, BASE + 11_000_000, BASE + 61_000_000):
+            want = read_lake_pandas(lake, as_of=at)
+            got = (
+                read_lake(lake, as_of=at)
+                .to_pandas()
+                .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
