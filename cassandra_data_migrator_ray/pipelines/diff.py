@@ -170,8 +170,16 @@ def validate(
     report_path: str | None = None,
     batch_size: int | None = 65536,
     shuffle: str = "staging",
+    columns: list[str] | None = None,
 ) -> ValidateResult:
-    """Compare the lake's final state against an expected (origin) dataset."""
+    """Compare the lake's final state against an expected (origin) dataset.
+
+    ``columns`` restricts the comparison to a payload-column subset (the
+    reference's column skip-list on the diff path, schema/CqlTable.java:479-483
+    + DiffJobSession's skip-if-configured columns) — omitted columns neither
+    ship through the exchange nor count as differences, and a subsequent
+    autocorrect upserts only the compared columns (nulls = unset keeps the
+    rest intact)."""
     from cassandra_data_migrator_ray.pipelines.replay import _as_dataset
     from cassandra_data_migrator_ray.sources.lake import lake_files
 
@@ -180,11 +188,14 @@ def validate(
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
     key_cols = tuple(manifest.key_cols)
-    payload_cols = manifest.payload_cols()
+    payload_cols = [
+        c for c in manifest.payload_cols() if columns is None or c in columns
+    ]
     wt_cols = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
 
+    keep = {*key_cols, *payload_cols}
     full_schema = pa.schema(
-        [manifest.schema.field(n) for n in manifest.schema.names]
+        [manifest.schema.field(n) for n in manifest.schema.names if n in keep]
     )
     exp_ds = _as_dataset(expected).map_batches(
         partial(
@@ -344,6 +355,11 @@ def autocorrect(
     for k in manifest.key_cols:
         ev[k] = rep[k]
     for c in payload_cols:
+        if f"exp_{c}" not in rep.columns:
+            # column was outside a subset validate's compare set → null
+            # payload = unset, the lake's current value is preserved
+            ev[c] = pd.Series([None] * len(rep), index=rep.index)
+            continue
         col = rep[f"exp_{c}"]
         if c in counter_cols:
             exp_n = pd.to_numeric(col, errors="coerce")

@@ -141,3 +141,36 @@ class TestValidateGroupbyPath:
         expected = oracle_final_state(events.to_pandas())
         res = validate(expected, lake, shuffle="groupby")
         assert res.ok and res.counts["VALID"] == len(expected)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestColumnSubsetValidate:
+    def test_subset_compare_and_correct(self, tmp_path):
+        """columns=[...] restricts the diff to a payload subset (reference
+        column skip-list on the diff path): differences in omitted columns
+        are invisible, and autocorrect repairs only the compared columns
+        without clobbering the others."""
+        events = gen_change_stream(n_convs=30, n_events=1500, seed=91)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=4)
+        exp = oracle_final_state(events.to_pandas())
+
+        # corrupt expectations in BOTH a compared and an omitted column
+        bad = exp.copy()
+        bad.loc[bad.index[0], "text"] = "WRONG-TEXT"
+        bad.loc[bad.index[1], "role"] = "WRONG-ROLE"
+
+        res_all = validate(bad, lake)
+        assert res_all.counts["MISMATCH"] == 2
+
+        res_sub = validate(bad, lake, columns=["text"])
+        assert res_sub.counts["MISMATCH"] == 1  # the role corruption is skipped
+
+        # autocorrect from the subset run rewrites text only; role stays at
+        # the lake's (correct) value, so a full validate against the true
+        # oracle still fails only on the text row we just "corrected" to bad
+        autocorrect(res_sub, lake)
+        res_after = validate(exp, lake)
+        assert res_after.counts["MISMATCH"] == 1
+        rep = res_after.report
+        assert (rep.loc[rep["status"] == "MISMATCH", "cols_differ"] == "text").all()
