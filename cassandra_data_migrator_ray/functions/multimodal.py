@@ -195,10 +195,15 @@ class DecodeImage:
         if self.decoder == "fake":
             return _fake_pixels(p, h, w)
         fmt = sniff_media(p)
-        if fmt == "bmp":
-            return resize_nearest(decode_bmp(p), self.target_hw)
-        if fmt == "ppm":
-            return resize_nearest(decode_ppm(p), self.target_hw)
+        try:
+            if fmt == "bmp":
+                return resize_nearest(decode_bmp(p), self.target_hw)
+            if fmt == "ppm":
+                return resize_nearest(decode_ppm(p), self.target_hw)
+        except (ValueError, struct.error, IndexError):
+            # truncated/corrupt payload whose magic happened to match — fall
+            # through to the stub rather than killing the whole batch task
+            pass
         # unknown container format (PNG/JPEG need external libs) → stub
         return _fake_pixels(p, h, w)
 
@@ -215,6 +220,10 @@ class ImageFeatures:
         self.hist_bins = hist_bins
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = batch.drop(columns=["pixels"])
+            out["features"] = []
+            return out
         # decoded pixels share target_hw → stack once, all-batch numpy kernels
         px = np.stack(batch["pixels"].to_list())  # (n, h, w, 3)
         n = px.shape[0]
@@ -244,8 +253,13 @@ class AudioFeatures:
         for p in batch[self.payload_col]:
             samples, rate = decode_wav(p)
             mono = samples.mean(axis=1) if samples.ndim > 1 else samples.astype(np.float64)
-            n = max(1, len(mono))
-            dur.append(int(round(len(mono) * 1000.0 / rate)))
+            n = len(mono)
+            dur.append(int(round(n * 1000.0 / rate)))
+            if n == 0:  # zero-frame WAV: a flushed-empty segment is valid
+                rms.append(0.0)
+                zcr.append(0.0)
+                domf.append(0.0)
+                continue
             rms.append(float(np.sqrt(np.mean(mono.astype(np.float64) ** 2))))
             zcr.append(float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0)
             spec = np.abs(np.fft.rfft(mono))

@@ -93,7 +93,9 @@ class TokenCount:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
         if self.sep is not None:
-            n = s.str.count(self.sep) + 1
+            # literal separator, not a regex ('.' or '|' would otherwise match
+            # every position)
+            n = s.str.count(re.escape(self.sep)) + 1
         else:
             stripped = s.str.strip()
             n = (stripped.str.count(self.ws_re) + 1).where(stripped != "", 0)

@@ -279,10 +279,18 @@ def _string_duration(col: pa.Array) -> pa.Array:
     )
 
 
+def _to_seconds(ts: pa.Array) -> pa.Array:
+    """timestamp[any] → timestamp[s], truncating sub-second parts (the
+    DateRange text form is second-precision by design; a safe cast would
+    instead abort on any real microsecond-precision value)."""
+    us = pc.cast(ts, pa.timestamp("us")).cast(pa.int64())
+    return pc.cast(pc.divide(us, 1_000_000), pa.timestamp("s"))
+
+
 def _daterange_string(col: pa.Array) -> pa.Array:
     """struct<lo: timestamp, hi: timestamp> → '[lo TO hi]' (DSE DateRange)."""
-    lo = pc.strftime(pc.cast(col.field("lo"), pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S")
-    hi = pc.strftime(pc.cast(col.field("hi"), pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S")
+    lo = pc.strftime(_to_seconds(col.field("lo")), format="%Y-%m-%dT%H:%M:%S")
+    hi = pc.strftime(_to_seconds(col.field("hi")), format="%Y-%m-%dT%H:%M:%S")
     n = len(col)
     out = pc.binary_join_element_wise(
         pa.array(["["] * n), lo, pa.array([" TO "] * n), hi, pa.array(["]"] * n), ""

@@ -129,6 +129,16 @@ LAST_RUN_STATS: dict[str, dict] = {}
 _log = logging.getLogger(__name__)
 
 
+def _require_nonneg_ids(ids: np.ndarray, id_col: str) -> None:
+    """Near-dup pipelines encode truncation metrics as id = -1 rows; negative
+    real ids would be silently reclassified as metrics — reject them."""
+    if len(ids) and (np.asarray(ids) < 0).any():
+        raise ValueError(
+            f"near-dup pipelines require non-negative {id_col} values "
+            "(negative ids collide with internal metric-row sentinels)"
+        )
+
+
 def _bucket_candidate_pairs(
     group: pd.DataFrame, id_col: str, max_bucket: int
 ) -> pd.DataFrame:
@@ -241,6 +251,7 @@ def dedup_minhash_lsh(
     from cassandra_data_migrator_ray.functions.dedup import _shingle_hashes
 
     def sig_and_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        _require_nonneg_ids(batch[id_col].to_numpy(), id_col)
         sig = minhash_signatures(batch[text_col], num_perm, shingle_k)
         bands = lsh_bands(sig, num_bands)  # (n, num_bands)
         n = len(batch)
@@ -469,6 +480,7 @@ def dedup_simhash(
     """Near-dup pairs by SimHash banding (4×16-bit bands) + Hamming verify."""
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        _require_nonneg_ids(batch[id_col].to_numpy(), id_col)
         sh = simhash64(batch[text_col]).astype(np.uint64)
         n = len(batch)
         parts = [((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
@@ -802,6 +814,7 @@ def embedding_neardup(
     from cassandra_data_migrator_ray.functions.similarity import random_hyperplanes
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        _require_nonneg_ids(batch[id_col].to_numpy(), id_col)
         vecs = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
         planes = random_hyperplanes(vecs.shape[1], n_bands * bits_per_band)
         bits = (vecs @ planes.T) > 0  # (n, n_bands*bits_per_band)

@@ -88,6 +88,7 @@ def replay(
     prefold: bool = False,
     shuffle: str = "staging",
     rerun_multiplier: int = 1,
+    ttl: bool | None = None,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -95,6 +96,12 @@ def replay(
     functions/transforms.py) applied to raw event batches before normalize —
     the reference's feature chain (rename, codecs, constants, explode,
     extract-json, filters).
+
+    ``ttl``: ``None`` (default) auto-detects a ``ttl`` event column and
+    treats it as per-cell expiry seconds (reference USING TTL,
+    feature/WritetimeTTL.java:235-281); ``False`` forces a column literally
+    named ``ttl`` to be stored as ordinary payload instead; ``True``
+    requires the column.  The choice is sticky per lake (manifest).
 
     ``rerun_multiplier`` (reference rerunMultiplier, TrackRun.java:59-71):
     partitions still pending (no receipt — e.g. failed on the previous
@@ -132,17 +139,25 @@ def replay(
                 f"columns {list(manifest.key_cols)} (or pass transforms that "
                 "synthesize them)"
             )
+    if ttl is True and "ttl" not in incoming.names:
+        raise ValueError("ttl=True but the event stream has no 'ttl' column")
+    ttl_mode = (
+        manifest.ttl_enabled
+        if manifest.version > 0
+        else (ttl if ttl is not None else "ttl" in incoming.names)
+    )
+    reserved = ("op", "writetime", "event_seq") + (("ttl",) if ttl_mode else ())
     incoming_payload = pa.schema(
         [
             pa.field(n, t)
             for n, t in zip(incoming.names, incoming.types)
-            if n not in ("op", "writetime", "event_seq", "ttl")
+            if n not in reserved
         ]
     )
-    if manifest.version == 0 and "ttl" in incoming.names:
-        # a ttl column in the first-ever batch turns on durable per-cell TTL
-        # bookkeeping for the lake (reference USING TTL persistence,
-        # feature/WritetimeTTL.java:235-281)
+    if manifest.version == 0 and ttl_mode:
+        # per-cell TTL bookkeeping for the lake (reference USING TTL
+        # persistence, feature/WritetimeTTL.java:235-281); ttl=False keeps a
+        # column literally named 'ttl' as ordinary payload instead
         manifest.ttl_enabled = True
     if payload_schema is None:
         manifest.evolve_schema(incoming_payload)
@@ -252,7 +267,11 @@ def replay(
                 frames.append(
                     fin_ds.map_batches(
                         partial(
-                            merge_partials_partition, cfg, staging_events, coarse_factor
+                            merge_partials_partition,
+                            cfg,
+                            staging_events,
+                            coarse_factor,
+                            m=m,
                         ),
                         batch_format="pandas",
                         batch_size=None,

@@ -98,9 +98,17 @@ def tail_replay(
         ]
         if fresh:
             idle = 0
-            # deterministic id per ledger position: a crashed cycle's rerun
-            # reuses the id and its receipts, not a new pile of staged files
-            run_id = f"tail-{len(ledger['files']):08d}"
+            # deterministic id per FILE SET: a crashed cycle's rerun with the
+            # same files reuses the id (resumes from its receipts); if MORE
+            # files arrived before the rerun the set differs → a fresh id, so
+            # stale receipts can never skip partitions that now carry new
+            # events (the old files' events are watermark-filtered no-ops)
+            import hashlib
+
+            digest = hashlib.blake2s(
+                "\n".join(fresh).encode(), digest_size=6
+            ).hexdigest()
+            run_id = f"tail-{len(ledger['files']):08d}-{digest}"
             res = replay(fresh, lake_dir, run_id=run_id, **replay_kwargs)
             out.results.append(res)
             out.keys_merged += res.events_merged_keys

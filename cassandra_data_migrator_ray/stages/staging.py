@@ -382,10 +382,16 @@ def _split_by_part(tbl: pa.Table) -> list[tuple[int, pa.Table]]:
 
 
 def merge_partials_partition(
-    cfg, staging_dir: str, coarse_factor: int, group: pd.DataFrame
+    cfg, staging_dir: str, coarse_factor: int, group: pd.DataFrame, m: int = 0
 ) -> pd.DataFrame:
     """Phase B task: merge a partition's folded partials (state frames) with
-    prior lake state — rides the existing state-partials merge path."""
+    prior lake state — rides the existing state-partials merge path.
+
+    Only partials of the CURRENT rerun multiplier ``m`` are merged (filename
+    suffix ``-{m:03d}.arrow``); a rerun with a different multiplier would
+    otherwise also pick up the crashed attempt's stale partials and count
+    every event's counter delta twice.  ``m=0`` accepts any (single-attempt
+    call sites)."""
     from cassandra_data_migrator_ray.stages.merge import (
         METRICS_COLUMNS,
         merge_partition_group,
@@ -399,8 +405,9 @@ def merge_partials_partition(
         if not os.path.isdir(pdir):
             continue
         by_fine: dict[int, list[str]] = {}
+        suffix = f"-{m:03d}.arrow" if m else ".arrow"
         for f in sorted(os.listdir(pdir)):
-            if f.startswith("partial-") and f.endswith(".arrow"):
+            if f.startswith("partial-") and f.endswith(suffix):
                 fine = int(f.split("-")[1])
                 by_fine.setdefault(fine, []).append(os.path.join(pdir, f))
         for fine, files in sorted(by_fine.items()):

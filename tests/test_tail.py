@@ -107,6 +107,42 @@ class TestTailReplay:
         )
 
 
+class TestTailCrashWithNewArrivals:
+    @pytest.mark.usefixtures("ray_session")
+    def test_crashed_cycle_then_new_file_loses_nothing(self, tmp_path):
+        """A cycle crashes mid-replay (receipts written, no commit); before
+        the rerun another segment arrives.  The rerun's file set differs, so
+        it must NOT resume from the stale receipts — every event of both
+        files must reach the lake (regression: positional run_ids made the
+        rerun skip partitions that now carried new events)."""
+        import hashlib
+
+        from cassandra_data_migrator_ray.pipelines.replay import replay as raw_replay
+
+        ev = gen_change_stream(n_convs=60, n_events=3000, seed=21)
+        src = str(tmp_path / "wal")
+        lake = str(tmp_path / "lake")
+        paths = _split_parquet(ev, src, 2)
+        hidden = paths[1] + ".hold"
+        os.rename(paths[1], hidden)
+
+        # simulate the crashed first cycle: same run_id tail would derive for
+        # the single-file set, receipts written, commit never happens
+        crashed_id = "tail-00000000-" + hashlib.blake2s(
+            paths[0].encode(), digest_size=6
+        ).hexdigest()
+        raw_replay(paths[0], lake, num_parts=4, run_id=crashed_id, commit=False)
+
+        os.rename(hidden, paths[1])  # f2 arrives before the rerun
+        res = tail_replay(
+            src, lake, poll_interval=0, stop_after_idle_cycles=1, num_parts=4
+        )
+        assert sorted(res.files_ingested) == sorted(paths)
+        got = read_lake_pandas(lake)
+        exp = oracle_final_state(ev.to_pandas())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 class TestTailCli:
     def test_cli_tail_then_metrics(self, tmp_path):
         import json
