@@ -191,3 +191,40 @@ class TestStageRetryAndE2E:
         )
         got = read_lake_pandas(lake).set_index(["conv_id", "turn_idx"])["n"]
         assert int(got.loc[("a", 0)]) == 7 and int(got.loc[("b", 0)]) == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRerunMultiplierChange:
+    def test_stale_partials_from_other_m_not_double_counted(self, tmp_path):
+        """A crashed rerun_multiplier=2 attempt leaves partial state files; a
+        rerun of the same run_id with rerun_multiplier=3 must merge ONLY its
+        own M=3 partials (regression: gathering all partial-*.arrow summed
+        every counter delta twice)."""
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("n", pa.float64()),
+            ]
+        )
+        base = _events(
+            [("a", 0, 5.0, 10, 1), ("a", 0, 2.0, 11, 2), ("b", 0, 7.0, 12, 3)]
+        )
+        tbl = pa.Table.from_pandas(base, preserve_index=False)
+        lake = str(tmp_path / "lake")
+        run_id = "mchange"
+        kw = dict(num_parts=4, payload_schema=schema, counter_cols=("n",))
+
+        # attempt 1: M=2, dies after phase A partials exist but before commit
+        # (simulate: run the full phase but withhold commit)
+        replay(tbl, lake, run_id=run_id, rerun_multiplier=2, commit=False, **kw)
+        staging = os.path.join(lake, "_staging", run_id)
+        # drop the receipts so the rerun treats all partitions as pending
+        for f in os.listdir(staging):
+            if f.endswith(".json"):
+                os.unlink(os.path.join(staging, f))
+
+        # attempt 2: same run, M=3 — must not also merge the M=2 partials
+        replay(tbl, lake, run_id=run_id, rerun_multiplier=3, **kw)
+        got = read_lake_pandas(lake).set_index(["conv_id", "turn_idx"])["n"]
+        assert int(got.loc[("a", 0)]) == 7 and int(got.loc[("b", 0)]) == 7

@@ -148,3 +148,42 @@ class TestStreamingTtlParity:
                 .sort_values(["conv_id", "turn_idx"], ignore_index=True)
             )
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTtlOptOut:
+    def test_ttl_false_keeps_column_as_payload(self, tmp_path):
+        """A data column literally named 'ttl' is NOT hijacked as expiry
+        metadata when the caller passes ttl=False — it is stored, read back,
+        and the lake never enables TTL bookkeeping."""
+        lake = str(tmp_path / "lake")
+        replay(
+            _ev([("a", 0, "x", BASE, 300), ("b", 0, "y", BASE, 600)]),
+            lake,
+            num_parts=2,
+            ttl=False,
+        )
+        m = Manifest.load(lake)
+        assert not m.ttl_enabled
+        assert "ttl" in m.payload_cols()
+        got = read_lake_pandas(lake).set_index("conv_id")
+        assert got.loc["a", "ttl"] == 300 and got.loc["b", "ttl"] == 600
+        # far future read: nothing expires, it's just data
+        far = read_lake_pandas(lake, as_of=BASE + 10**9 * 1_000_000)
+        assert len(far) == 2
+
+    def test_ttl_true_requires_column(self, tmp_path):
+        import pyarrow as pa
+
+        ev = pa.table(
+            {
+                "op": ["UPSERT"],
+                "conv_id": ["a"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "text": ["x"],
+                "writetime": pa.array([1], pa.int64()),
+                "event_seq": pa.array([0], pa.int64()),
+            }
+        )
+        with pytest.raises(ValueError, match="ttl"):
+            replay(ev, str(tmp_path / "lake"), num_parts=2, ttl=True)
