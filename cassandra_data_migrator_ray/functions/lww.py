@@ -48,17 +48,6 @@ from cassandra_data_migrator_ray.schema import (
 )
 
 
-def _group_starts(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:
-    """Start indices of contiguous key groups in a key-sorted frame."""
-    n = len(df)
-    change = np.zeros(n, dtype=bool)
-    change[0] = True
-    for k in key_cols:
-        v = df[k].to_numpy()
-        change[1:] |= v[1:] != v[:-1]
-    return np.flatnonzero(change)
-
-
 def _cluster_and_starts(
     df: pd.DataFrame, key_cols: Sequence[str], order_cols: Sequence[str] = ()
 ) -> tuple[pd.DataFrame, np.ndarray]:
@@ -117,12 +106,14 @@ def fold_events(
     seq = df["event_seq"].to_numpy(dtype=np.int64)
     if ttl:
         # per-event expiry = writetime + ttl seconds (reference USING TTL,
-        # feature/WritetimeTTL.java:235-281); null ttl = never expires
+        # feature/WritetimeTTL.java:235-281); null OR 0 ttl = never expires
+        # (CQL: USING TTL 0 removes the TTL, it does not expire-at-write)
         if "ttl" in df.columns:
             tsec = pd.to_numeric(df["ttl"], errors="coerce")
+            tnum = np.nan_to_num(tsec.to_numpy(dtype=np.float64))
             ttlx = np.where(
-                tsec.notna().to_numpy(),
-                wt + np.nan_to_num(tsec.to_numpy(dtype=np.float64)).astype(np.int64) * 1_000_000,
+                tsec.notna().to_numpy() & (tnum > 0),
+                wt + tnum.astype(np.int64) * 1_000_000,
                 NO_EXPIRY,
             )
         else:
@@ -234,8 +225,11 @@ def fold_events_arrow(
     for k in key_cols:
         col = tbl.column(k)
         if pa.types.is_integer(col.type):
-            arr = col.to_numpy(zero_copy_only=False)
-            codes.append(np.nan_to_num(arr, nan=-1).astype(np.int64))
+            # fill nulls in int64 space (a float round-trip would both merge
+            # null with a legitimate -1 key and corrupt keys beyond 2^53);
+            # int64.min as the null sentinel matches no realistic key value
+            filled = pc.fill_null(pc.cast(col, pa.int64()), np.iinfo(np.int64).min)
+            codes.append(filled.to_numpy(zero_copy_only=False).astype(np.int64))
         else:
             enc = pc.dictionary_encode(col).combine_chunks()
             idxs = enc.indices.to_numpy(zero_copy_only=False)
@@ -246,8 +240,9 @@ def fold_events_arrow(
         if "ttl" in tbl.column_names:
             tcol = pc.cast(tbl.column("ttl"), pa.float64())
             tnum = tcol.to_numpy(zero_copy_only=False)
+            # null OR 0 ttl = never expires (CQL: USING TTL 0 removes the TTL)
             ttlx_all = np.where(
-                ~np.isnan(tnum),
+                ~np.isnan(tnum) & (np.nan_to_num(tnum) > 0),
                 wt + np.nan_to_num(tnum).astype(np.int64) * 1_000_000,
                 NO_EXPIRY,
             )
@@ -514,13 +509,15 @@ def merge_states(
     key_cols: Sequence[str],
     payload_cols: Sequence[str],
     counter_cols: Sequence[str] = (),
+    ttl: bool = False,
 ) -> pd.DataFrame:
-    """Pairwise convenience wrapper over :func:`merge_state_frames`."""
+    """Pairwise convenience wrapper over :func:`merge_state_frames`
+    (``ttl`` must be forwarded or expiry state would be silently stripped)."""
     if a.empty:
         return b.copy()
     if b.empty:
         return a.copy()
-    return merge_state_frames([a, b], key_cols, payload_cols, counter_cols)
+    return merge_state_frames([a, b], key_cols, payload_cols, counter_cols, ttl=ttl)
 
 
 def state_to_public(

@@ -117,7 +117,11 @@ def _compare_staged_part(
         part = int(part)
         pdir = os.path.join(staging_dir, f"part={part:05d}")
         files = (
-            sorted(os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".arrow"))
+            sorted(
+                os.path.join(pdir, f)
+                for f in os.listdir(pdir)
+                if f.startswith("blk-") and f.endswith(".arrow")
+            )
             if os.path.isdir(pdir)
             else []
         )

@@ -77,15 +77,39 @@ def read_partition_state(cfg: MergeConfig, part: int) -> pd.DataFrame | None:
     tbl = pa.concat_tables(tables, promote_options="default")
     from cassandra_data_migrator_ray.schema import align_to_schema
 
-    return align_to_schema(tbl, _arrow_state_schema(cfg)).to_pandas()
+    aligned = align_to_schema(tbl, _arrow_state_schema(cfg))
+    # KEY/PAYLOAD integer columns must not round-trip through float64 (silent
+    # precision loss past 2^53 on counters/bigints with nulls) — read them as
+    # pandas nullable Int dtypes.  Bookkeeping columns (c__wt/__row_wt/…) stay
+    # on the default path: they are int64 sentinel-filled (never NA) and every
+    # sentinel (±2^63, NO_EXPIRY) is exactly float64-representable anyway.
+    data_cols = [
+        c
+        for c in (*cfg.key_cols, *cfg.payload_cols)
+        if c in aligned.column_names
+        and pa.types.is_integer(aligned.schema.field(c).type)
+    ]
+    pdf = aligned.drop_columns(data_cols).to_pandas()
+    if data_cols:
+        mapper = {
+            pa.int64(): pd.Int64Dtype(),
+            pa.int32(): pd.Int32Dtype(),
+            pa.int16(): pd.Int16Dtype(),
+            pa.int8(): pd.Int8Dtype(),
+        }
+        ints = aligned.select(data_cols).to_pandas(types_mapper=mapper.get)
+        for c in data_cols:
+            pdf[c] = ints[c]
+    return pdf
 
 
 def write_partition_state(cfg: MergeConfig, part: int, state: pd.DataFrame) -> str:
     rel = os.path.join("data", f"part-{part:05d}-{cfg.run_id}.parquet")
     path = os.path.join(cfg.lake_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    out_schema = _arrow_state_schema(cfg)
     tbl = pa.Table.from_pandas(state, preserve_index=False)
-    tbl = tbl.cast(_arrow_state_schema(cfg))
+    tbl = tbl.select(out_schema.names).cast(out_schema)
     tmp = path + ".tmp"
     pq.write_table(tbl, tmp, compression="zstd")
     os.replace(tmp, path)
@@ -106,19 +130,9 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
         pa.set_cpu_count(1)  # one Ray task == one CPU (no pool oversubscription)
     part = int(group[PART_COL].iloc[0])
     partials = group.drop(columns=[PART_COL])
-    if "op" in partials.columns:
-        # raw-event representation (prefold=False): fold here in the reducer
-        from cassandra_data_migrator_ray.functions.lww import fold_events
 
-        partials = fold_events(
-            partials,
-            list(cfg.key_cols),
-            cfg.payload_cols,
-            cfg.counter_cols,
-            ttl=cfg.ttl_enabled,
-        )
-
-    # resume: a receipt from this run means the partition is already merged
+    # resume: a receipt from this run means the partition is already merged —
+    # check BEFORE folding (the fold is the dominant cost of the task)
     receipt_path = os.path.join(
         cfg.lake_dir, "_staging", cfg.run_id, f"part-{part:05d}.json"
     )
@@ -142,6 +156,17 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
             ]
         )
 
+    if "op" in partials.columns:
+        # raw-event representation (prefold=False): fold here in the reducer
+        from cassandra_data_migrator_ray.functions.lww import fold_events
+
+        partials = fold_events(
+            partials,
+            list(cfg.key_cols),
+            cfg.payload_cols,
+            cfg.counter_cols,
+            ttl=cfg.ttl_enabled,
+        )
     frames = [partials]
     old = read_partition_state(cfg, part)
     if old is not None and len(old):

@@ -40,6 +40,18 @@ import pyarrow.parquet as pq
 from cassandra_data_migrator_ray.stages.normalize import PART_COL
 
 
+def _hash64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit mix of int64 values (splitmix64 finalizer)."""
+    x = v.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 class StageWriter:
     """Map-only stage 1: split each normalized block by partition and append
     staged parquet slices.  Emits one bookkeeping row per (block, dir key).
@@ -101,11 +113,21 @@ class StageWriter:
             # IPC has near-zero open/parse cost and mmaps zero-copy on tmpfs
             tmp = os.path.join(pdir, f".tmp-{os.getpid()}-{i}.arrow")
             if seq_all is not None:
+                # content fingerprint of the seq SET: order-independent XOR +
+                # ADD of per-element 64-bit hashes plus the count — two
+                # independent reductions of hashed values, so distinct sets
+                # collide with ~2^-128 probability (a plain min/max/sum/xor of
+                # RAW seqs is NOT injective: {0,1,6,7} vs {0,2,5,7} collide)
                 sl = seq_all[lo:hi]
+                he = _hash64(sl)
                 fp = hashlib.blake2b(
                     np.array(
-                        [hi - lo, sl.min(), sl.max(), sl.sum(), np.bitwise_xor.reduce(sl)],
-                        dtype=np.int64,
+                        [
+                            hi - lo,
+                            np.bitwise_xor.reduce(he),
+                            np.add.reduce(he),
+                        ],
+                        dtype=np.uint64,
                     ).tobytes(),
                     digest_size=8,
                 ).hexdigest()
@@ -147,7 +169,13 @@ def merge_staged_partition(
     part = int(group["part"].iloc[0])
     pdir = os.path.join(staging_dir, f"part={part:05d}")
     files = (
-        sorted(os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".arrow"))
+        # committed slices only — a crashed writer's orphaned `.tmp-*` file
+        # (possibly truncated) must be neither read nor double-counted
+        sorted(
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.startswith("blk-") and f.endswith(".arrow")
+        )
         if os.path.isdir(pdir)
         else []
     )
@@ -244,6 +272,13 @@ def _merge_fine(
     )
     _t_fold = _time.perf_counter() - _t1
     keys_in = state.num_rows
+    # watermark BEFORE tombstone compaction: a compacted-away tombstone may
+    # hold the partition's max merged event_seq — recording the post-compact
+    # max would understate it and re-admit redelivered events on resume
+    watermark = max(
+        int(cfg.prior_watermarks.get(part, -1)),
+        int(pc.max(state[MAX_SEQ]).as_py()) if state.num_rows else -1,
+    )
     if cfg.compact:
         state = state.filter(pc.invert(state[DELETED]))
     elif cfg.grace_wt is not None:
@@ -255,11 +290,6 @@ def _merge_fine(
         state, sort_keys=[(k, "ascending") for k in cfg.key_cols]
     )
     state = state.take(order)
-
-    watermark = max(
-        int(cfg.prior_watermarks.get(part, -1)),
-        int(pc.max(state[MAX_SEQ]).as_py()) if state.num_rows else -1,
-    )
     rel = os.path.join("data", f"part-{part:05d}-{cfg.run_id}.parquet")
     path = os.path.join(cfg.lake_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -327,7 +357,7 @@ def fold_staged_subslice(
             sorted(
                 os.path.join(pdir, f)
                 for f in os.listdir(pdir)
-                if f.endswith(".arrow") and not f.startswith("partial-")
+                if f.startswith("blk-") and f.endswith(".arrow")
             )
             if os.path.isdir(pdir)
             else []

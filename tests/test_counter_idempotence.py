@@ -228,3 +228,46 @@ class TestRerunMultiplierChange:
         replay(tbl, lake, run_id=run_id, rerun_multiplier=3, **kw)
         got = read_lake_pandas(lake).set_index(["conv_id", "turn_idx"])["n"]
         assert int(got.loc[("a", 0)]) == 7 and int(got.loc[("b", 0)]) == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStatePrecisionBeyond2p53:
+    def test_incremental_merge_preserves_big_int64(self, tmp_path):
+        """Lake state re-read for an incremental merge must not round-trip
+        nullable int64 payload through float64 (2^53+1 would silently round):
+        replay a big counter, then a second batch forcing a state re-read."""
+        big = (1 << 53) + 1
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("n", pa.int64()),
+            ]
+        )
+
+        def ev(rows, seq0):
+            return pa.table(
+                {
+                    "op": pa.array(["UPSERT"] * len(rows)),
+                    "conv_id": pa.array([r[0] for r in rows]),
+                    "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                    "n": pa.array([r[2] for r in rows], pa.int64()),
+                    "writetime": pa.array(
+                        [100 + i for i in range(len(rows))], pa.int64()
+                    ),
+                    "event_seq": pa.array(
+                        range(seq0, seq0 + len(rows)), pa.int64()
+                    ),
+                }
+            )
+
+        lake = str(tmp_path / "lake")
+        kw = dict(num_parts=2, payload_schema=schema, counter_cols=("n",))
+        # batch 1: the big value, plus a null-n row so the stored column is
+        # nullable (the float64 conversion trigger)
+        replay(ev([("a", 0, big), ("b", 0, None)], 0), lake, **kw)
+        # batch 2 forces an incremental merge that re-reads partition state
+        replay(ev([("b", 0, 7), ("a", 1, 1)], 100), lake, **kw)
+        got = read_lake_pandas(lake).set_index(["conv_id", "turn_idx"])["n"]
+        assert int(got.loc[("a", 0)]) == big  # exact, not 2^53
+        assert int(got.loc[("b", 0)]) == 7
