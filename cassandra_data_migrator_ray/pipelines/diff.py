@@ -31,7 +31,6 @@ from cassandra_data_migrator_ray.schema import (
     NEG_INF,
     ROW_WT,
     WT_SUFFIX,
-    payload_cols_of,
 )
 from cassandra_data_migrator_ray.stages.normalize import PART_COL
 from cassandra_data_migrator_ray.stages.validate import SIDE_COL, compare_group
@@ -64,7 +63,14 @@ def _tag_side(
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> pa.Table:
     """Project a batch to the unified compare layout + route + side tag
-    (Arrow-native: only the key columns touch pandas, for the stable hash)."""
+    (Arrow-native: only the key columns touch pandas, for the stable hash).
+
+    Null key components get the SAME type-based defaults normalize applies on
+    the write path (stages/normalize.py _default_for) — otherwise an expected
+    row with a null key would route/compare differently from the lake's
+    defaulted row and report spurious MISSING+EXTRA."""
+    from cassandra_data_migrator_ray.stages.normalize import _default_for
+
     n = batch.num_rows
     names = set(batch.column_names)
     cols: dict[str, object] = {}
@@ -74,15 +80,27 @@ def _tag_side(
             cols[f.name] = col.cast(f.type) if col.type != f.type else col
         else:
             cols[f.name] = pa.nulls(n, f.type)
+    for k in key_cols:
+        if k in cols:
+            import pyarrow.compute as pc
+
+            d = _default_for(payload_schema.field(k).type) if k in payload_schema.names else None
+            if d is not None:
+                cols[k] = pc.fill_null(cols[k], d)
     for c in wt_cols:
         if c in names:
             cols[c] = batch.column(c).cast(pa.int64())
         else:
             cols[c] = pa.array(np.full(n, NEG_INF, dtype=np.int64))
     cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
-    part = assign_partition_keys(
-        [cols[k].to_pandas() for k in key_cols], num_parts, salt
-    )
+    if num_parts <= 1:
+        # the lake-file comparator path: the partition is already known, the
+        # per-row key hash would be computed only to be dropped
+        part = np.zeros(n, dtype=np.int32)
+    else:
+        part = assign_partition_keys(
+            [cols[k].to_pandas() for k in key_cols], num_parts, salt
+        )
     cols[PART_COL] = pa.array(part, pa.int32())
     return pa.table(cols)
 
@@ -95,11 +113,17 @@ def _compare_staged_part(
     wt_cols: list[str],
     schema_ipc: bytes,
     key_cols: tuple[str, ...],
+    coarse_factor: int,
     batch: pd.DataFrame,
 ) -> pd.DataFrame:
     """Staged-exchange comparator task: staged expected slices + the lake
     partition read DIRECTLY (it is already partitioned by the same route — no
-    need to re-shuffle the actual side at all)."""
+    need to re-shuffle the actual side at all).
+
+    ``batch`` carries coarse dir keys; with ``coarse_factor > 1`` each task
+    reads its coarse slab ONCE and splits it into fine partitions on
+    PART_COL — the same two-level shape replay uses, so staged dir/file
+    count stays bounded at high partition counts."""
     import os
 
     import pyarrow as _pa
@@ -113,9 +137,9 @@ def _compare_staged_part(
         _pa.set_cpu_count(1)
     payload_schema = _pa.ipc.read_schema(_pa.py_buffer(schema_ipc))
     outs = []
-    for part in batch["part"]:
-        part = int(part)
-        pdir = os.path.join(staging_dir, f"part={part:05d}")
+    for ck in batch["part"]:
+        ck = int(ck)
+        pdir = os.path.join(staging_dir, f"part={ck:05d}")
         files = (
             sorted(
                 os.path.join(pdir, f)
@@ -125,41 +149,67 @@ def _compare_staged_part(
             if os.path.isdir(pdir)
             else []
         )
-        sides = []
+        slab = None
         if files:
 
             def _read_ipc(path):
                 with _pa.memory_map(path) as src:
                     return _pa.ipc.open_file(src).read_all()
 
-            sides.append(_pa.concat_tables([_read_ipc(f) for f in files]))
-        for rel in lake_files_by_part.get(part, []):
-            t = _pq.read_table(os.path.join(lake_dir, rel), use_threads=False)
-            deleted = _pc.fill_null(t[DELETED], False)
-            live = t.filter(_pc.invert(deleted))
-            sides.append(
-                _tag_side(1, 1, 1, payload_schema, wt_cols, live, key_cols).drop_columns(
-                    [PART_COL]
+            slab = _pa.concat_tables([_read_ipc(f) for f in files])
+
+        fine_parts: set[int] = {
+            p for p in lake_files_by_part if p // coarse_factor == ck
+        }
+        if slab is not None:
+            if coarse_factor > 1:
+                fine_parts |= {
+                    int(v)
+                    for v in _pc.unique(slab[PART_COL]).to_pylist()
+                }
+            else:
+                fine_parts.add(ck)
+
+        for part in sorted(fine_parts):
+            sides = []
+            if slab is not None:
+                exp = (
+                    slab.filter(_pc.equal(slab[PART_COL], part)).drop_columns(
+                        [PART_COL]
+                    )
+                    if coarse_factor > 1
+                    else slab
                 )
-            )
-            # tombstoned keys stay visible to the comparator as side=2: they
-            # never produce EXTRA/MISMATCH, but their DEL_WT feeds fix_wt so a
-            # MISSING-but-tombstoned key gets a correction that beats the
-            # tombstone (otherwise autocorrect never converges).
-            tomb = t.filter(deleted)
-            if tomb.num_rows:
+                if exp.num_rows:
+                    sides.append(exp)
+            for rel in lake_files_by_part.get(part, []):
+                t = _pq.read_table(os.path.join(lake_dir, rel), use_threads=False)
+                deleted = _pc.fill_null(t[DELETED], False)
+                live = t.filter(_pc.invert(deleted))
                 sides.append(
-                    _tag_side(2, 1, 1, payload_schema, wt_cols, tomb, key_cols).drop_columns(
+                    _tag_side(1, 1, 1, payload_schema, wt_cols, live, key_cols).drop_columns(
                         [PART_COL]
                     )
                 )
-        if not sides:
-            continue
-        # align column order across sides before concat
-        names = sides[0].column_names
-        sides = [s.select(names) for s in sides]
-        tbl = _pa.concat_tables(sides)
-        outs.append(compare_part_arrow(tbl, list(key_cols), payload_cols, part))
+                # tombstoned keys stay visible to the comparator as side=2:
+                # they never produce EXTRA/MISMATCH, but their DEL_WT feeds
+                # fix_wt so a MISSING-but-tombstoned key gets a correction
+                # that beats the tombstone (otherwise autocorrect never
+                # converges).
+                tomb = t.filter(deleted)
+                if tomb.num_rows:
+                    sides.append(
+                        _tag_side(2, 1, 1, payload_schema, wt_cols, tomb, key_cols).drop_columns(
+                            [PART_COL]
+                        )
+                    )
+            if not sides:
+                continue
+            # align column order across sides before concat
+            names = sides[0].column_names
+            sides = [s.select(names) for s in sides]
+            tbl = _pa.concat_tables(sides)
+            outs.append(compare_part_arrow(tbl, list(key_cols), payload_cols, part))
     if not outs:
         return pd.DataFrame(
             columns=[*key_cols, "status", "cols_differ", "fix_wt"]
@@ -226,19 +276,29 @@ def validate(
 
         from cassandra_data_migrator_ray.stages.staging import StageWriter
 
-        staging = os.path.join(lake_dir, "_staging", "validate-" + _uuid.uuid4().hex[:8])
+        # NOT under _staging: commit-time GC of a concurrent replay/tail run
+        # sweeps every _staging dir it doesn't own, which would silently empty
+        # the expected side mid-validate (everything would report EXTRA)
+        staging = os.path.join(lake_dir, "_validate", "v-" + _uuid.uuid4().hex[:8])
+        # two-level exchange above 256 partitions, matching replay — staged
+        # dir/file count stays blocks × ≤256 at high partition counts
+        coarse_factor = max(1, (manifest.num_parts + 255) // 256)
         try:
             stats = exp_ds.map_batches(
-                StageWriter(staging), batch_format="pyarrow", batch_size=262144
+                StageWriter(staging, coarse_factor),
+                batch_format="pyarrow",
+                batch_size=262144,
             ).to_pandas()
-            staged_parts = set(int(p) for p in stats["part"].unique()) if len(stats) else set()
+            staged_dirs = set(int(p) for p in stats["part"].unique()) if len(stats) else set()
             lake_by_part = {
                 int(k): v.files for k, v in manifest.partitions.items() if v.files
             }
-            parts = sorted(staged_parts | set(lake_by_part))
-            if parts:
+            dirs = sorted(
+                staged_dirs | {p // coarse_factor for p in lake_by_part}
+            )
+            if dirs:
                 parts_ds = ray.data.from_items(
-                    [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
+                    [{"part": int(k)} for k in dirs], override_num_blocks=len(dirs)
                 )
                 report = parts_ds.map_batches(
                     partial(
@@ -250,6 +310,7 @@ def validate(
                         wt_cols,
                         full_schema.serialize().to_pybytes(),
                         key_cols,
+                        coarse_factor,
                     ),
                     batch_format="pandas",
                     batch_size=None,

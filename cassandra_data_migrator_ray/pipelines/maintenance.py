@@ -19,7 +19,6 @@ import pandas as pd
 
 import ray.data
 
-from cassandra_data_migrator_ray.schema import payload_cols_of
 from cassandra_data_migrator_ray.stages.merge import (
     MergeConfig,
     read_partition_state,

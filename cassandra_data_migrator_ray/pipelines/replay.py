@@ -27,7 +27,6 @@ import ray.data
 
 from cassandra_data_migrator_ray.schema import (
     TRANSCRIPTS_SCHEMA,
-    payload_cols_of,
 )
 from functools import partial
 
@@ -111,10 +110,17 @@ def replay(
     fold/merge associativity.
     """
     t0 = time.perf_counter()
+    raw_input = not isinstance(events, ray.data.Dataset)
     ds = _as_dataset(events)
-    try:
-        est_rows = ds.count()  # parquet/arrow: metadata-only, no execution
-    except Exception:
+    if raw_input and not transforms:
+        # parquet/arrow sources: metadata-only count.  A caller-supplied
+        # Dataset (or a transform chain) would EXECUTE its whole lineage here
+        # just to tune a batch size — skip and use the default.
+        try:
+            est_rows = ds.count()
+        except Exception:
+            est_rows = 0
+    else:
         est_rows = 0
 
     # establish/evolve the lake schema from the incoming event columns
@@ -126,19 +132,22 @@ def replay(
         counter_cols=list(counter_cols),
         key_cols=list(key_cols) if key_cols else None,
     )
+    # apply the feature transform chain FIRST: schema evolution, ttl
+    # detection and the required-column check must all see the
+    # post-transform column set (a Rename'd/synthesized column would
+    # otherwise be dropped by the manifest align and silently lost)
+    for t in transforms or []:
+        ds = ds.map_batches(t, batch_format="pyarrow", batch_size=batch_size)
     incoming = ds.schema()
-    if not transforms:
-        # fail fast with a clear message (transforms may synthesize these
-        # columns, so the check only applies to raw event streams)
-        required = ["op", "writetime", "event_seq", *manifest.key_cols]
-        missing = [c for c in required if c not in incoming.names]
-        if missing:
-            raise ValueError(
-                f"event stream is missing required column(s) {missing}; every "
-                "change event needs op/writetime/event_seq plus the lake key "
-                f"columns {list(manifest.key_cols)} (or pass transforms that "
-                "synthesize them)"
-            )
+    required = ["op", "writetime", "event_seq", *manifest.key_cols]
+    missing = [c for c in required if c not in incoming.names]
+    if missing:
+        raise ValueError(
+            f"event stream is missing required column(s) {missing} "
+            f"{'after transforms ' if transforms else ''}; every change event "
+            "needs op/writetime/event_seq plus the lake key columns "
+            f"{list(manifest.key_cols)}"
+        )
     if ttl is True and "ttl" not in incoming.names:
         raise ValueError("ttl=True but the event stream has no 'ttl' column")
     ttl_mode = (
@@ -167,9 +176,6 @@ def replay(
     key_cols = tuple(manifest.key_cols)
     ttl_enabled = manifest.ttl_enabled
     run_id = run_id or uuid.uuid4().hex[:12]
-
-    for t in transforms or []:
-        ds = ds.map_batches(t, batch_format="pyarrow", batch_size=batch_size)
 
     norm = Normalize(
         manifest.schema,

@@ -15,7 +15,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from cassandra_data_migrator_ray.schema import DELETED, payload_cols_of
+from cassandra_data_migrator_ray.schema import DELETED
 from cassandra_data_migrator_ray.state.manifest import Manifest
 
 
@@ -48,9 +48,16 @@ def read_lake(
     ttl_eval = as_of is not None and manifest.ttl_enabled
     read_cols = None if ttl_eval else list(dict.fromkeys([*public_cols, DELETED]))
     if not files:
-        return ray.data.from_arrow(
-            pa.Table.from_pylist([], schema=pa.schema([(c, pa.string()) for c in public_cols]))
+        # empty lake: surface the MANIFEST's declared types, not all-string
+        empty_schema = pa.schema(
+            [
+                manifest.schema.field(c)
+                if c in manifest.schema.names
+                else pa.field(c, pa.string())
+                for c in public_cols
+            ]
         )
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=empty_schema))
     ds = ray.data.read_parquet(files, columns=read_cols)
     if ttl_eval:
         from functools import partial

@@ -209,9 +209,11 @@ def compare_part_arrow(
     for k in key_cols:
         col = tbl.column(k)
         if pa.types.is_integer(col.type):
-            codes.append(
-                np.nan_to_num(col.to_numpy(zero_copy_only=False), nan=-1).astype(np.int64)
-            )
+            # fill nulls in int64 space: a float round-trip would both merge
+            # null with a legitimate -1 key and quantize keys beyond 2^53
+            # (same hazard fold_events_arrow guards against)
+            filled = pc.fill_null(pc.cast(col, pa.int64()), np.iinfo(np.int64).min)
+            codes.append(filled.to_numpy(zero_copy_only=False).astype(np.int64))
         else:
             enc = pc.dictionary_encode(col).combine_chunks()
             codes.append(
@@ -296,11 +298,24 @@ def compare_part_arrow(
     out["fix_wt"] = fix_wt[bad]
     exp_take_bad = pa.array(exp_idx[bad], pa.int64(), mask=~has_exp[bad])
     act_take_bad = pa.array(act_idx[bad], pa.int64(), mask=~has_act[bad])
+    int_mapper = {
+        pa.int64(): pd.Int64Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+    }.get
+
+    def _rep(col, take):
+        taken = pc.take(col, take)
+        # integer payload: keep nullable Int, never float64 — autocorrect's
+        # counter delta (expected − actual) must be exact past 2^53
+        if pa.types.is_integer(col.type):
+            return taken.to_pandas(types_mapper=int_mapper)
+        return taken.to_pandas()
+
     for c in payload_cols:
-        out[f"exp_{c}"] = pc.take(tbl.column(c), exp_take_bad).to_pandas()
+        out[f"exp_{c}"] = _rep(tbl.column(c), exp_take_bad)
         # actual-side value: autocorrect needs it to compute counter deltas
         # (reference binds origin − target, TargetUpdateStatement.java:69-76)
-        out[f"act_{c}"] = pc.take(tbl.column(c), act_take_bad).to_pandas()
+        out[f"act_{c}"] = _rep(tbl.column(c), act_take_bad)
     out = out.sort_values(list(key_cols), kind="mergesort", ignore_index=True)
 
     counts = {

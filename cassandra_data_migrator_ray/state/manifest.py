@@ -399,4 +399,19 @@ class Manifest:
                 ):
                     continue
                 shutil.rmtree(os.path.join(sdir, run), ignore_errors=True)
+        # crashed validates leave _validate/v-* dirs (live ones clean up in
+        # their finally); sweep only stale ones so a concurrent validate's
+        # expected-side staging is never pulled out from under it
+        vdir = os.path.join(self.lake_dir, "_validate")
+        if os.path.isdir(vdir):
+            import shutil
+
+            cutoff = time.time() - 86_400
+            for d in os.listdir(vdir):
+                p = os.path.join(vdir, d)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         return removed

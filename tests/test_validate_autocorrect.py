@@ -174,3 +174,85 @@ class TestColumnSubsetValidate:
         assert res_after.counts["MISMATCH"] == 1
         rep = res_after.report
         assert (rep.loc[rep["status"] == "MISMATCH", "cols_differ"] == "text").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValidateEdgeParity:
+    def test_null_key_expected_matches_defaulted_lake(self, tmp_path):
+        """An expected dataset still carrying null key components must route
+        and compare identically to the lake's defaulted rows (normalize
+        defaults nulls on the write path; validate now applies the same
+        defaults on the expected side)."""
+        import pyarrow as pa
+
+        ev = pa.table(
+            {
+                "op": ["UPSERT", "UPSERT"],
+                "conv_id": pa.array([None, "b"], pa.string()),
+                "turn_idx": pa.array([0, 0], pa.int32()),
+                "role": pa.array(["user", "user"]),
+                "text": pa.array(["hello", "world"]),
+                "tool": pa.array([None, None], pa.string()),
+                "ts": pa.array([None, None], pa.timestamp("us")),
+                "writetime": pa.array([10, 20], pa.int64()),
+                "event_seq": pa.array([0, 1], pa.int64()),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=4)
+        # expected side keeps the null conv_id — exactly what an origin
+        # extract would contain
+        expected = pd.DataFrame(
+            {
+                "conv_id": [None, "b"],
+                "turn_idx": pd.array([0, 0], dtype="int32"),
+                "role": ["user", "user"],
+                "text": ["hello", "world"],
+                "tool": [None, None],
+                "ts": pd.array([pd.NaT, pd.NaT], dtype="datetime64[us]"),
+            }
+        )
+        res = validate(expected, lake)
+        assert res.ok, res.counts
+
+    def test_int64_keys_beyond_2p53_compare_exactly(self, tmp_path):
+        """Distinct int64 keys above 2^53 (which quantize to the same float64)
+        must stay distinct in the comparator."""
+        import pyarrow as pa
+
+        big = 1 << 53
+        schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+        ev = pa.table(
+            {
+                "op": ["UPSERT", "UPSERT"],
+                "k": pa.array([big + 1, big + 2], pa.int64()),
+                "v": pa.array(["x", "y"]),
+                "writetime": pa.array([10, 20], pa.int64()),
+                "event_seq": pa.array([0, 1], pa.int64()),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=2, payload_schema=schema, key_cols=("k",))
+        expected = pd.DataFrame({"k": [big + 1, big + 2], "v": ["x", "y"]})
+        res = validate(expected, lake)
+        assert res.ok and res.counts["VALID"] == 2, res.counts
+
+        # and a real difference on one of the two near-identical keys is seen
+        bad = expected.copy()
+        bad.loc[1, "v"] = "CORRUPT"
+        res2 = validate(bad, lake)
+        assert res2.counts["MISMATCH"] == 1 and res2.counts["VALID"] == 1
+
+    def test_high_partition_count_coarse_validate(self, tmp_path):
+        """>256 partitions routes validate through the two-level staged
+        exchange (coarse slabs split on PART_COL) — results identical."""
+        events = gen_change_stream(n_convs=80, n_events=4000, seed=55)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=512)
+        exp = oracle_final_state(events.to_pandas())
+        res = validate(exp, lake)
+        assert res.ok, res.counts
+        bad = exp.copy()
+        bad.loc[bad.index[0], "text"] = "X"
+        res2 = validate(bad, lake)
+        assert res2.counts["MISMATCH"] == 1
