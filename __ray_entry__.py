@@ -208,9 +208,11 @@ SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 ORDER BY c_custkey
 """,
+        # octet_length = encoded bytes, matching the engine's binary_length
+        # (identical to length() on this ASCII testdata, distinct on CJK)
         "guardrail_large": """
-SELECT doc_id, CAST(length(text) AS BIGINT) AS text_bytes FROM documents
-WHERE length(text) > 256
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS text_bytes
+FROM documents WHERE octet_length(CAST(text AS BLOB)) > 256
 """,
         "explode_words": """
 SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

@@ -125,6 +125,14 @@ def lsh_bands(sig: np.ndarray, num_bands: int) -> np.ndarray:
     """(n, num_bands) int64 band hashes of a signature matrix (rows/band =
     num_perm // num_bands); docs sharing any (band, hash) are candidates."""
     n, num_perm = sig.shape
+    if num_perm < num_bands or num_perm % num_bands:
+        # r=0 would hash every band to the constant FNV basis (all docs
+        # collide → O(n²) candidate blowup); a remainder silently ignores
+        # trailing permutations — both are configuration errors
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of "
+            f"num_bands ({num_bands})"
+        )
     r = num_perm // num_bands
     out = np.empty((n, num_bands), dtype=np.int64)
     prime = np.uint64(1099511628211)
@@ -138,20 +146,18 @@ def lsh_bands(sig: np.ndarray, num_bands: int) -> np.ndarray:
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash over word unigrams (int64 per doc)."""
+    """64-bit SimHash over word unigrams (int64 per doc).
+
+    Tokenization via the module's shared ``split_words`` front-end (one
+    pandas C-level split for the whole batch — no per-doc Python loop, and no
+    second tokenizer that could drift from the shingle kernels)."""
     n = len(texts)
     out = np.zeros(n, dtype=np.int64)
-    counts = np.zeros(n + 1, dtype=np.int64)
-    toks: list[np.ndarray] = []
-    for i, txt in enumerate(texts.fillna("")):
-        ws = _WS.split(txt.strip()) if txt.strip() else []
-        arr = np.array(ws, dtype=object) if ws else np.empty(0, dtype=object)
-        toks.append(arr)
-        counts[i + 1] = len(arr)
-    offsets = np.cumsum(counts)
+    flat, counts_per_doc = split_words(texts.fillna("").astype(str))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts_per_doc, out=offsets[1:])
     if offsets[-1] == 0:
         return out
-    flat = np.concatenate(toks)
     h = hash_array(flat, categorize=False)  # uint64 per token
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     signed = bits.astype(np.int32) * 2 - 1  # (ntok, 64) in {-1, +1}

@@ -63,6 +63,10 @@ def kmeans_refine_distributed(
     import ray
 
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    # assignment is cosine argmax — centroids must be unit vectors from the
+    # FIRST iteration (kmeans_lite's Euclidean means are not; an oversized
+    # centroid would win every argmax and collapse the clustering)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
     c, d = cents.shape
     for _ in range(iters):
         cref = ray.put(cents)
@@ -84,6 +88,8 @@ def kmeans_refine_distributed(
             )
 
         part = ds.map_batches(partials, batch_format="pandas").to_pandas()
+        if part.empty:  # zero-row dataset: nothing to refine against
+            return cents
         counts = np.zeros(c)
         sums = np.zeros((c, d))
         np.add.at(counts, part["cid"].to_numpy(), part["count"].to_numpy())

@@ -582,11 +582,11 @@ class ByteSizeGuard:
         size = None
         for c in cols:
             col = t.column(c)
-            ln = (
-                pc.binary_length(col)
-                if pa.types.is_binary(t.schema.field(c).type)
-                else pc.utf8_length(col)
-            )
+            # binary_length = ENCODED byte count for both binary and utf8
+            # columns (utf8_length counts code points — a 1000-char CJK text
+            # would under-measure ~3× and silently pass the guardrail;
+            # reference counts encoded bytes, feature/Guardrail.java byteCount)
+            ln = pc.binary_length(col)
             ln = pc.fill_null(pc.cast(ln, pa.int64()), 0)
             size = ln if size is None else pc.max_element_wise(size, ln)
         size = size if size is not None else pa.nulls(len(t), pa.int64())

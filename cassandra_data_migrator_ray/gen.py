@@ -56,7 +56,12 @@ def gen_change_stream(
     turn_idx = rng.integers(0, max_turns, n_events).astype(np.int32)
     seq = np.arange(seq_start, seq_start + n_events, dtype=np.int64)
     # writetime loosely follows seq but jittered → out-of-order & equal-wt ties
-    wt = BASE_WT + seq * 1000 + rng.integers(-wt_jitter, wt_jitter, n_events)
+    jitter = (
+        rng.integers(-wt_jitter, wt_jitter, n_events)
+        if wt_jitter > 0
+        else np.zeros(n_events, dtype=np.int64)  # in-order stream
+    )
+    wt = BASE_WT + seq * 1000 + jitter
     is_del = pa.array(rng.random(n_events) < p_delete)
     upsert = pa.array(rng.random(n_events) < 0.5)
 

@@ -36,11 +36,17 @@ def guardrail_scan(
     def check(t: pa.Table) -> pa.Table:
         return guard(t)
 
-    checked = ds.map_batches(check, batch_format="pyarrow", batch_size=batch_size)
-    flagged = checked.map_batches(
-        lambda t: t.filter(t["oversize"]), batch_format="pyarrow"
-    )
-    total = ds.count()
+    def check_and_filter(t: pa.Table) -> pa.Table:
+        out = check(t)
+        return out.filter(out["oversize"])
+
+    # MATERIALIZE the flagged subset (small by definition — it is the
+    # anomaly list): counting it and later consuming it must not re-read and
+    # re-scan the entire input a second time
+    flagged = ds.map_batches(
+        check_and_filter, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+    total = ds.count()  # metadata-only for parquet/arrow sources
     large = flagged.count()
     return GuardrailResult(
         flagged=flagged,
