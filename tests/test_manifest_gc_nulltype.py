@@ -120,3 +120,31 @@ class TestNumericWidening:
         )
         with pytest.raises(Exception, match="non-additive|schema"):
             replay(wide, lake, num_parts=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGcValidateStaging:
+    def test_commit_gc_keeps_fresh_validate_dirs(self, tmp_path):
+        """A concurrent validate's expected-side staging (now under
+        _validate/, not _staging/) must survive another run's commit-time GC;
+        stale dirs (>24h) are swept."""
+        import time as _time
+
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+
+        lake = str(tmp_path / "lake")
+        ev = gen_change_stream(n_convs=10, n_events=300, seed=5)
+        replay(ev, lake, num_parts=2)
+
+        fresh = os.path.join(lake, "_validate", "v-fresh")
+        stale = os.path.join(lake, "_validate", "v-stale")
+        os.makedirs(fresh)
+        os.makedirs(stale)
+        old = _time.time() - 100_000
+        os.utime(stale, (old, old))
+
+        ev2 = gen_change_stream(n_convs=10, n_events=200, seed=6, seq_start=1000)
+        replay(ev2, lake, num_parts=2)  # commit triggers gc
+
+        assert os.path.isdir(fresh), "fresh validate staging must survive GC"
+        assert not os.path.isdir(stale), "stale validate staging is swept"
