@@ -91,3 +91,53 @@ def test_chunked_merge_equals_oracle(df, nchunks, rnd):
         .sort_values(KEY_COLS, ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, oracle_final_state(df), check_dtype=False)
+
+
+@st.composite
+def ttl_event_streams(draw):
+    """Streams carrying a ttl column with the full value domain:
+    null (no expiry), 0 (CQL: explicitly NO expiry), and positive seconds."""
+    df = draw(event_streams())
+    df["ttl"] = [
+        draw(st.sampled_from([None, 0, 1, 5, 100])) for _ in range(len(df))
+    ]
+    df.loc[df["op"] == "DELETE", "ttl"] = None
+    return df
+
+
+def _ttl_arrow(df: pd.DataFrame) -> pa.Table:
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    i = t.column_names.index("ttl")
+    return t.set_column(i, "ttl", t["ttl"].cast(pa.int64()))
+
+
+@settings(max_examples=75, deadline=None)
+@given(ttl_event_streams())
+def test_ttl_arrow_fold_equals_pandas_fold(df):
+    a = (
+        fold_events_arrow(_ttl_arrow(df), KEY_COLS, PAYLOAD_COLS, ttl=True)
+        .to_pandas()
+        .sort_values(KEY_COLS, ignore_index=True)
+    )
+    b = fold_events(df, KEY_COLS, PAYLOAD_COLS, ttl=True).sort_values(
+        KEY_COLS, ignore_index=True
+    )
+    cols = sorted(b.columns)
+    pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+
+
+@settings(max_examples=50, deadline=None)
+@given(event_streams(), st.sampled_from([None, 0]))
+def test_ttl_null_and_zero_never_expire(df, ttlv):
+    """null and 0 ttl are both 'no expiry' (CQL USING TTL 0 removes the TTL):
+    state read arbitrarily far in the future equals the no-TTL fold."""
+    from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
+
+    dft = df.copy()
+    dft["ttl"] = ttlv
+    st_ttl = fold_events(dft, KEY_COLS, PAYLOAD_COLS, ttl=True)
+    far = apply_ttl_expiry(st_ttl, as_of=10**18, payload_cols=PAYLOAD_COLS)
+    got = state_to_public(far, KEY_COLS, PAYLOAD_COLS).sort_values(
+        KEY_COLS, ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, oracle_final_state(df), check_dtype=False)
