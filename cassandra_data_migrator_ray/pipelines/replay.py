@@ -88,6 +88,7 @@ def replay(
     shuffle: str = "staging",
     rerun_multiplier: int = 1,
     ttl: bool | None = None,
+    rate_limit_rows_per_s: float | None = None,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -101,6 +102,11 @@ def replay(
     feature/WritetimeTTL.java:235-281); ``False`` forces a column literally
     named ``ttl`` to be stored as ordinary payload instead; ``True``
     requires the column.  The choice is sticky per lake (manifest).
+
+    ``rate_limit_rows_per_s``: optional PER-ACTOR ingest throttle (the
+    reference's per-executor RateLimiter, job/AbstractJobSession.java:58-62,
+    default-off here) — total throughput ≈ rate × normalize concurrency;
+    useful against shared-storage request caps.
 
     ``rerun_multiplier`` (reference rerunMultiplier, TrackRun.java:59-71):
     partitions still pending (no receipt — e.g. failed on the previous
@@ -186,6 +192,7 @@ def replay(
         prefold=prefold,
         key_cols=key_cols,
         ttl_enabled=ttl_enabled,
+        rate_limit_rows_per_s=rate_limit_rows_per_s,
     )
     kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": batch_size}
     if normalize_concurrency:

@@ -79,9 +79,15 @@ class Normalize:
         prefold: bool = False,
         key_cols: tuple[str, ...] | None = None,
         ttl_enabled: bool = False,
+        rate_limit_rows_per_s: float | None = None,
     ) -> None:
         self.prefold = prefold
         self.ttl_enabled = ttl_enabled
+        # per-actor token bucket (reference per-executor RateLimiter,
+        # job/AbstractJobSession.java:58-62) — built lazily so the limiter
+        # state lives in the ACTOR process, not the serialized closure
+        self._rate = rate_limit_rows_per_s
+        self._bucket = None
         self.payload_schema = payload_schema
         self.key_cols = list(key_cols) if key_cols else list(KEY_COLS)
         self.payload_cols = payload_cols_of(payload_schema, self.key_cols)
@@ -121,6 +127,13 @@ class Normalize:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+
+        if self._rate:
+            if self._bucket is None:
+                from cassandra_data_migrator_ray.functions.ratelimit import TokenBucket
+
+                self._bucket = TokenBucket(self._rate)
+            self._bucket.acquire(batch.num_rows)
 
         batch = align_to_schema(batch, self._event_schema())
         # null-PK defaulting (reference convertNull semantics) — Arrow kernels

@@ -231,3 +231,42 @@ class TestRerunMultiplier:
             oracle_final_state(events.to_pandas()),
             check_dtype=False,
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRateLimiter:
+    def test_rate_limited_replay_is_slower_and_correct(self, tmp_path):
+        """T2 analogue (reference per-executor RateLimiter): a throttled
+        replay takes at least rows/rate seconds and converges identically."""
+        import time
+
+        events = gen_change_stream(n_convs=20, n_events=2000, seed=31)
+        fast_lake = str(tmp_path / "fast")
+        slow_lake = str(tmp_path / "slow")
+        replay(events, fast_lake, num_parts=2)
+        t0 = time.perf_counter()
+        # 2000 rows at 1000 rows/s/actor (burst 1000) → ≥ ~1s
+        replay(
+            events,
+            slow_lake,
+            num_parts=2,
+            rate_limit_rows_per_s=1000,
+            normalize_concurrency=1,
+        )
+        elapsed = time.perf_counter() - t0
+        assert elapsed >= 0.9, f"rate limit had no effect ({elapsed:.2f}s)"
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(fast_lake), read_lake_pandas(slow_lake)
+        )
+
+    def test_token_bucket_math(self):
+        from cassandra_data_migrator_ray.functions.ratelimit import TokenBucket
+
+        b = TokenBucket(rate=10_000, burst=100)
+        assert b.acquire(100) == 0.0  # burst available immediately
+        slept = b.acquire(50)  # must wait ~5ms for refill
+        assert slept > 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            TokenBucket(rate=0)
