@@ -323,7 +323,22 @@ class Manifest:
         return out
 
     def commit_run(self, run_id: str, extra: dict | None = None) -> None:
-        """Phase 2: fold staged receipts into the manifest and swap atomically."""
+        """Phase 2: fold staged receipts into the manifest and swap atomically.
+
+        Optimistic single-writer enforcement: if the on-disk manifest version
+        moved since this run loaded it, another writer committed concurrently
+        — folding OUR receipts over OUR stale snapshot would silently drop the
+        other run's partition updates (lost update), so refuse loudly instead.
+        """
+        on_disk = Manifest.load(self.lake_dir)
+        if on_disk is not None and on_disk.version != self.version:
+            raise RuntimeError(
+                f"concurrent writer detected on lake {self.lake_dir}: manifest "
+                f"version moved {self.version} -> {on_disk.version} since this "
+                f"run ({run_id}) loaded it; the lake contract is ONE writer "
+                "job at a time — rerun this job (its staged work is intact "
+                "and will resume from receipts)"
+            )
         receipts = self.staged_receipts(run_id)
         for part, r in receipts.items():
             self.partitions[part] = PartitionState(

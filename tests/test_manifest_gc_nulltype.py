@@ -148,3 +148,35 @@ class TestGcValidateStaging:
 
         assert os.path.isdir(fresh), "fresh validate staging must survive GC"
         assert not os.path.isdir(stale), "stale validate staging is swept"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConcurrentWriterGuard:
+    def test_lost_update_refused(self, tmp_path):
+        """Two writers load the same manifest version; the second commit must
+        refuse (lost-update guard) instead of silently overwriting the
+        first's partition table."""
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+
+        lake = str(tmp_path / "lake")
+        ev = gen_change_stream(n_convs=10, n_events=300, seed=7)
+        replay(ev, lake, num_parts=2)
+
+        a = Manifest.load(lake)
+        b = Manifest.load(lake)
+        # writer A commits (empty run — version still advances)
+        a.commit_run("writer-a")
+        with pytest.raises(RuntimeError, match="concurrent writer"):
+            b.commit_run("writer-b")
+
+    def test_same_writer_recommit_ok(self, tmp_path):
+        """The normal path (one writer, sequential runs) is unaffected."""
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+
+        lake = str(tmp_path / "lake")
+        ev = gen_change_stream(n_convs=10, n_events=300, seed=8)
+        replay(ev, lake, num_parts=2)
+        more = gen_change_stream(n_convs=10, n_events=200, seed=9, seq_start=1000)
+        replay(more, lake, num_parts=2)  # loads fresh manifest → commits fine
+        m = Manifest.load(lake)
+        assert len(m.runs) >= 2
