@@ -187,3 +187,51 @@ class TestTtlOptOut:
         )
         with pytest.raises(ValueError, match="ttl"):
             replay(ev, str(tmp_path / "lake"), num_parts=2, ttl=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTtlCounterInteraction:
+    def test_counter_column_never_expires_cells_do(self, tmp_path):
+        """TTL-enabled lake with a counter column: the text cell expires at
+        its TTL, the counter total persists (reference: counter tables cannot
+        carry TTL — counters are additive state, not cells)."""
+        import pyarrow as pa
+
+        from cassandra_data_migrator_ray.pipelines.replay import replay as _replay
+
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("text", pa.string()),
+                ("n", pa.float64()),
+            ]
+        )
+        ev = pa.table(
+            {
+                "op": pa.array(["UPSERT", "UPSERT", "UPSERT"]),
+                "conv_id": pa.array(["a", "a", "b"]),
+                "turn_idx": pa.array([0, 0, 0], pa.int32()),
+                "text": pa.array(["hello", None, "world"]),
+                "n": pa.array([5.0, 2.0, 7.0]),
+                "writetime": pa.array([BASE, BASE + 1, BASE], pa.int64()),
+                "event_seq": pa.array([0, 1, 2], pa.int64()),
+                "ttl": pa.array([10, None, None], pa.int64()),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        _replay(
+            ev,
+            lake,
+            num_parts=2,
+            payload_schema=schema,
+            key_cols=("conv_id", "turn_idx"),
+            counter_cols=("n",),
+        )
+        before = read_lake_pandas(lake, as_of=BASE + 5_000_000).set_index("conv_id")
+        assert before.loc["a", "text"] == "hello" and int(before.loc["a", "n"]) == 7
+        after = read_lake_pandas(lake, as_of=BASE + 11_000_000).set_index("conv_id")
+        # a's text cell expired; the counter total survives, so the row stays
+        assert pd.isna(after.loc["a", "text"])
+        assert int(after.loc["a", "n"]) == 7
+        assert int(after.loc["b", "n"]) == 7
