@@ -577,7 +577,10 @@ class ByteSizeGuard:
         cols = self.cols or [
             f.name
             for f in t.schema
-            if pa.types.is_string(f.type) or pa.types.is_binary(f.type)
+            if pa.types.is_string(f.type)
+            or pa.types.is_large_string(f.type)
+            or pa.types.is_binary(f.type)
+            or pa.types.is_large_binary(f.type)
         ]
         size = None
         for c in cols:

@@ -106,7 +106,10 @@ def replay(
     ``rate_limit_rows_per_s``: optional PER-ACTOR ingest throttle (the
     reference's per-executor RateLimiter, job/AbstractJobSession.java:58-62,
     default-off here) — total throughput ≈ rate × normalize concurrency;
-    useful against shared-storage request caps.
+    useful against shared-storage request caps.  Requires
+    ``normalize_concurrency`` so the normalize stage runs as an ACTOR pool
+    (a function-UDF stage has no per-executor identity to attach a bucket
+    to — fresh worker processes would each grant a fresh burst).
 
     ``rerun_multiplier`` (reference rerunMultiplier, TrackRun.java:59-71):
     partitions still pending (no receipt — e.g. failed on the previous
@@ -118,10 +121,11 @@ def replay(
     t0 = time.perf_counter()
     raw_input = not isinstance(events, ray.data.Dataset)
     ds = _as_dataset(events)
-    if raw_input and not transforms:
-        # parquet/arrow sources: metadata-only count.  A caller-supplied
-        # Dataset (or a transform chain) would EXECUTE its whole lineage here
-        # just to tune a batch size — skip and use the default.
+    if raw_input:
+        # parquet/arrow sources: metadata-only count (taken BEFORE the
+        # transform chain is attached, so it stays metadata-only).  A
+        # caller-supplied Dataset would EXECUTE its whole lineage here just
+        # to tune a batch size — skip and use the default.
         try:
             est_rows = ds.count()
         except Exception:
@@ -194,6 +198,12 @@ def replay(
         ttl_enabled=ttl_enabled,
         rate_limit_rows_per_s=rate_limit_rows_per_s,
     )
+    if rate_limit_rows_per_s and not normalize_concurrency:
+        raise ValueError(
+            "rate_limit_rows_per_s requires normalize_concurrency: the "
+            "limiter is per-executor (reference semantics), which needs the "
+            "normalize stage to be an actor pool of known size"
+        )
     kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": batch_size}
     if normalize_concurrency:
         kwargs["concurrency"] = normalize_concurrency

@@ -209,11 +209,25 @@ def compare_part_arrow(
     for k in key_cols:
         col = tbl.column(k)
         if pa.types.is_integer(col.type):
-            # fill nulls in int64 space: a float round-trip would both merge
-            # null with a legitimate -1 key and quantize keys beyond 2^53
-            # (same hazard fold_events_arrow guards against)
-            filled = pc.fill_null(pc.cast(col, pa.int64()), np.iinfo(np.int64).min)
-            codes.append(filled.to_numpy(zero_copy_only=False).astype(np.int64))
+            # fill nulls in integer space: a float round-trip would both
+            # merge null with a legitimate -1 key and quantize keys beyond
+            # 2^53 (same hazard fold_events_arrow guards against).  Unsigned
+            # keys go through a bijective uint64→int64 bit-view — a signed
+            # cast would raise on values ≥ 2^63.
+            if pa.types.is_unsigned_integer(col.type):
+                filled = pc.fill_null(
+                    pc.cast(col, pa.uint64()), np.uint64(0xFFFFFFFFFFFFFFFF)
+                )
+                codes.append(
+                    filled.to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                    .view(np.int64)
+                )
+            else:
+                filled = pc.fill_null(
+                    pc.cast(col, pa.int64()), np.iinfo(np.int64).min
+                )
+                codes.append(filled.to_numpy(zero_copy_only=False).astype(np.int64))
         else:
             enc = pc.dictionary_encode(col).combine_chunks()
             codes.append(
@@ -301,6 +315,12 @@ def compare_part_arrow(
     int_mapper = {
         pa.int64(): pd.Int64Dtype(),
         pa.int32(): pd.Int32Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int8(): pd.Int8Dtype(),
+        pa.uint64(): pd.UInt64Dtype(),
+        pa.uint32(): pd.UInt32Dtype(),
+        pa.uint16(): pd.UInt16Dtype(),
+        pa.uint8(): pd.UInt8Dtype(),
     }.get
 
     def _rep(col, take):

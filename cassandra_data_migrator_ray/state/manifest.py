@@ -325,20 +325,55 @@ class Manifest:
     def commit_run(self, run_id: str, extra: dict | None = None) -> None:
         """Phase 2: fold staged receipts into the manifest and swap atomically.
 
-        Optimistic single-writer enforcement: if the on-disk manifest version
-        moved since this run loaded it, another writer committed concurrently
-        — folding OUR receipts over OUR stale snapshot would silently drop the
-        other run's partition updates (lost update), so refuse loudly instead.
+        Optimistic single-writer enforcement: the version check + manifest
+        swap happen under an O_EXCL lock file (so two near-simultaneous
+        commits serialize instead of racing load-to-write); if the on-disk
+        version moved since this run loaded it, another writer committed
+        concurrently — folding OUR receipts over OUR stale snapshot would
+        silently drop the other run's partition updates (lost update), so
+        refuse loudly instead.  A lock older than 10 minutes is presumed
+        crashed and broken.
         """
-        on_disk = Manifest.load(self.lake_dir)
-        if on_disk is not None and on_disk.version != self.version:
-            raise RuntimeError(
-                f"concurrent writer detected on lake {self.lake_dir}: manifest "
-                f"version moved {self.version} -> {on_disk.version} since this "
-                f"run ({run_id}) loaded it; the lake contract is ONE writer "
-                "job at a time — rerun this job (its staged work is intact "
-                "and will resume from receipts)"
-            )
+        lock = os.path.join(self.lake_dir, "manifest.lock")
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, run_id.encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 600:
+                        os.unlink(lock)  # crashed holder — break the lock
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"commit lock {lock} held by another writer for >30s; "
+                        "the lake contract is ONE writer job at a time"
+                    )
+                time.sleep(0.05)
+        try:
+            on_disk = Manifest.load(self.lake_dir)
+            if on_disk is not None and on_disk.version != self.version:
+                raise RuntimeError(
+                    f"concurrent writer detected on lake {self.lake_dir}: "
+                    f"manifest version moved {self.version} -> "
+                    f"{on_disk.version} since this run ({run_id}) loaded it; "
+                    "the lake contract is ONE writer job at a time — rerun "
+                    "this job (its staged work is intact and will resume "
+                    "from receipts)"
+                )
+            self._commit_locked(run_id, extra)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def _commit_locked(self, run_id: str, extra: dict | None = None) -> None:
         receipts = self.staged_receipts(run_id)
         for part, r in receipts.items():
             self.partitions[part] = PartitionState(
@@ -416,16 +451,23 @@ class Manifest:
                 shutil.rmtree(os.path.join(sdir, run), ignore_errors=True)
         # crashed validates leave _validate/v-* dirs (live ones clean up in
         # their finally); sweep only stale ones so a concurrent validate's
-        # expected-side staging is never pulled out from under it
+        # expected-side staging is never pulled out from under it.  Staleness
+        # uses the newest mtime across the dir AND its immediate part=
+        # children (the root's mtime freezes once every part dir exists, even
+        # while slices are still being written into them), with a 7-day fuse —
+        # comfortably beyond any plausible single validate run.
         vdir = os.path.join(self.lake_dir, "_validate")
         if os.path.isdir(vdir):
             import shutil
 
-            cutoff = time.time() - 86_400
+            cutoff = time.time() - 7 * 86_400
             for d in os.listdir(vdir):
                 p = os.path.join(vdir, d)
                 try:
-                    if os.path.getmtime(p) < cutoff:
+                    newest = os.path.getmtime(p)
+                    for sub in os.listdir(p):
+                        newest = max(newest, os.path.getmtime(os.path.join(p, sub)))
+                    if newest < cutoff:
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass

@@ -140,7 +140,7 @@ class TestGcValidateStaging:
         stale = os.path.join(lake, "_validate", "v-stale")
         os.makedirs(fresh)
         os.makedirs(stale)
-        old = _time.time() - 100_000
+        old = _time.time() - 8 * 86_400  # past the 7-day fuse
         os.utime(stale, (old, old))
 
         ev2 = gen_change_stream(n_convs=10, n_events=200, seed=6, seq_start=1000)

@@ -262,10 +262,13 @@ class TestRateLimiter:
     def test_token_bucket_math(self):
         from cassandra_data_migrator_ray.functions.ratelimit import TokenBucket
 
-        b = TokenBucket(rate=10_000, burst=100)
+        # low rate → the refill between the two calls is negligible even on a
+        # loaded CI box (deficit 50 at 100/s ≈ 0.5 s; a scheduling pause would
+        # need >0.5 s between two adjacent statements to flake this)
+        b = TokenBucket(rate=100, burst=100)
         assert b.acquire(100) == 0.0  # burst available immediately
-        slept = b.acquire(50)  # must wait ~5ms for refill
-        assert slept > 0
+        slept = b.acquire(50)  # must pay the deficit
+        assert slept > 0.1
         import pytest as _pytest
 
         with _pytest.raises(ValueError):
