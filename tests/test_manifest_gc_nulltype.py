@@ -169,6 +169,33 @@ class TestConcurrentWriterGuard:
         with pytest.raises(RuntimeError, match="concurrent writer"):
             b.commit_run("writer-b")
 
+    def test_simultaneous_commits_serialize_under_lock(self, tmp_path):
+        """Two commits racing from the SAME version: the O_EXCL lock
+        serializes them — exactly one wins, the other refuses, and the lock
+        is released for subsequent sequential commits."""
+        import threading
+
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+
+        lake = str(tmp_path / "lake")
+        replay(gen_change_stream(n_convs=10, n_events=300, seed=17), lake, num_parts=2)
+        a, b = Manifest.load(lake), Manifest.load(lake)
+        results = {}
+
+        def go(name, m):
+            try:
+                m.commit_run(f"race-{name}")
+                results[name] = "ok"
+            except RuntimeError:
+                results[name] = "refused"
+
+        ta = threading.Thread(target=go, args=("a", a))
+        tb = threading.Thread(target=go, args=("b", b))
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert sorted(results.values()) == ["ok", "refused"], results
+        m = Manifest.load(lake)
+        m.commit_run("after-race")  # lock released, sequential path intact
+
     def test_same_writer_recommit_ok(self, tmp_path):
         """The normal path (one writer, sequential runs) is unaffected."""
         from cassandra_data_migrator_ray.gen import gen_change_stream
