@@ -51,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--lake", required=True)
     v.add_argument("--autocorrect", action="store_true")
     v.add_argument("--report", default=None)
+    v.add_argument("--columns", nargs="*", default=None,
+                   help="restrict the diff to these payload columns (skip-list)")
 
     g = sub.add_parser("guardrail", help="pre-flight column-size scan")
     g.add_argument("--input", required=True, nargs="+")
@@ -109,12 +111,17 @@ def main(argv: list[str] | None = None) -> int:
             from cassandra_data_migrator_ray.pipelines.diff import autocorrect, validate
 
             res = validate(
-                rd.read_parquet(args.expected), args.lake, report_path=args.report
+                rd.read_parquet(args.expected),
+                args.lake,
+                report_path=args.report,
+                columns=args.columns,
             )
             out = {"counts": res.counts, "ok": res.ok, "seconds": round(res.seconds, 3)}
             if args.autocorrect and not res.ok:
                 autocorrect(res, args.lake)
-                res2 = validate(rd.read_parquet(args.expected), args.lake)
+                res2 = validate(
+                    rd.read_parquet(args.expected), args.lake, columns=args.columns
+                )
                 out["after_correction"] = res2.counts
                 out["corrected"] = res2.ok
             print(json.dumps(out))
