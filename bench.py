@@ -111,9 +111,15 @@ def run_bench() -> dict:
         for name in (
             "lww_latest_state",
             "dedup_exact_docs",
+            "dedup_exact_hash_only",
             "minhash_neardup_docs",
+            "simhash_docs",
             "ann_topk_embeddings",
+            "ann_topk_ivf_embeddings",
             "token_count_docs",
+            "quality_docs",
+            "langid_docs",
+            "multimodal_bmp_features",
         ):
             fn = getattr(q, name)
             t0 = time.perf_counter()
