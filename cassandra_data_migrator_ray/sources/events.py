@@ -22,25 +22,98 @@ import pyarrow as pa
 import ray.data
 
 
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".arrow": "arrow",
+    ".ipc": "arrow",
+    ".feather": "arrow",
+}
+
+
+def _sniff_format(paths) -> str:
+    import os
+
+    p = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if os.path.isdir(p):
+        names = sorted(os.listdir(p)) or [""]
+        p = names[0]
+    ext = os.path.splitext(p)[1].lower()
+    fmt = _EXT_FORMAT.get(ext)
+    if fmt is None:
+        raise ValueError(
+            f"cannot sniff change-batch format from {p!r}; pass file_format="
+        )
+    return fmt
+
+
 def read_change_batches(
     paths: str | Sequence[str],
     *,
     columns: Sequence[str] | None = None,
     filter_expr: "pa.compute.Expression | None" = None,
-    file_format: str = "parquet",
+    file_format: str = "auto",
+    schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
-    """Streaming read of change-batch files with projection + predicate pushdown."""
+    """Streaming read of change-batch files with projection + predicate
+    pushdown.  Formats: parquet (full pushdown), csv / json-lines / Arrow IPC
+    (projection + post-read filter).  ``file_format="auto"`` sniffs from the
+    extension.  ``schema`` coerces per batch to the declared event types —
+    CSV/JSON carry no type system, so e.g. an ISO-8601 ``ts`` string column
+    parses to ``timestamp[us]`` and integer columns narrow safely; pass the
+    EVENTS-shaped schema so replay's type checks see proper Arrow types."""
+    if file_format == "auto":
+        file_format = _sniff_format(paths)
     if file_format == "parquet":
         kwargs = {}
         if columns is not None:
             kwargs["columns"] = list(columns)
         if filter_expr is not None:
             kwargs["filter"] = filter_expr
-        return ray.data.read_parquet(paths, **kwargs)
+        ds = ray.data.read_parquet(paths, **kwargs)
+        return _coerce(ds, schema)
     if file_format == "json":
         ds = ray.data.read_json(paths)
     elif file_format == "csv":
-        ds = ray.data.read_csv(paths)
+        from pyarrow import csv as pacsv
+
+        # CDC convention: an unquoted empty field is NULL (unset semantics),
+        # a quoted "" is the empty string — CSV has no native null and
+        # conflating the two would turn LWW 'keep existing' into 'overwrite
+        # with empty'
+        ds = ray.data.read_csv(
+            paths,
+            convert_options=pacsv.ConvertOptions(
+                strings_can_be_null=True, quoted_strings_can_be_null=False
+            ),
+        )
+    elif file_format == "arrow":
+        import glob as _glob
+        import os
+
+        flist = []
+        for p in paths if isinstance(paths, (list, tuple)) else [paths]:
+            if os.path.isdir(p):
+                flist += sorted(_glob.glob(os.path.join(p, "*")))
+            else:
+                flist.append(p)
+
+        def _load_ipc(batch) -> pa.Table:
+            tabs = []
+            for f in batch["path"]:
+                with pa.memory_map(f) as src:
+                    tabs.append(pa.ipc.open_file(src).read_all())
+            return pa.concat_tables(tabs)
+
+        # one task per file: the files are read inside Ray tasks (streaming),
+        # never materialized on the driver
+        ds = ray.data.from_items(
+            [{"path": f} for f in flist], override_num_blocks=max(1, len(flist))
+        ).map_batches(_load_ipc, batch_format="pandas", batch_size=1)
     else:
         raise ValueError(f"unsupported change-batch format: {file_format}")
     if columns is not None:
@@ -52,7 +125,24 @@ def read_change_batches(
             lambda t: pads.dataset(t).to_table(filter=filter_expr),
             batch_format="pyarrow",
         )
-    return ds
+    return _coerce(ds, schema)
+
+
+def _coerce(ds: ray.data.Dataset, schema: pa.Schema | None) -> ray.data.Dataset:
+    if schema is None:
+        return ds
+
+    def cast_batch(t: pa.Table) -> pa.Table:
+        for f in schema:
+            if f.name in t.column_names:
+                col = t.column(f.name)
+                if col.type != f.type:
+                    t = t.set_column(
+                        t.column_names.index(f.name), f.name, col.cast(f.type)
+                    )
+        return t
+
+    return ds.map_batches(cast_batch, batch_format="pyarrow")
 
 
 class PartitionRangeFilter:

@@ -144,3 +144,53 @@ class TestCli:
         r = run("guardrail", "--input", ev_path, "--max-kb", "0.001")
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert out["counters"]["LARGE"] > 0 and r.returncode == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceFormats:
+    def test_csv_jsonl_arrow_replay_to_oracle(self, tmp_path):
+        """Change batches in CSV, JSON-lines and Arrow IPC (file_format auto-
+        sniffed, schema-coerced — CSV/JSON carry no types) replay to the same
+        final state as the parquet path.  CSV convention: unquoted empty =
+        NULL (unset), so LWW semantics survive the typeless format."""
+        import os
+
+        from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+        from cassandra_data_migrator_ray.pipelines.replay import replay
+        from cassandra_data_migrator_ray.schema import EVENTS_SCHEMA
+        from cassandra_data_migrator_ray.sources.events import read_change_batches
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        ev = gen_change_stream(n_convs=15, n_events=600, seed=4)
+        df = ev.to_pandas()
+        exp = oracle_final_state(df)
+
+        csv_path = str(tmp_path / "c.csv")
+        dfx = df.copy()
+        dfx["ts"] = dfx["ts"].astype(str).replace("NaT", "")
+        dfx.to_csv(csv_path, index=False)
+
+        jl_path = str(tmp_path / "j.jsonl")
+        dfj = df.copy()
+        dfj["ts"] = dfj["ts"].astype(str).replace("NaT", None)
+        dfj.to_json(jl_path, orient="records", lines=True)
+
+        ipc_path = str(tmp_path / "a.arrow")
+        with pa.OSFile(ipc_path, "wb") as sink:
+            with pa.ipc.new_file(sink, ev.schema) as w:
+                w.write_table(ev)
+
+        for i, p in enumerate((csv_path, jl_path, ipc_path)):
+            ds = read_change_batches(p, schema=EVENTS_SCHEMA)  # format sniffed
+            lake = str(tmp_path / f"lake{i}")
+            replay(ds, lake, num_parts=4)
+            got = read_lake_pandas(lake)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_unknown_extension_needs_explicit_format(self, tmp_path):
+        from cassandra_data_migrator_ray.sources.events import read_change_batches
+
+        p = str(tmp_path / "data.xyz")
+        open(p, "w").write("x")
+        with pytest.raises(ValueError, match="sniff"):
+            read_change_batches(p)
