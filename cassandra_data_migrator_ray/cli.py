@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--salt", type=int, default=1)
     m.add_argument("--run-id", default=None)
     m.add_argument("--compact", action="store_true")
+    m.add_argument("--format", default="auto", dest="file_format",
+                   choices=["auto", "parquet", "csv", "json", "arrow"],
+                   help="change-batch file format (csv/json coerce to the transcripts event schema)")
 
     v = sub.add_parser("validate", help="diff the lake against an expected table")
     v.add_argument("--expected", required=True)
@@ -67,6 +70,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--source", required=True, help="directory of change-batch parquet files")
     t.add_argument("--lake", required=True)
     t.add_argument("--pattern", default="*.parquet")
+    t.add_argument("--format", default="parquet", dest="file_format",
+                   choices=["parquet", "csv", "json", "arrow"])
     t.add_argument("--num-parts", type=int, default=64)
     t.add_argument("--salt", type=int, default=1)
     t.add_argument("--poll-interval", type=float, default=2.0)
@@ -86,8 +91,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "migrate":
             from cassandra_data_migrator_ray.pipelines.replay import replay
 
+            if args.file_format in ("parquet", "auto"):
+                events_in = args.events
+            else:
+                from cassandra_data_migrator_ray.schema import EVENTS_SCHEMA
+                from cassandra_data_migrator_ray.sources.events import read_change_batches
+
+                events_in = read_change_batches(
+                    args.events, file_format=args.file_format, schema=EVENTS_SCHEMA
+                )
             res = replay(
-                args.events,
+                events_in,
                 args.lake,
                 num_parts=args.num_parts,
                 salt=args.salt,
@@ -153,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_age_s=args.min_age_s,
                 max_cycles=args.max_cycles,
                 stop_after_idle_cycles=args.stop_after_idle,
+                file_format=args.file_format,
                 num_parts=args.num_parts,
                 salt=args.salt,
             )

@@ -68,6 +68,8 @@ def tail_replay(
     min_age_s: float = 0.0,
     max_cycles: int | None = None,
     stop_after_idle_cycles: int | None = None,
+    file_format: str = "parquet",
+    event_schema=None,
     **replay_kwargs,
 ) -> TailResult:
     """Micro-batch tail loop: ingest new change-batch files as they appear.
@@ -109,7 +111,17 @@ def tail_replay(
                 "\n".join(fresh).encode(), digest_size=6
             ).hexdigest()
             run_id = f"tail-{len(ledger['files']):08d}-{digest}"
-            res = replay(fresh, lake_dir, run_id=run_id, **replay_kwargs)
+            if file_format == "parquet":
+                events = fresh  # path list: replay's metadata-only count path
+            else:
+                from cassandra_data_migrator_ray.sources.events import (
+                    read_change_batches,
+                )
+
+                events = read_change_batches(
+                    fresh, file_format=file_format, schema=event_schema
+                )
+            res = replay(events, lake_dir, run_id=run_id, **replay_kwargs)
             out.results.append(res)
             out.keys_merged += res.events_merged_keys
             out.files_ingested.extend(fresh)
