@@ -91,14 +91,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "migrate":
             from cassandra_data_migrator_ray.pipelines.replay import replay
 
-            if args.file_format in ("parquet", "auto"):
-                events_in = args.events
+            from cassandra_data_migrator_ray.sources.events import (
+                _sniff_format,
+                read_change_batches,
+            )
+
+            fmt = args.file_format
+            if fmt == "auto":
+                fmt = _sniff_format(args.events)
+            if fmt == "parquet":
+                events_in = args.events  # metadata-count fast path
             else:
                 from cassandra_data_migrator_ray.schema import EVENTS_SCHEMA
-                from cassandra_data_migrator_ray.sources.events import read_change_batches
 
                 events_in = read_change_batches(
-                    args.events, file_format=args.file_format, schema=EVENTS_SCHEMA
+                    args.events, file_format=fmt, schema=EVENTS_SCHEMA
                 )
             res = replay(
                 events_in,

@@ -250,8 +250,19 @@ class AudioFeatures:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         dur, rms, zcr, domf = [], [], [], []
+        import wave as _wave
+
         for p in batch[self.payload_col]:
-            samples, rate = decode_wav(p)
+            try:
+                samples, rate = decode_wav(p)
+            except (ValueError, EOFError, AttributeError, _wave.Error, TypeError):
+                # null/truncated/corrupt payload: emit a zero row rather than
+                # killing the whole batch task (same contract as DecodeImage)
+                dur.append(0)
+                rms.append(0.0)
+                zcr.append(0.0)
+                domf.append(0.0)
+                continue
             mono = samples.mean(axis=1) if samples.ndim > 1 else samples.astype(np.float64)
             n = len(mono)
             dur.append(int(round(n * 1000.0 / rate)))

@@ -64,22 +64,36 @@ def dedup_exact(
 
     def partial_fold(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[id_col, text_col]].copy()
-        batch["text_hash"] = hash_array(
+        # null-aware hashing: a null text is its OWN distinct group, never
+        # conflated with '' (fillna would merge them, and groupby.first's
+        # NaN-skipping would then stitch values from different rows)
+        isnull = batch[text_col].isna().to_numpy()
+        h = hash_array(
             batch[text_col].fillna("").to_numpy(dtype=object), categorize=False
         ).astype(np.int64)
+        batch["text_hash"] = np.where(isnull, np.int64(-1), h)
         batch = batch.sort_values(id_col, kind="mergesort")
-        g = batch.groupby("text_hash", sort=False, as_index=False)
-        out = g.first()
-        out["n_dups"] = g.size()["size"].to_numpy()
-        return out
+        # group on (hash, TEXT) so two distinct texts colliding in one batch
+        # stay separate (the 'collision-proof' claim must hold WITHIN a batch
+        # too); dropna=False keeps the null-text group; positional first via
+        # drop_duplicates avoids first()'s per-column NaN skipping
+        keys = ["text_hash", text_col]
+        batch["n_dups"] = (
+            batch.groupby(keys, sort=False, dropna=False)[id_col].transform("size")
+        )
+        out = batch.drop_duplicates(subset=keys, keep="first")
+        return out[[id_col, text_col, "text_hash", "n_dups"]]
 
     def final_fold(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(id_col, kind="mergesort")
-        # guard against hash collisions: group on the actual text
-        g = group.groupby(text_col, sort=False, as_index=False)
-        out = g.first()[[id_col, text_col]]
-        out["n_dups"] = g["n_dups"].sum()["n_dups"].to_numpy()
-        return out
+        # guard against cross-batch hash collisions: group on the actual text
+        # (dropna=False — the null-text group is a legitimate document class)
+        group = group.copy()
+        group["n_dups"] = group.groupby(text_col, sort=False, dropna=False)[
+            "n_dups"
+        ].transform("sum")
+        out = group.drop_duplicates(subset=[text_col], keep="first")
+        return out[[id_col, text_col, "n_dups"]]
 
     if carry_text:
         return (
@@ -89,10 +103,18 @@ def dedup_exact(
         )
 
     def partial_fold_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        isnull = batch[text_col].isna().to_numpy()
         txt = batch[text_col].fillna("").to_numpy(dtype=object)
-        h1 = hash_array(txt, categorize=False).astype(np.int64)
-        h2 = hash_array(txt, hash_key="b8f327e51b7bce40", categorize=False).astype(
-            np.int64
+        # null text is its own group, distinct from '' (sentinel hash pair)
+        h1 = np.where(
+            isnull, np.int64(-1), hash_array(txt, categorize=False).astype(np.int64)
+        )
+        h2 = np.where(
+            isnull,
+            np.int64(-2),
+            hash_array(txt, hash_key="b8f327e51b7bce40", categorize=False).astype(
+                np.int64
+            ),
         )
         part = pd.DataFrame(
             {"h1": h1, "h2": h2, id_col: batch[id_col].to_numpy()}
@@ -727,6 +749,13 @@ def ann_topk_ivf(
         queries = queries[None, :]
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
 
+    # IVF is a multi-pass algorithm (count+sample, refine × k, score):
+    # materialize once so a lineage-bearing input (filter/plant chains) is not
+    # re-EXECUTED per pass — blocks pin in the object store and spill.  At a
+    # scale where pinning the corpus is unacceptable, pass a parquet-backed
+    # Dataset (re-reads are cheap) — materialize of an already-materialized
+    # or freshly-read dataset is near-free.
+    ds = ds.materialize()
     total = max(1, ds.count())
     frac = min(1.0, train_sample / total)
 

@@ -461,6 +461,27 @@ def embedding_neardup_q(sf_dir: str) -> pd.DataFrame:
     return _pairs_or_empty(pairs, "cosine")
 
 
+
+def _plant_copies(
+    ds: "ray.data.Dataset", id_col: str, every: int, offset: int
+) -> "ray.data.Dataset":
+    """Deterministically append exact copies of every ``every``-th row with
+    ``id + offset`` — the shared planted-duplicates construction the
+    near-dup/recall gates and their DuckDB oracles both reproduce."""
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % every == 0))
+        if len(dup) == 0:
+            return t
+        dup = dup.set_column(
+            dup.column_names.index(id_col), id_col, pc.add(dup[id_col], offset)
+        )
+        return pa.concat_tables([t, dup])
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
 def embedding_neardup_planted(sf_dir: str) -> pd.DataFrame:
     """Exercised embedding near-dup gate: the input is the embeddings table
     UNION exact copies of every 50th vector (vec_id + 1_000_000) — a
@@ -470,19 +491,7 @@ def embedding_neardup_planted(sf_dir: str) -> pd.DataFrame:
     from cassandra_data_migrator_ray.pipelines.dataops import embedding_neardup
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def plant(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        keep = pa.array(ids % 50 == 0)
-        dup = t.filter(keep)
-        dup = dup.set_column(
-            dup.column_names.index("vec_id"),
-            "vec_id",
-            pc.add(dup["vec_id"], 1_000_000),
-        )
-        return pa.concat_tables([t, dup])
-
-    planted = emb.map_batches(plant, batch_format="pyarrow")
+    planted = _plant_copies(emb, "vec_id", every=50, offset=1_000_000)
     pairs = embedding_neardup(planted, threshold=0.95).to_pandas()
     out = _pairs_or_empty(pairs, "cosine")
     return out[["id_a", "id_b"]]
@@ -508,19 +517,8 @@ def simhash_planted_twins(sf_dir: str) -> pd.DataFrame:
     from cassandra_data_migrator_ray.pipelines.dataops import dedup_simhash
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def plant(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        dup = t.filter(pa.array(ids % 25 == 0))
-        dup = dup.set_column(
-            dup.column_names.index("doc_id"),
-            "doc_id",
-            pc.add(dup["doc_id"], 1_000_000),
-        )
-        return pa.concat_tables([t, dup])
-
     pairs = dedup_simhash(
-        docs.map_batches(plant, batch_format="pyarrow"), max_hamming=0
+        _plant_copies(docs, "doc_id", every=25, offset=1_000_000), max_hamming=0
     ).to_pandas()
     twins = pairs[pairs["id_b"] - pairs["id_a"] == 1_000_000]
     return (
@@ -540,18 +538,7 @@ def fingerprint_dup_join(sf_dir: str) -> pd.DataFrame:
     from cassandra_data_migrator_ray.functions.text import Fingerprint
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def plant(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        dup = t.filter(pa.array(ids % 25 == 0))
-        dup = dup.set_column(
-            dup.column_names.index("doc_id"),
-            "doc_id",
-            pc.add(dup["doc_id"], 1_000_000),
-        )
-        return pa.concat_tables([t, dup])
-
-    planted = ds.map_batches(plant, batch_format="pyarrow")
+    planted = _plant_copies(ds, "doc_id", every=25, offset=1_000_000)
     fp = planted.map_batches(
         Fingerprint(), batch_format="pandas", concurrency=2
     ).to_pandas()

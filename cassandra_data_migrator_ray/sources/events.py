@@ -40,10 +40,17 @@ def _sniff_format(paths) -> str:
 
     p = paths[0] if isinstance(paths, (list, tuple)) else paths
     if os.path.isdir(p):
-        names = sorted(os.listdir(p)) or [""]
-        p = names[0]
-    ext = os.path.splitext(p)[1].lower()
-    fmt = _EXT_FORMAT.get(ext)
+        # first entry with a KNOWN extension — directories often hold marker
+        # files (_SUCCESS) or subdirs that would defeat a naive first-entry
+        for name in sorted(os.listdir(p)):
+            fmt = _EXT_FORMAT.get(os.path.splitext(name)[1].lower())
+            if fmt is not None:
+                return fmt
+        raise ValueError(
+            f"cannot sniff change-batch format from directory {p!r}; "
+            "pass file_format="
+        )
+    fmt = _EXT_FORMAT.get(os.path.splitext(p)[1].lower())
     if fmt is None:
         raise ValueError(
             f"cannot sniff change-batch format from {p!r}; pass file_format="
@@ -116,15 +123,17 @@ def read_change_batches(
         ).map_batches(_load_ipc, batch_format="pandas", batch_size=1)
     else:
         raise ValueError(f"unsupported change-batch format: {file_format}")
-    if columns is not None:
-        ds = ds.select_columns(list(columns))
     if filter_expr is not None:
         import pyarrow.dataset as pads
 
+        # filter BEFORE projection (parquet-path parity: predicates may
+        # reference columns outside the projection)
         ds = ds.map_batches(
             lambda t: pads.dataset(t).to_table(filter=filter_expr),
             batch_format="pyarrow",
         )
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
     return _coerce(ds, schema)
 
 
