@@ -198,3 +198,37 @@ class TestLagMetrics:
 
         tp = run_throughput(lake)
         assert len(tp) >= 1 and (tp["keys_in"] > 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTailCsvFormat:
+    def test_tail_drains_csv_segments(self, tmp_path):
+        """The tail loop ingests CSV change segments (file_format plumbed
+        through to the schema-coerced multi-format reader)."""
+        from cassandra_data_migrator_ray.schema import EVENTS_SCHEMA
+
+        ev = gen_change_stream(n_convs=25, n_events=900, seed=19)
+        df = ev.to_pandas()
+        src = str(tmp_path / "wal")
+        os.makedirs(src)
+        half = len(df) // 2
+        for i, chunk in enumerate((df.iloc[:half], df.iloc[half:])):
+            c = chunk.copy()
+            c["ts"] = c["ts"].astype(str).replace("NaT", "")
+            c.to_csv(os.path.join(src, f"seg-{i:04d}.csv"), index=False)
+
+        lake = str(tmp_path / "lake")
+        res = tail_replay(
+            src,
+            lake,
+            pattern="*.csv",
+            file_format="csv",
+            event_schema=EVENTS_SCHEMA,
+            poll_interval=0,
+            stop_after_idle_cycles=1,
+            num_parts=4,
+        )
+        assert len(res.files_ingested) == 2
+        got = read_lake_pandas(lake)
+        exp = oracle_final_state(df)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
