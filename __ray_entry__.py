@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_words": q.explode_words,
         # E. custom operators beyond the reference (windowed agg, as-of join)
         "tumbling_window_counts": q.tumbling_window_counts,
+        "session_windows": q.session_windows,
         "asof_purchase_click": q.asof_purchase_click,
         # C. training-data ops
         "dedup_exact_docs": q.dedup_exact_docs,
@@ -371,6 +372,23 @@ SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start,
        count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # gap-based session windows (8 h gap), per-user ordinal session ids
+        "session_windows": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL),
+m AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 28800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM e),
+s AS (SELECT user_id, t,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(t) AS session_start, max(t) AS session_end
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
 """,
         "asof_purchase_click": """
 SELECT p.event_id, p.user_id, c.event_id AS click_event_id

@@ -791,6 +791,75 @@ def tumbling_window_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "window_start"], ignore_index=True)
 
 
+SESSION_GAP_US = 28_800_000_000  # 8 h — matches the sparse per-user event density
+
+
+def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pd.DataFrame:
+    """Gap-based sessionization (session windows — an operator Ray Data
+    lacks): consecutive events of a user more than ``gap_us`` apart start a
+    new session; emits per-session event count and start/end event times.
+
+    Pattern: hash-partition users, then ONE vectorized pass per partition —
+    sort by (user_id, t), boundary mask = user change OR gap, session sizes
+    via ``np.diff`` over boundary indices (no per-user Python loop).
+    Partitioning assumption: all rows of one user fit one group (true for
+    per-user event volumes); partition count scales with data size."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    try:
+        est = ds.count()
+    except Exception:
+        est = 0
+    nparts = max(16, min(1024, est // 65536))
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                # normalize to µs first: parquet written by pandas is ts[ns]
+                "t": pc.cast(
+                    pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        df["__part"] = (
+            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return df
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t"], kind="mergesort", ignore_index=True)
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        t = g["t"].to_numpy(dtype=np.int64)
+        boundary = np.ones(len(g), dtype=bool)
+        boundary[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        starts = np.flatnonzero(boundary)
+        n_events = np.diff(np.append(starts, len(g)))
+        ends = np.append(starts[1:], len(g)) - 1
+        s_user = u[starts]
+        # per-user ordinal session id: position within the user's run of sessions
+        first = np.ones(len(starts), dtype=bool)
+        first[1:] = s_user[1:] != s_user[:-1]
+        idx = np.arange(len(starts), dtype=np.int64)
+        session_id = idx - np.maximum.accumulate(np.where(first, idx, 0)) + 1
+        return pd.DataFrame(
+            {
+                "user_id": s_user,
+                "session_id": session_id,
+                "n_events": n_events.astype(np.int64),
+                "session_start": t[starts],
+                "session_end": t[ends],
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "session_id"], ignore_index=True)
+
+
 def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     """As-of join (an operator Ray Data lacks): for each purchase, the most
     recent click at-or-before it by the same user.  Pattern: co-partition both

@@ -70,3 +70,34 @@ def test_entry_smoke():
     out = contract.entry()
     assert len(out) > 0
     assert {"conv_id", "turn_idx", "text"} <= set(out.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionWindows:
+    """Boundary semantics of gap-based sessionization: a gap EQUAL to the
+    threshold stays in-session (strict >), per-user session ids restart at 1,
+    and users hashed to different partitions never bleed into each other."""
+
+    def _run(self, tmp_path, rows, gap_us):
+        from cassandra_data_migrator_ray.pipelines.queries import session_windows
+
+        df = pd.DataFrame(rows, columns=["user_id", "ts"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        df.to_parquet(os.path.join(tmp_path, "events.parquet"))
+        return session_windows(str(tmp_path), gap_us=gap_us)
+
+    def test_gap_equal_threshold_same_session(self, tmp_path):
+        out = self._run(tmp_path, [(1, 0), (1, 100), (1, 201)], gap_us=100)
+        # 0→100 gap == 100 stays; 100→201 gap 101 > 100 splits
+        assert out["session_id"].tolist() == [1, 2]
+        assert out["n_events"].tolist() == [2, 1]
+        assert out["session_start"].tolist() == [0, 201]
+        assert out["session_end"].tolist() == [100, 201]
+
+    def test_per_user_ids_restart_and_isolate(self, tmp_path):
+        rows = [(7, 0), (7, 1000), (52, 10), (52, 500), (52, 5000)]
+        out = self._run(tmp_path, rows, gap_us=100)
+        by_user = {u: g for u, g in out.groupby("user_id")}
+        assert by_user[7]["session_id"].tolist() == [1, 2]
+        assert by_user[52]["session_id"].tolist() == [1, 2, 3]
+        assert int(out["n_events"].sum()) == len(rows)
