@@ -812,6 +812,9 @@ def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pd.DataFrame:
     nparts = max(16, min(1024, est // 65536))
 
     def tag(t: pa.Table) -> pd.DataFrame:
+        # mirror the oracle's `ts IS NOT NULL` guard: a null timestamp cannot
+        # be ordered into a session (and would poison the int64 view below)
+        t = t.filter(pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"])))
         df = pd.DataFrame(
             {
                 "user_id": t["user_id"].to_numpy(zero_copy_only=False),

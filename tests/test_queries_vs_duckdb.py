@@ -101,3 +101,14 @@ class TestSessionWindows:
         assert by_user[7]["session_id"].tolist() == [1, 2]
         assert by_user[52]["session_id"].tolist() == [1, 2, 3]
         assert int(out["n_events"].sum()) == len(rows)
+
+    def test_null_ts_rows_dropped(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.queries import session_windows
+
+        # oracle-parity: rows with null ts are excluded (ts IS NOT NULL)
+        df = pd.DataFrame({"user_id": [1, 1, 1], "ts": [0.0, None, 1000.0]})
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        df.to_parquet(os.path.join(tmp_path, "events.parquet"))
+        out = session_windows(str(tmp_path), gap_us=100)
+        assert int(out["n_events"].sum()) == 2
+        assert out["session_id"].tolist() == [1, 2]
