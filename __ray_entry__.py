@@ -55,6 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_counts": q.tumbling_window_counts,
         "session_windows": q.session_windows,
         "asof_purchase_click": q.asof_purchase_click,
+        "range_join_clicks": q.range_join_clicks,
+        "topk_orders_per_customer": q.topk_orders_per_customer,
+        "quantile_quantity_by_flag": q.quantile_quantity_by_flag,
+        "revenue_by_nation": q.revenue_by_nation,
         # C. training-data ops
         "dedup_exact_docs": q.dedup_exact_docs,
         "token_count_docs": q.token_count_docs,
@@ -396,6 +400,47 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id
+""",
+        # interval join: same-user clicks in (ts - 24h, ts] per purchase
+        "range_join_clicks": """
+SELECT p.event_id, p.user_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+FROM (SELECT * FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL) p
+LEFT JOIN (SELECT * FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL) c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+GROUP BY 1, 2 ORDER BY 1
+""",
+        # grouped top-k with deterministic tie-break (price DESC, orderkey ASC)
+        "topk_orders_per_customer": """
+SELECT o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+       o_orderkey, o_totalprice
+FROM orders
+QUALIFY rk <= 3
+ORDER BY o_custkey, rk
+""",
+        # exact discrete quantiles (selection, not interpolation — bit-stable)
+        "quantile_quantity_by_flag": """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS p50,
+       quantile_disc(l_quantity, 0.9) AS p90
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+        # star join in integer cents (round_even == numpy banker's rounding;
+        # CAST sum AS BIGINT — duckdb sum(BIGINT) is HUGEINT → float64 in pandas)
+        "revenue_by_nation": """
+SELECT n_name,
+       CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
 """,
         # real BMP encode→decode→feature path vs arithmetic ground truth:
         # solid-color images mean to exactly their color; engine features are

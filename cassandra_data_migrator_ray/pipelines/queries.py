@@ -919,3 +919,302 @@ def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     # float64 in pandas, and the driver's value-hash is dtype-sensitive.
     out["click_event_id"] = out["click_event_id"].astype("float64")
     return out.sort_values("event_id", ignore_index=True)
+
+
+def _scaled_nparts(ds: ray.data.Dataset, rows_per_part: int = 65536) -> int:
+    """Join/group parallelism scaled to data size (never a fixed cap): one
+    group per ~64k input rows, floor 16 so small inputs still spread over the
+    worker pool, ceiling 1024 to bound tiny-task overhead."""
+    try:
+        est = ds.count()
+    except Exception:
+        est = 0
+    return max(16, min(1024, est // rows_per_part))
+
+
+RANGE_JOIN_WINDOW_US = 86_400_000_000  # 24 h
+
+
+def range_join_clicks(sf_dir: str, window_us: int = RANGE_JOIN_WINDOW_US) -> pd.DataFrame:
+    """Range (interval) join — an operator Ray Data lacks: for each purchase,
+    the number of same-user clicks in the half-open window
+    ``(purchase.ts - window, purchase.ts]``.
+
+    Pattern: co-partition both sides by user hash, then per partition ONE
+    vectorized pass — clicks get a per-user running count, and two
+    ``merge_asof`` probes (at ``ts`` and at ``ts - window``) turn the interval
+    count into a difference of cumulative counts.  No per-row loop, no
+    all-pairs expansion; shuffle carries each event exactly once.
+    Partitioning assumption: all rows of one user fit one group (true for
+    per-user event volumes); partition count scales with data size."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    nparts = _scaled_nparts(ds)
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"])),
+                pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"])),
+            )
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+                "t": pc.cast(
+                    pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        df["__part"] = (
+            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return df
+
+    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(
+            "t", kind="mergesort", ignore_index=True
+        )
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_clicks": pd.Series([], dtype="int64"),
+                }
+            )
+        c = g[g["event_type"] == "click"].sort_values(
+            "t", kind="mergesort", ignore_index=True
+        )
+        # per-user running click count; merge_asof(backward) then picks the
+        # LAST row with t <= probe, i.e. the count of clicks at-or-before it
+        c = c[["t", "user_id"]].copy()
+        c["cum"] = c.groupby("user_id", sort=False).cumcount() + 1
+        probe_hi = p[["t", "user_id"]]
+        hi = pd.merge_asof(
+            probe_hi, c, on="t", by="user_id", direction="backward",
+            allow_exact_matches=True,
+        )["cum"].fillna(0)
+        probe_lo = probe_hi.copy()
+        probe_lo["t"] = probe_lo["t"] - window_us  # same sort order: const shift
+        lo = pd.merge_asof(
+            probe_lo, c, on="t", by="user_id", direction="backward",
+            allow_exact_matches=True,
+        )["cum"].fillna(0)
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy(),
+                "user_id": p["user_id"].to_numpy(),
+                "n_clicks": (hi.to_numpy() - lo.to_numpy()).astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(count_in_window, batch_format="pandas")
+        .to_pandas()
+    )
+    if "event_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_clicks": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("event_id", ignore_index=True)
+
+
+def topk_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k (window-rank) — an operator Ray Data lacks: the k
+    highest-value orders per customer with a dense 1-based rank, tie-broken by
+    order key for determinism.
+
+    Pattern: per-batch partial top-k per customer BEFORE the shuffle (the
+    combiner cuts shuffle volume to <= k rows per (batch, customer)), then a
+    hash-partitioned final top-k.  Both passes are one sort + groupby.head —
+    no per-group Python loop."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    nparts = _scaled_nparts(ds)
+
+    def partial_topk(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        df = df.groupby("o_custkey", sort=False).head(k)
+        df["__part"] = (
+            df["o_custkey"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return df
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        g = g.groupby("o_custkey", sort=False).head(k).reset_index(drop=True)
+        g["rk"] = g.groupby("o_custkey", sort=False).cumcount() + 1
+        return g[["o_custkey", "rk", "o_orderkey", "o_totalprice"]]
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["o_custkey", "rk"], ignore_index=True)
+
+
+def quantile_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles over a discrete-domain column — scalable
+    histogram method: per-batch value counts of (flag, quantity) are the
+    partial aggregate (shuffle carries one row per distinct pair per batch,
+    independent of row count), the driver reduces a tiny counts table and
+    selects quantiles from cumulative counts.  Selection (quantile_disc
+    semantics: 0-based index ceil(q*n)-1 of the sorted values) returns an
+    actual element — bit-exact vs the oracle, no float interpolation."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial_counts(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t["l_quantity"]))
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_quantity"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return g
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_quantity"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+
+    def disc_quantile(cum: np.ndarray, vals: np.ndarray, n: int, q: float) -> float:
+        h = q * float(n)  # duckdb computes the position in float64 too
+        idx = int(np.floor(h))
+        if float(idx) == h:
+            idx -= 1
+        idx = max(idx, 0)
+        return float(vals[np.searchsorted(cum, idx + 1)])
+
+    rows = []
+    for flag, g in counts.groupby("l_returnflag", sort=True):
+        vals = g["l_quantity"].to_numpy()
+        cnts = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "p50": disc_quantile(cum, vals, n, 0.5),
+                "p90": disc_quantile(cum, vals, n, 0.9),
+            }
+        )
+    return pd.DataFrame(rows, columns=["l_returnflag", "p50", "p90"]).sort_values(
+        "l_returnflag", ignore_index=True
+    )
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Multi-table star join (TPC-H Q5 shape): revenue per nation through
+    lineitem ⨝ orders ⨝ customer ⨝ nation.
+
+    Scale plan: lineitem revenue is pre-aggregated per order key inside each
+    batch (integer cents — order-independent exact sums), both big sides are
+    co-partitioned by the SAME key (order key) through one hash groupby, the
+    per-partition join emits (custkey, cents) partials, and the two dimension
+    lookups (customer → nation, nation → name) are broadcast via ``ray.put``
+    — dimensions are the small side; no second shuffle.  Driver only ever
+    sees one row per (partition, custkey-group) partial, reduced to ~25
+    nation rows."""
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    nparts = _scaled_nparts(li)
+
+    def li_partial(t: pa.Table) -> pd.DataFrame:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        # same expression order as the oracle: price * (1 - discount) * 100,
+        # banker's rounding both sides (duckdb round_even == np.round)
+        cents = np.round(p * (1.0 - d) * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False), "cents": cents}
+        )
+        g = df.groupby("o_orderkey", sort=False)["cents"].sum().reset_index()
+        g["o_custkey"] = np.int64(-1)  # marker: revenue-side rows
+        g["__part"] = (
+            g["o_orderkey"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return g[["__part", "o_orderkey", "o_custkey", "cents"]]
+
+    def orders_side(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g["cents"] = np.int64(0)
+        g["__part"] = (
+            g["o_orderkey"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return g[["__part", "o_orderkey", "o_custkey", "cents"]]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    both = li.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(orders_side, batch_format="pyarrow")
+    )
+
+    # broadcast the dimension lookup once: custkey -> nationkey (dense array —
+    # custkeys are a contiguous id space; fall back to a dict would be the
+    # general path)
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    lut_keys = cust["c_custkey"].to_numpy(dtype=np.int64)
+    lut_vals = cust["c_nationkey"].to_numpy(dtype=np.int64)
+    lut_ref = ray.put((lut_keys, lut_vals))
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rev = g[g["o_custkey"] == -1]
+        ords = g[g["o_custkey"] != -1]
+        per_order = rev.groupby("o_orderkey", sort=False)["cents"].sum().reset_index()
+        j = per_order.merge(
+            ords[["o_orderkey", "o_custkey"]], on="o_orderkey", how="inner"
+        )
+        per_cust = j.groupby("o_custkey", sort=False)["cents"].sum().reset_index()
+        keys, vals = ray.get(lut_ref)
+        pos = np.searchsorted(keys, per_cust["o_custkey"].to_numpy())
+        # guard: a custkey absent from the dimension drops (inner-join parity)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        ok = keys[pos] == per_cust["o_custkey"].to_numpy()
+        nk = vals[pos]
+        out = pd.DataFrame({"n_nationkey": nk[ok], "cents": per_cust["cents"].to_numpy()[ok]})
+        return out.groupby("n_nationkey", sort=False)["cents"].sum().reset_index()
+
+    partials = (
+        both.groupby("__part")
+        .map_groups(join_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    total = partials.groupby("n_nationkey", sort=True)["cents"].sum().reset_index()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = total.merge(nation, on="n_nationkey", how="inner")[["n_name", "cents"]]
+    out = out.rename(columns={"cents": "revenue_cents"})
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out.sort_values("n_name", ignore_index=True)

@@ -112,3 +112,81 @@ class TestSessionWindows:
         out = session_windows(str(tmp_path), gap_us=100)
         assert int(out["n_events"].sum()) == 2
         assert out["session_id"].tolist() == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    def _run(self, tmp_path, rows, window_us):
+        from cassandra_data_migrator_ray.pipelines.queries import range_join_clicks
+
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        df.to_parquet(os.path.join(tmp_path, "events.parquet"))
+        return range_join_clicks(str(tmp_path), window_us=window_us)
+
+    def test_window_boundaries_half_open(self, tmp_path):
+        rows = [
+            (1, 7, "click", 0),      # exactly ts - window → EXCLUDED
+            (2, 7, "click", 1),      # inside
+            (3, 7, "click", 100),    # exactly at purchase ts → INCLUDED
+            (4, 7, "purchase", 100),
+            (5, 7, "click", 101),    # after → excluded
+            (6, 9, "purchase", 100), # other user: no clicks
+        ]
+        out = self._run(tmp_path, rows, window_us=100)
+        got = dict(zip(out["event_id"], out["n_clicks"]))
+        assert got == {4: 2, 6: 0}
+
+    def test_empty_purchases_partition(self, tmp_path):
+        rows = [(1, 7, "click", 10), (2, 7, "view", 20)]
+        out = self._run(tmp_path, rows, window_us=100)
+        assert len(out) == 0
+        assert list(out.columns) == ["event_id", "user_id", "n_clicks"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopkPerGroup:
+    def test_tiebreak_and_short_groups(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.queries import (
+            topk_orders_per_customer,
+        )
+
+        df = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3, 4, 5, 6],
+                "o_custkey": [10, 10, 10, 10, 20, 20],
+                "o_totalprice": [5.0, 9.0, 9.0, 1.0, 3.0, 3.0],
+            }
+        )
+        df.to_parquet(os.path.join(tmp_path, "orders.parquet"))
+        out = topk_orders_per_customer(str(tmp_path), k=3)
+        c10 = out[out["o_custkey"] == 10]
+        # ties on price broken by orderkey ASC: 9.0@2, 9.0@3, then 5.0@1
+        assert c10["o_orderkey"].tolist() == [2, 3, 1]
+        assert c10["rk"].tolist() == [1, 2, 3]
+        c20 = out[out["o_custkey"] == 20]
+        assert c20["o_orderkey"].tolist() == [5, 6]  # short group keeps all
+
+
+class TestDiscQuantileSelection:
+    def test_matches_duckdb_convention(self):
+        import duckdb
+        import numpy as np
+        from cassandra_data_migrator_ray.pipelines.queries import (
+            quantile_quantity_by_flag,  # noqa: F401  (import sanity)
+        )
+
+        # replicate the selection rule directly against duckdb on awkward n/q
+        con = duckdb.connect()
+        for n in (1, 2, 3, 7, 10, 33):
+            vals = list(range(1, n + 1))
+            for q in (0.1, 0.5, 0.9):
+                want = con.execute(
+                    f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest({vals}) AS x)"
+                ).fetchone()[0]
+                h = q * float(n)
+                idx = int(np.floor(h))
+                if float(idx) == h:
+                    idx -= 1
+                idx = max(idx, 0)
+                assert vals[idx] == want, (n, q)
