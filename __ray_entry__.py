@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_customer": q.topk_orders_per_customer,
         "quantile_quantity_by_flag": q.quantile_quantity_by_flag,
         "revenue_by_nation": q.revenue_by_nation,
+        "pivot_event_counts": q.pivot_event_counts,
+        "lag_purchase_delta": q.lag_purchase_delta,
+        "collect_event_types": q.collect_event_types,
+        "hll_distinct_users": q.hll_distinct_users,
         # C. training-data ops
         "dedup_exact_docs": q.dedup_exact_docs,
         "token_count_docs": q.token_count_docs,
@@ -441,6 +445,30 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY 1
+""",
+        # pivot / reshape: one count column per event type
+        "pivot_event_counts": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        # window offset (lag) with deterministic (ts, event_id) order
+        "lag_purchase_delta": """
+SELECT event_id, user_id, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+ORDER BY event_id
+""",
+        # ordered collect-distinct (string_agg over a bounded domain)
+        "collect_event_types": """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+FROM events GROUP BY 1 ORDER BY 1
 """,
         # real BMP encode→decode→feature path vs arithmetic ground truth:
         # solid-color images mean to exactly their color; engine features are

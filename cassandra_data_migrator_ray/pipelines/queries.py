@@ -1218,3 +1218,179 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"cents": "revenue_cents"})
     out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
     return out.sort_values("n_name", ignore_index=True)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Pivot / reshape: per-user event counts spread into one column per event
+    type.  Per-batch crosstab partials (one row per user per batch, columns
+    fixed by the known type domain) pre-aggregate before the shuffle; the
+    final fold is an integer sum per user — reduction-order independent."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    nparts = _scaled_nparts(ds)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+            }
+        )
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(EVENT_TYPES), fill_value=0).astype(np.int64)
+        ct.columns = [f"n_{c}" for c in ct.columns]
+        ct = ct.reset_index()
+        ct["__part"] = (
+            ct["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return ct
+
+    def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized sum per partition (NOT per user) — scales to
+        # millions of users without per-group Python dispatch
+        g = g.drop(columns="__part")
+        return g.groupby("user_id", sort=False).sum().reset_index()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        if c != "user_id":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
+
+
+def lag_purchase_delta(sf_dir: str) -> pd.DataFrame:
+    """Window offset (lag) — per purchase, the previous purchase value of the
+    same user in (ts, event_id) order, as a nullable delta source column.
+    Pattern: hash-partition users, ONE sort + masked shift per partition (a
+    user's first row lags to null); no per-user loop."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+    nparts = _scaled_nparts(ds)
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t["event_type"], "purchase"),
+                pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"])),
+            )
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "t": pc.cast(
+                    pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                ).to_numpy(zero_copy_only=False),
+                "value": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["__part"] = (
+            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return df
+
+    def shift_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "t", "event_id"], kind="mergesort", ignore_index=True
+        )
+        u = g["user_id"].to_numpy()
+        prev = np.roll(g["value"].to_numpy(), 1)
+        same_user = np.zeros(len(g), dtype=bool)
+        same_user[1:] = u[1:] == u[:-1]
+        prev = np.where(same_user, prev, np.nan)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "value": g["value"].to_numpy(),
+                "prev_value": prev,
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(shift_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id", ignore_index=True)
+
+
+def collect_event_types(sf_dir: str) -> pd.DataFrame:
+    """Ordered collect-distinct (string_agg): per user, the sorted distinct
+    event types joined by ','.  Per-batch distinct partials bound the shuffle
+    to |type domain| rows per (batch, user); the final fold set-unions and
+    joins — output size bounded by the domain, safe at any scale."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nparts = _scaled_nparts(ds)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+            }
+        )
+        df = df.drop_duplicates(ignore_index=True)
+        df["__part"] = (
+            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return df
+
+    def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct again across batches, then ONE vectorized sorted join per
+        # partition: sort (user, type) and reduce with a boundary mask — no
+        # per-user Python dispatch
+        g = g[["user_id", "event_type"]].drop_duplicates()
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort", ignore_index=True)
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        return agg.rename("types").reset_index()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id", ignore_index=True)
+
+
+def hll_distinct_users(sf_dir: str, p: int = 14) -> pd.DataFrame:
+    """Approximate distinct count via mergeable HyperLogLog sketches — the
+    100-TB shape for COUNT(DISTINCT): each batch reduces to a fixed 2**p-byte
+    register array, the driver folds register maxima (bytes moved independent
+    of row count; merge is associative/commutative/idempotent, so retries and
+    reduction order cannot change the answer).
+
+    Not SQL-oracle-paired (DuckDB's approx_count_distinct uses a different
+    sketch); gated instead by pytest accuracy/merge-property tests and the
+    rows-only driver check.  Returns the estimate alongside sketch params."""
+    from cassandra_data_migrator_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        regs = hll_partial(t["user_id"].to_numpy(zero_copy_only=False), p=p)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = hll_merge(
+        *(np.frombuffer(b, dtype=np.uint8) for b in parts["regs"])
+    )
+    return pd.DataFrame(
+        {
+            "estimate": [np.int64(round(hll_estimate(merged)))],
+            "precision_p": [np.int64(p)],
+        }
+    )
