@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_purchase_delta": q.lag_purchase_delta,
         "collect_event_types": q.collect_event_types,
         "hll_distinct_users": q.hll_distinct_users,
+        "conversation_stats": q.conversation_stats,
         # C. training-data ops
         "dedup_exact_docs": q.dedup_exact_docs,
         "token_count_docs": q.token_count_docs,
@@ -146,6 +147,18 @@ SELECT status, n FROM (
   UNION ALL SELECT 'MISSING', CAST(0 AS BIGINT)
   UNION ALL SELECT 'VALID', (SELECT CAST(n_valid AS BIGINT) FROM v)
 ) ORDER BY status
+""",
+        # lake → downstream analytics: per-conversation transcript stats over
+        # the replayed final state (same fold CTE as cdc_replay)
+        "conversation_stats": f"""
+{cdc}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS chars,
+       max(ts) AS last_ts
+FROM fin WHERE rn = 1
+GROUP BY 1 ORDER BY 1
 """,
         "lww_latest_state": f"""
 WITH e AS (

@@ -120,6 +120,10 @@ def run_bench() -> dict:
             "quality_docs",
             "langid_docs",
             "multimodal_bmp_features",
+            "range_join_clicks",
+            "revenue_by_nation",
+            "session_windows",
+            "hll_distinct_users",
         ):
             fn = getattr(q, name)
             t0 = time.perf_counter()

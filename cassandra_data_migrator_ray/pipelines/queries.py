@@ -1394,3 +1394,80 @@ def hll_distinct_users(sf_dir: str, p: int = 14) -> pd.DataFrame:
             "precision_p": [np.int64(p)],
         }
     )
+
+
+def conversation_stats(sf_dir: str) -> pd.DataFrame:
+    """Lake → downstream-analytics integration: replay the change stream into
+    a lake, then compute per-conversation transcript statistics from the
+    STREAMING lake read (column-pruned) — turn count, assistant-turn count,
+    total text chars, last event-time.
+
+    All measures are algebraic (count/sum/max), so per-batch partials fold
+    exactly regardless of how conversations split across lake blocks; the
+    shuffle carries one row per (batch, conversation)."""
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import read_lake
+
+    import shutil
+
+    cache = _gen_cached_events(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    try:
+        replay(cache, lake, num_parts=NUM_PARTS, salt=2)
+        ds = read_lake(lake, columns=["conv_id", "role", "text", "ts"])
+        nparts = _scaled_nparts(ds)
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "conv_id": t["conv_id"].to_pandas(),
+                    "is_assistant": pc.equal(t["role"], "assistant")
+                    .to_pandas()
+                    .fillna(False)
+                    .to_numpy(dtype=np.int64),
+                    "chars": pc.coalesce(
+                        pc.utf8_length(t["text"]), pa.scalar(0, pa.int32())
+                    )
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "ts": t["ts"].to_numpy(zero_copy_only=False),
+                }
+            )
+            g = df.groupby("conv_id", sort=False).agg(
+                n_turns=("conv_id", "size"),
+                n_assistant=("is_assistant", "sum"),
+                chars=("chars", "sum"),
+                last_ts=("ts", "max"),
+            )
+            g = g.reset_index()
+            from pandas.util import hash_array
+
+            g["__part"] = (
+                hash_array(g["conv_id"].to_numpy(dtype=object), categorize=False)
+                % np.uint64(nparts)
+            ).astype(np.int32)
+            return g
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            # one vectorized fold per hash partition, not per conversation
+            a = g.groupby("conv_id", sort=False).agg(
+                n_turns=("n_turns", "sum"),
+                n_assistant=("n_assistant", "sum"),
+                chars=("chars", "sum"),
+                last_ts=("last_ts", "max"),
+            )
+            return a.reset_index()
+
+        out = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()
+        )
+        if "__part" in out.columns:
+            out = out.drop(columns="__part")
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    for c in ("n_turns", "n_assistant", "chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("conv_id", ignore_index=True)
