@@ -60,6 +60,30 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _scaled_nparts(ds: ray.data.Dataset, rows_per_part: int = 65536) -> int:
+    """Join/group parallelism scaled to data size (never a fixed cap): one
+    group per ~64k input rows, floor 16 so small inputs still spread over the
+    worker pool, ceiling 1024 to bound tiny-task overhead."""
+    try:
+        est = ds.count()
+    except Exception:
+        est = 0
+    return max(16, min(1024, est // rows_per_part))
+
+
+def _nparts_from_rows(est: int, rows_per_part: int = 65536) -> int:
+    """Same scaling rule when a row estimate is already known (avoids an
+    extra counting pass over datasets whose count() is not metadata-cheap)."""
+    return max(16, min(1024, int(est) // rows_per_part))
+
+
+def _mod_part(keys: np.ndarray, nparts: int) -> np.ndarray:
+    """Partition id for integer keys: uint64 view modulo nparts (negative
+    keys wrap deterministically), int32 for a compact shuffle column."""
+    return (np.asarray(keys).astype(np.uint64) % np.uint64(nparts)).astype(np.int32)
+
+
+
 # ---------------------------------------------------------------------------
 # generic distributed LWW fold (reused by the flagship query)
 # ---------------------------------------------------------------------------
@@ -805,15 +829,11 @@ def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pd.DataFrame:
     Partitioning assumption: all rows of one user fit one group (true for
     per-user event volumes); partition count scales with data size."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    try:
-        est = ds.count()
-    except Exception:
-        est = 0
-    nparts = max(16, min(1024, est // 65536))
+    nparts = _scaled_nparts(ds)
 
     def tag(t: pa.Table) -> pd.DataFrame:
-        # mirror the oracle's `ts IS NOT NULL` guard: a null timestamp cannot
-        # be ordered into a session (and would poison the int64 view below)
+        # mirror the oracle's NOT NULL guards: a null timestamp or user
+        # cannot be sessionized (and would poison the int64 view below)
         t = t.filter(pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"])))
         df = pd.DataFrame(
             {
@@ -824,9 +844,7 @@ def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pd.DataFrame:
                 ).to_numpy(zero_copy_only=False),
             }
         )
-        df["__part"] = (
-            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        df["__part"] = _mod_part(df["user_id"].to_numpy(), nparts)
         return df
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
@@ -881,9 +899,7 @@ def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     def tag(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
         df = df[df["event_type"].isin(["purchase", "click"])]
-        df["__part"] = (
-            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        df["__part"] = _mod_part(df["user_id"].to_numpy(), nparts)
         return df
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -921,17 +937,6 @@ def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id", ignore_index=True)
 
 
-def _scaled_nparts(ds: ray.data.Dataset, rows_per_part: int = 65536) -> int:
-    """Join/group parallelism scaled to data size (never a fixed cap): one
-    group per ~64k input rows, floor 16 so small inputs still spread over the
-    worker pool, ceiling 1024 to bound tiny-task overhead."""
-    try:
-        est = ds.count()
-    except Exception:
-        est = 0
-    return max(16, min(1024, est // rows_per_part))
-
-
 RANGE_JOIN_WINDOW_US = 86_400_000_000  # 24 h
 
 
@@ -967,9 +972,7 @@ def range_join_clicks(sf_dir: str, window_us: int = RANGE_JOIN_WINDOW_US) -> pd.
                 ).to_numpy(zero_copy_only=False),
             }
         )
-        df["__part"] = (
-            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        df["__part"] = _mod_part(df["user_id"].to_numpy(), nparts)
         return df
 
     def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
@@ -1048,9 +1051,7 @@ def topk_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
             ignore_index=True,
         )
         df = df.groupby("o_custkey", sort=False).head(k)
-        df["__part"] = (
-            df["o_custkey"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        df["__part"] = _mod_part(df["o_custkey"].to_numpy(), nparts)
         return df
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -1155,9 +1156,7 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         )
         g = df.groupby("o_orderkey", sort=False)["cents"].sum().reset_index()
         g["o_custkey"] = np.int64(-1)  # marker: revenue-side rows
-        g["__part"] = (
-            g["o_orderkey"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        g["__part"] = _mod_part(g["o_orderkey"].to_numpy(), nparts)
         return g[["__part", "o_orderkey", "o_custkey", "cents"]]
 
     def orders_side(t: pa.Table) -> pd.DataFrame:
@@ -1168,9 +1167,7 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
             }
         )
         g["cents"] = np.int64(0)
-        g["__part"] = (
-            g["o_orderkey"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        g["__part"] = _mod_part(g["o_orderkey"].to_numpy(), nparts)
         return g[["__part", "o_orderkey", "o_custkey", "cents"]]
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -1243,9 +1240,7 @@ def pivot_event_counts(sf_dir: str) -> pd.DataFrame:
         ct = ct.reindex(columns=list(EVENT_TYPES), fill_value=0).astype(np.int64)
         ct.columns = [f"n_{c}" for c in ct.columns]
         ct = ct.reset_index()
-        ct["__part"] = (
-            ct["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        ct["__part"] = _mod_part(ct["user_id"].to_numpy(), nparts)
         return ct
 
     def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -1291,9 +1286,7 @@ def lag_purchase_delta(sf_dir: str) -> pd.DataFrame:
                 "value": t["value"].to_numpy(zero_copy_only=False),
             }
         )
-        df["__part"] = (
-            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        df["__part"] = _mod_part(df["user_id"].to_numpy(), nparts)
         return df
 
     def shift_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -1339,9 +1332,7 @@ def collect_event_types(sf_dir: str) -> pd.DataFrame:
             }
         )
         df = df.drop_duplicates(ignore_index=True)
-        df["__part"] = (
-            df["user_id"].to_numpy().astype(np.uint64) % np.uint64(nparts)
-        ).astype(np.int32)
+        df["__part"] = _mod_part(df["user_id"].to_numpy(), nparts)
         return df
 
     def fold_partition(g: pd.DataFrame) -> pd.DataFrame:

@@ -149,6 +149,17 @@ def replay(
     for t in transforms or []:
         ds = ds.map_batches(t, batch_format="pyarrow", batch_size=batch_size)
     incoming = ds.schema()
+    if incoming is not None and not all(
+        isinstance(t, pa.DataType) for t in incoming.types
+    ):
+        # caller handed a Dataset backed by pandas blocks (from_pandas /
+        # batch_format="pandas" upstream): its schema reports numpy/Python
+        # types the manifest layer cannot evolve from.  Rebatch to Arrow so
+        # every downstream stage sees Arrow types.
+        ds = ds.map_batches(
+            lambda t: t, batch_format="pyarrow", batch_size=batch_size
+        )
+        incoming = ds.schema()
     required = ["op", "writetime", "event_seq", *manifest.key_cols]
     missing = [c for c in required if c not in incoming.names]
     if missing:

@@ -26,6 +26,18 @@ class TestReplayE2E:
         assert res.metrics["status"].eq("PASS").all()
         assert_matches_oracle(lake, events.to_pandas())
 
+    def test_pandas_block_dataset_input(self, tmp_path):
+        """A caller-supplied Dataset backed by pandas blocks (from_pandas)
+        reports numpy/Python schema types; replay must coerce it to Arrow
+        rather than hand non-Arrow types to the manifest layer."""
+        import ray
+
+        events = gen_change_stream(n_convs=40, n_events=3000, seed=21)
+        lake = str(tmp_path / "lake")
+        res = replay(ray.data.from_pandas(events.to_pandas()), lake, num_parts=8)
+        assert res.metrics["status"].eq("PASS").all()
+        assert_matches_oracle(lake, events.to_pandas())
+
     def test_incremental_two_runs(self, tmp_path):
         """Second batch of changes merges on top of committed state."""
         full = gen_change_stream(n_convs=50, n_events=4000, seed=9).to_pandas()
