@@ -396,7 +396,8 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # gap-based session windows (8 h gap), per-user ordinal session ids
         "session_windows": """
-WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL),
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
 m AS (SELECT user_id, t,
         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 28800000000
@@ -467,7 +468,7 @@ SELECT user_id,
        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
        CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
        CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view
-FROM events GROUP BY 1 ORDER BY 1
+FROM events WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY 1
 """,
         # window offset (lag) with deterministic (ts, event_id) order
         "lag_purchase_delta": """
@@ -481,7 +482,8 @@ ORDER BY event_id
         "collect_event_types": """
 SELECT user_id,
        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
-FROM events GROUP BY 1 ORDER BY 1
+FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1 ORDER BY 1
 """,
         # real BMP encode→decode→feature path vs arithmetic ground truth:
         # solid-color images mean to exactly their color; engine features are

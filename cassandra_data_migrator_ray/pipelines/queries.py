@@ -71,17 +71,19 @@ def _scaled_nparts(ds: ray.data.Dataset, rows_per_part: int = 65536) -> int:
     return max(16, min(1024, est // rows_per_part))
 
 
-def _nparts_from_rows(est: int, rows_per_part: int = 65536) -> int:
-    """Same scaling rule when a row estimate is already known (avoids an
-    extra counting pass over datasets whose count() is not metadata-cheap)."""
-    return max(16, min(1024, int(est) // rows_per_part))
-
-
 def _mod_part(keys: np.ndarray, nparts: int) -> np.ndarray:
     """Partition id for integer keys: uint64 view modulo nparts (negative
     keys wrap deterministically), int32 for a compact shuffle column."""
     return (np.asarray(keys).astype(np.uint64) % np.uint64(nparts)).astype(np.int32)
 
+
+def _typed_empty(out: pd.DataFrame, dtypes: dict[str, str]) -> pd.DataFrame:
+    """map_groups over a fully-filtered dataset loses its schema, so
+    to_pandas() yields a column-less frame; rebuild the typed empty frame so
+    downstream sorts/selects behave like the oracle's empty result set."""
+    if len(out) == 0 and not set(dtypes) <= set(out.columns):
+        return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in dtypes.items()})
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -878,6 +880,16 @@ def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pd.DataFrame:
         .map_groups(sessionize, batch_format="pandas")
         .to_pandas()
     )
+    out = _typed_empty(
+        out,
+        {
+            "user_id": "int64",
+            "session_id": "int64",
+            "n_events": "int64",
+            "session_start": "int64",
+            "session_end": "int64",
+        },
+    )
     return out.sort_values(["user_id", "session_id"], ignore_index=True)
 
 
@@ -1019,14 +1031,9 @@ def range_join_clicks(sf_dir: str, window_us: int = RANGE_JOIN_WINDOW_US) -> pd.
         .map_groups(count_in_window, batch_format="pandas")
         .to_pandas()
     )
-    if "event_id" not in out.columns:
-        out = pd.DataFrame(
-            {
-                "event_id": pd.Series([], dtype="int64"),
-                "user_id": pd.Series([], dtype="int64"),
-                "n_clicks": pd.Series([], dtype="int64"),
-            }
-        )
+    out = _typed_empty(
+        out, {"event_id": "int64", "user_id": "int64", "n_clicks": "int64"}
+    )
     return out.sort_values("event_id", ignore_index=True)
 
 
@@ -1230,13 +1237,20 @@ def pivot_event_counts(sf_dir: str) -> pd.DataFrame:
     nparts = _scaled_nparts(ds)
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        # crosstab silently drops NaN index keys, so filter null users up
+        # front and mirror it in the oracle (user_id IS NOT NULL) — otherwise
+        # a null-user group would survive in SQL but vanish here
+        t = t.filter(pc.is_valid(t["user_id"]))
         df = pd.DataFrame(
             {
                 "user_id": t["user_id"].to_numpy(zero_copy_only=False),
                 "event_type": t["event_type"].to_pandas(),
             }
         )
-        ct = pd.crosstab(df["user_id"], df["event_type"])
+        # a null event_type counts toward no column but must keep its user's
+        # group row (SQL GROUP BY semantics) — crosstab drops NaN keys, so
+        # route nulls through a sentinel column that the reindex then drops
+        ct = pd.crosstab(df["user_id"], df["event_type"].fillna(""))
         ct = ct.reindex(columns=list(EVENT_TYPES), fill_value=0).astype(np.int64)
         ct.columns = [f"n_{c}" for c in ct.columns]
         ct = ct.reset_index()
@@ -1313,6 +1327,15 @@ def lag_purchase_delta(sf_dir: str) -> pd.DataFrame:
         .map_groups(shift_group, batch_format="pandas")
         .to_pandas()
     )
+    out = _typed_empty(
+        out,
+        {
+            "event_id": "int64",
+            "user_id": "int64",
+            "value": "float64",
+            "prev_value": "float64",
+        },
+    )
     return out.sort_values("event_id", ignore_index=True)
 
 
@@ -1325,6 +1348,12 @@ def collect_event_types(sf_dir: str) -> pd.DataFrame:
     nparts = _scaled_nparts(ds)
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        # string_agg skips NULL elements and the oracle filters NULL users;
+        # drop both here so the group sets agree (a user with only-null types
+        # would otherwise appear in SQL with a NULL aggregate but not here)
+        t = t.filter(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["event_type"]))
+        )
         df = pd.DataFrame(
             {
                 "user_id": t["user_id"].to_numpy(zero_copy_only=False),
@@ -1337,12 +1366,23 @@ def collect_event_types(sf_dir: str) -> pd.DataFrame:
 
     def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
         # distinct again across batches, then ONE vectorized sorted join per
-        # partition: sort (user, type) and reduce with a boundary mask — no
+        # partition: sort (user, type), cut group boundaries with a mask, and
+        # join via Arrow's binary_join over a zero-copy ListArray — no
         # per-user Python dispatch
         g = g[["user_id", "event_type"]].drop_duplicates()
         g = g.sort_values(["user_id", "event_type"], kind="mergesort", ignore_index=True)
-        agg = g.groupby("user_id", sort=False)["event_type"].agg(",".join)
-        return agg.rename("types").reset_index()
+        u = g["user_id"].to_numpy()
+        boundary = np.ones(len(g), dtype=bool)
+        boundary[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(boundary)
+        offsets = pa.array(np.append(starts, len(g)).astype(np.int32))
+        lists = pa.ListArray.from_arrays(
+            offsets, pa.array(g["event_type"], type=pa.string())
+        )
+        joined = pc.binary_join(lists, ",")
+        return pd.DataFrame(
+            {"user_id": u[starts], "types": joined.to_pandas()}
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1350,6 +1390,7 @@ def collect_event_types(sf_dir: str) -> pd.DataFrame:
         .map_groups(fold_partition, batch_format="pandas")
         .to_pandas()
     )
+    out = _typed_empty(out, {"user_id": "int64", "types": "object"})
     return out.sort_values("user_id", ignore_index=True)
 
 

@@ -190,3 +190,74 @@ class TestDiscQuantileSelection:
                     idx -= 1
                 idx = max(idx, 0)
                 assert vals[idx] == want, (n, q)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullAndEmptyParity:
+    """Engine-vs-oracle agreement on the degenerate shapes the sf testdata
+    never produces: rows with null user/ts/type, and inputs where the
+    operator's filter leaves zero rows (map_groups then loses its schema)."""
+
+    def _events(self, tmp_path, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+        )
+        df["event_id"] = df["event_id"].astype("int64")
+        df["user_id"] = df["user_id"].astype("Int64")
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        df["value"] = df["value"].astype("float64")
+        df.to_parquet(os.path.join(tmp_path, "events.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        return con
+
+    def _compare(self, con, name, got):
+        want = normalize(con.execute(contract.oracle_sql()[name]).df())
+        got = normalize(got)
+        assert list(got.columns) == list(want.columns), name
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_no_purchases_empty_results(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.queries import (
+            lag_purchase_delta,
+            range_join_clicks,
+        )
+
+        con = self._events(
+            tmp_path,
+            [(1, 10, "click", 100, 1.0), (2, 10, "view", 200, 2.0)],
+        )
+        self._compare(con, "lag_purchase_delta", lag_purchase_delta(str(tmp_path)))
+        self._compare(con, "range_join_clicks", range_join_clicks(str(tmp_path)))
+
+    def test_all_null_ts_sessions_empty(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.queries import session_windows
+
+        con = self._events(
+            tmp_path,
+            [(1, 10, "click", None, 1.0), (2, None, "view", 100, 2.0)],
+        )
+        self._compare(con, "session_windows", session_windows(str(tmp_path)))
+
+    def test_null_user_and_type_group_parity(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.queries import (
+            collect_event_types,
+            pivot_event_counts,
+        )
+
+        con = self._events(
+            tmp_path,
+            [
+                (1, None, "click", 100, 1.0),
+                (2, 7, None, 200, 2.0),
+                (3, 7, "view", 300, 3.0),
+                (4, 7, "click", 400, 4.0),
+                (5, 8, None, 500, 5.0),
+            ],
+        )
+        self._compare(con, "pivot_event_counts", pivot_event_counts(str(tmp_path)))
+        self._compare(
+            con, "collect_event_types", collect_event_types(str(tmp_path))
+        )
