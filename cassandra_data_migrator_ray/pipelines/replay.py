@@ -89,6 +89,7 @@ def replay(
     rerun_multiplier: int = 1,
     ttl: bool | None = None,
     rate_limit_rows_per_s: float | None = None,
+    emit_changes: bool = False,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -230,6 +231,7 @@ def replay(
         ttl_enabled=ttl_enabled,
         compact=compact,
         grace_wt=grace_wt,
+        emit_changes=emit_changes,
         prior_files={k: v.files for k, v in manifest.partitions.items()},
         prior_watermarks=manifest.watermarks(),
     )

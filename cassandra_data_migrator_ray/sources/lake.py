@@ -28,24 +28,71 @@ def lake_files(manifest: Manifest, parts: list[int] | None = None) -> list[str]:
     return [os.path.join(manifest.lake_dir, f) for _, st in items for f in st.files]
 
 
+def _resolve_view(
+    manifest: Manifest, version: int | None, parts: list[int] | None
+) -> tuple[list[str], list[str], list[str], bool]:
+    """(files, key_cols, payload_cols, ttl_enabled) for the live view or a
+    time-travel view at a committed ``version`` (snapshot-pinned file set and
+    SCHEMA — a column added later does not appear in an older view)."""
+    if version is None:
+        return (
+            lake_files(manifest, parts),
+            list(manifest.key_cols),
+            manifest.payload_cols(),
+            manifest.ttl_enabled,
+        )
+    snap = manifest.snapshot(version)
+    if snap is None:
+        avail = manifest.list_snapshots()
+        raise ValueError(
+            f"version {version} is not available for time travel at "
+            f"{manifest.lake_dir} (available: {avail or 'none'} — older "
+            "versions may have been vacuum()ed)"
+        )
+    from cassandra_data_migrator_ray.state.manifest import schema_from_json
+
+    schema = schema_from_json(snap["schema"])
+    key_cols = list(snap["key_cols"])
+    items = snap["partitions"].items()
+    if parts is not None:
+        wanted = {str(p) for p in parts}
+        items = [(k, v) for k, v in items if k in wanted]
+    files = [
+        os.path.join(manifest.lake_dir, f) for _, fl in items for f in fl
+    ]
+    return (
+        files,
+        key_cols,
+        [n for n in schema.names if n not in key_cols],
+        bool(snap.get("ttl_enabled", False)),
+    )
+
+
 def read_lake(
     lake_dir: str,
     columns: list[str] | None = None,
     include_tombstones: bool = False,
     parts: list[int] | None = None,
     as_of: int | None = None,
+    version: int | None = None,
 ) -> ray.data.Dataset:
     """Public view of the lake as a streaming Dataset (column-pruned read).
 
     ``as_of`` (µs): for TTL-enabled lakes, evaluate per-cell expiry at this
     instant (same semantics as :func:`read_lake_pandas`) — expired cells read
-    as null and fully-expired rows disappear, per batch, streaming."""
+    as null and fully-expired rows disappear, per batch, streaming.
+
+    ``version``: time travel — read the lake exactly as of that committed
+    manifest version (snapshot-pinned files and schema; copy-on-write keeps
+    the old partition files until :meth:`Manifest.vacuum`)."""
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
-    files = lake_files(manifest, parts)
-    public_cols = columns or [*manifest.key_cols, *manifest.payload_cols()]
-    ttl_eval = as_of is not None and manifest.ttl_enabled
+    files, v_key_cols, v_payload_cols, v_ttl = _resolve_view(
+        manifest, version, parts
+    )
+    public_cols = columns or [*v_key_cols, *v_payload_cols]
+    ttl_eval = as_of is not None and v_ttl
     read_cols = None if ttl_eval else list(dict.fromkeys([*public_cols, DELETED]))
     if not files:
         # empty lake: surface the MANIFEST's declared types, not all-string
@@ -64,7 +111,7 @@ def read_lake(
 
         from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
 
-        payload = manifest.payload_cols()
+        payload = v_payload_cols
 
         def expire(batch: pd.DataFrame, at: int) -> pd.DataFrame:
             return apply_ttl_expiry(batch, at, payload)
@@ -80,30 +127,183 @@ def read_lake(
     return ds
 
 
-def read_lake_pandas(
-    lake_dir: str,
-    include_tombstones: bool = False,
-    internal: bool = False,
-    as_of: int | None = None,
-) -> pd.DataFrame:
-    """Driver-side full read — tests and small lakes only.
+def _resolve_cdf(
+    lake_dir: str, run_id: str | None, version: int | None
+) -> tuple[Manifest, str, list[str]]:
+    import glob as _glob
 
-    ``as_of`` (µs): for TTL-enabled lakes, evaluate per-cell expiry at this
-    instant — expired cells read as null, fully-expired rows disappear."""
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
-    files = lake_files(manifest)
+    committed = {r["run_id"]: r for r in manifest.runs}
+    if run_id is None:
+        if version is not None:
+            match = [r for r in manifest.runs if r.get("version") == version]
+            if not match:
+                raise ValueError(
+                    f"no committed run at version {version} in {lake_dir}"
+                )
+            run_id = match[0]["run_id"]
+        elif manifest.runs:
+            run_id = manifest.runs[-1]["run_id"]
+        else:
+            raise ValueError(f"lake {lake_dir} has no committed runs")
+    if run_id not in committed:
+        raise ValueError(
+            f"run {run_id} is not committed in {lake_dir} — its change feed "
+            "is not readable (uncommitted/crashed runs are invisible)"
+        )
+    files = sorted(
+        _glob.glob(os.path.join(lake_dir, "cdf", f"part-*-{run_id}.parquet"))
+    )
+    return manifest, run_id, files
+
+
+def _empty_cdf_frame(manifest: Manifest) -> pd.DataFrame:
+    from cassandra_data_migrator_ray.stages.merge import CHANGE_COL
+
+    cols = [*manifest.key_cols, *manifest.payload_cols(), CHANGE_COL]
+    return pd.DataFrame(columns=cols)
+
+
+def read_changes(
+    lake_dir: str, run_id: str | None = None, version: int | None = None
+) -> ray.data.Dataset:
+    """The change-data-feed of one committed run as a streaming Dataset:
+    what that replay actually changed (``_change_type`` ∈ insert /
+    update_preimage / update_postimage / delete; LWW losers emit nothing).
+    Written only when the run used ``replay(..., emit_changes=True)``.
+    Select the run by ``run_id``, by committed ``version``, or default to the
+    latest run."""
+    manifest, run_id, files = _resolve_cdf(lake_dir, run_id, version)
     if not files:
-        return pd.DataFrame(columns=[*manifest.key_cols, *manifest.payload_cols()])
-    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+        return ray.data.from_pandas(_empty_cdf_frame(manifest))
+    return ray.data.read_parquet(files)
+
+
+def read_changes_pandas(
+    lake_dir: str, run_id: str | None = None, version: int | None = None
+) -> pd.DataFrame:
+    """Driver-side change feed — tests and small runs only."""
+    manifest, run_id, files = _resolve_cdf(lake_dir, run_id, version)
+    if not files:
+        return _empty_cdf_frame(manifest)
+    from cassandra_data_migrator_ray.stages.merge import CHANGE_COL
+
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    df = tbl.to_pandas()
+    return df.sort_values(
+        [*manifest.key_cols, CHANGE_COL], kind="mergesort", ignore_index=True
+    )
+
+
+def lookup(
+    lake_dir: str,
+    key_values: list,
+    columns: list[str] | None = None,
+    as_of: int | None = None,
+) -> pd.DataFrame:
+    """Point lookup by primary-key prefix — the reference's target SELECT by
+    PK (cql/statement/TargetSelectByPKStatement.java:45-78), re-expressed as
+    hash-partition pruning instead of an RPC: route each first-key value to
+    its candidate partitions (≤ salt of them), read only those partitions'
+    files with a parquet predicate on the key column, and return the live
+    public rows.
+
+    ``key_values`` is a list of first-key-component values (e.g. conv_ids),
+    or a list of full-key tuples — the extra components are applied as an
+    exact row filter after the partition-pruned read.  Driver-sized output
+    (point lookups return few rows); use :func:`read_lake` for scans.
+    """
+    import pyarrow.compute as pc
+
+    from cassandra_data_migrator_ray.state.partitioning import candidate_partitions
+
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    key_cols = list(manifest.key_cols)
+    tuples = [
+        tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in key_values
+    ]
+    firsts = [t[0] for t in tuples]
+    cand = candidate_partitions(firsts, manifest.num_parts, manifest.salt)
+    parts = sorted({p for ps in cand.values() for p in ps})
+    files = lake_files(manifest, parts)
+    public_cols = columns or [*key_cols, *manifest.payload_cols()]
+    if not files:
+        return pd.DataFrame(columns=public_cols)
+    read_cols = list(dict.fromkeys([*key_cols, *public_cols, DELETED]))
+    first_field = manifest.schema.field(key_cols[0]) if key_cols[0] in manifest.schema.names else None
+    want_first = pa.array(list(dict.fromkeys(firsts)),
+                          type=first_field.type if first_field else None)
+    # row-group-pruned parquet read: the key predicate pushes down
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(files, format="parquet")
+    tbl = dataset.to_table(
+        columns=read_cols, filter=pads.field(key_cols[0]).isin(want_first)
+    )
     df = tbl.to_pandas()
     if as_of is not None and manifest.ttl_enabled:
         from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
 
         df = apply_ttl_expiry(df, as_of, manifest.payload_cols())
+    df = df[~df[DELETED].to_numpy(dtype=bool)]
+    if any(len(t) > 1 for t in tuples):
+        # each lookup tuple matches rows whose key PREFIX of the same length
+        # equals it; group by tuple length so mixed-width lookups compose
+        import numpy as np
+
+        mask = np.zeros(len(df), dtype=bool)
+        by_len: dict[int, set] = {}
+        for t in tuples:
+            by_len.setdefault(len(t), set()).add(t)
+        for ln, want in by_len.items():
+            if ln == 1:
+                mask |= df[key_cols[0]].isin([t[0] for t in want]).to_numpy()
+            else:
+                prefix = pd.Series(
+                    list(zip(*(df[c] for c in key_cols[:ln]))), index=df.index
+                )
+                mask |= prefix.isin(want).to_numpy()
+        df = df[mask]
+    return (
+        df[public_cols]
+        .sort_values(key_cols if set(key_cols) <= set(public_cols) else public_cols[:1],
+                     kind="mergesort", ignore_index=True)
+    )
+
+
+def read_lake_pandas(
+    lake_dir: str,
+    include_tombstones: bool = False,
+    internal: bool = False,
+    as_of: int | None = None,
+    version: int | None = None,
+) -> pd.DataFrame:
+    """Driver-side full read — tests and small lakes only.
+
+    ``as_of`` (µs): for TTL-enabled lakes, evaluate per-cell expiry at this
+    instant — expired cells read as null, fully-expired rows disappear.
+
+    ``version``: time travel — the lake exactly as of that committed version."""
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    files, key_cols, payload_cols, ttl_enabled = _resolve_view(
+        manifest, version, None
+    )
+    if not files:
+        return pd.DataFrame(columns=[*key_cols, *payload_cols])
+    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    df = tbl.to_pandas()
+    if as_of is not None and ttl_enabled:
+        from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
+
+        df = apply_ttl_expiry(df, as_of, payload_cols)
     if not include_tombstones:
         df = df[~df[DELETED].to_numpy(dtype=bool)]
     if not internal:
-        df = df[[*manifest.key_cols, *manifest.payload_cols()]]
-    return df.sort_values(list(manifest.key_cols), kind="mergesort", ignore_index=True)
+        df = df[[*key_cols, *payload_cols]]
+    return df.sort_values(key_cols, kind="mergesort", ignore_index=True)

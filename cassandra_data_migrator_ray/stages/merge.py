@@ -55,8 +55,104 @@ class MergeConfig:
     ttl_enabled: bool = False
     compact: bool = False  # drop all tombstones (stream fully drained)
     grace_wt: int | None = None  # else drop tombstones older than this watermark
+    emit_changes: bool = False  # write a per-run change-data-feed (cdf/)
     prior_files: dict[int, list[str]] = field(default_factory=dict)
     prior_watermarks: dict[int, int] = field(default_factory=dict)
+
+
+# ---- change-data-feed (CDC out) ---------------------------------------------
+# Per-run changelog of what the merge actually changed (Delta-CDF-shaped):
+# one row per net insert/delete, a preimage+postimage pair per net update —
+# events that lost LWW to existing state emit nothing.  Files are written
+# per-partition under cdf/ with deterministic names (retry overwrites), become
+# visible only when the run commits, and are pruned with vacuum().
+
+CDF_DIR = "cdf"
+CHANGE_COL = "_change_type"
+
+
+def _cdf_schema(cfg: MergeConfig) -> pa.Schema:
+    from cassandra_data_migrator_ray.state.manifest import schema_from_json
+
+    pub = schema_from_json(cfg.payload_schema_json)
+    cols = [*cfg.key_cols, *cfg.payload_cols]
+    return pa.schema(
+        [pub.field(n) for n in cols if n in pub.names]
+        + [pa.field(CHANGE_COL, pa.string())]
+    )
+
+
+def _compute_changes(
+    cfg: MergeConfig,
+    old: pd.DataFrame | None,
+    state: pd.DataFrame,
+    touched: pd.DataFrame,
+) -> pd.DataFrame:
+    """Classify each key touched by this run against the prior state.
+
+    insert: was absent or tombstoned, now live.  delete: was live, now
+    tombstoned (preimage payload).  update: live on both sides with any
+    null-safe payload difference (preimage + postimage rows).  Must run
+    BEFORE tombstone compaction (a compacted-away tombstone is a delete)."""
+    import numpy as np
+
+    from cassandra_data_migrator_ray.stages.validate import _null_safe_ne
+
+    keys = list(cfg.key_cols)
+    payload = list(cfg.payload_cols)
+    cols = keys + payload + [DELETED]
+    new_side = touched.merge(state[cols], on=keys, how="left")
+    new_live = ~(
+        new_side[DELETED].astype("boolean").fillna(True).to_numpy(dtype=bool)
+    )
+    if old is None or not len(old):
+        out = new_side.loc[new_live, keys + payload].copy()
+        out[CHANGE_COL] = "insert"
+        return out
+    old_side = touched.merge(old[cols], on=keys, how="left", indicator=True)
+    old_live = (old_side["_merge"] == "both").to_numpy() & ~(
+        old_side[DELETED].astype("boolean").fillna(True).to_numpy(dtype=bool)
+    )
+    ne = np.zeros(len(touched), dtype=bool)
+    for c in payload:
+        ne |= _null_safe_ne(
+            pa.Array.from_pandas(new_side[c]), pa.Array.from_pandas(old_side[c])
+        )
+    ins = new_side.loc[~old_live & new_live, keys + payload].copy()
+    ins[CHANGE_COL] = "insert"
+    upd = old_live & new_live & ne
+    pre = old_side.loc[upd, keys + payload].copy()
+    pre[CHANGE_COL] = "update_preimage"
+    post = new_side.loc[upd, keys + payload].copy()
+    post[CHANGE_COL] = "update_postimage"
+    dele = old_side.loc[old_live & ~new_live, keys + payload].copy()
+    dele[CHANGE_COL] = "delete"
+    out = pd.concat([ins, pre, post, dele], ignore_index=True)
+    return out.sort_values(
+        keys + [CHANGE_COL], kind="mergesort", ignore_index=True
+    )
+
+
+def _write_cdf(
+    cfg: MergeConfig, part: int, changes: "pd.DataFrame | pa.Table"
+) -> str | None:
+    n = changes.num_rows if isinstance(changes, pa.Table) else len(changes)
+    if not n:
+        return None
+    rel = os.path.join(CDF_DIR, f"part-{part:05d}-{cfg.run_id}.parquet")
+    path = os.path.join(cfg.lake_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    schema = _cdf_schema(cfg)
+    tbl = (
+        changes
+        if isinstance(changes, pa.Table)
+        else pa.Table.from_pandas(changes, preserve_index=False)
+    )
+    tbl = tbl.select(schema.names).cast(schema)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return rel
 
 
 def _arrow_state_schema(cfg: MergeConfig) -> pa.Schema:
@@ -178,6 +274,12 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
         cfg.counter_cols,
         ttl=cfg.ttl_enabled,
     )
+    cdf_rel = None
+    if cfg.emit_changes:
+        touched = partials[list(cfg.key_cols)].drop_duplicates(ignore_index=True)
+        cdf_rel = _write_cdf(
+            cfg, part, _compute_changes(cfg, old, state, touched)
+        )
     if cfg.compact:
         state = compact_tombstones(state, None)
     elif cfg.grace_wt is not None:
@@ -200,6 +302,7 @@ def merge_partition_group(cfg: MergeConfig, group: pd.DataFrame) -> pd.DataFrame
         "tombstones": tombstones,
         "status": "PASS",
         "metrics": {"keys_in": int(len(partials))},
+        **({"cdf_file": cdf_rel} if cdf_rel else {}),
     }
     from cassandra_data_migrator_ray.state.manifest import atomic_write_json
 

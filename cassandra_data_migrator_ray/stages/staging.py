@@ -279,6 +279,22 @@ def _merge_fine(
         int(cfg.prior_watermarks.get(part, -1)),
         int(pc.max(state[MAX_SEQ]).as_py()) if state.num_rows else -1,
     )
+    cdf_rel = None
+    if cfg.emit_changes:
+        # fresh partition (no prior state): every live folded key is a net
+        # insert; tombstones of never-existing keys emit nothing
+        from cassandra_data_migrator_ray.stages.merge import (
+            CHANGE_COL,
+            _write_cdf,
+        )
+
+        live = state.filter(pc.invert(state[DELETED]))
+        changes = live.select(
+            [c for c in (*cfg.key_cols, *cfg.payload_cols) if c in live.column_names]
+        ).append_column(
+            CHANGE_COL, pa.array(["insert"] * live.num_rows, pa.string())
+        )
+        cdf_rel = _write_cdf(cfg, part, changes)
     if cfg.compact:
         state = state.filter(pc.invert(state[DELETED]))
     elif cfg.grace_wt is not None:
@@ -310,6 +326,7 @@ def _merge_fine(
         "tombstones": tombstones,
         "status": "PASS",
         "metrics": {"keys_in": int(keys_in)},
+        **({"cdf_file": cdf_rel} if cdf_rel else {}),
     }
     atomic_write_json(receipt_path, receipt)
     return pd.DataFrame(

@@ -178,6 +178,10 @@ class Manifest:
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.lake_dir, "_staging", run_id)
 
+    @property
+    def snapshots_dir(self) -> str:
+        return os.path.join(self.lake_dir, "_snapshots")
+
     def receipt_path(self, part: int, run_id: str) -> str:
         return os.path.join(self.staging_dir(run_id), f"part-{part:05d}.json")
 
@@ -395,6 +399,24 @@ class Manifest:
             }
         )
         atomic_write_json(self.path, self.to_json())
+        # versioned snapshot for time travel: the complete partition→files map
+        # at this commit (copy-on-write means old partition files stay on disk
+        # while a snapshot references them; vacuum() prunes).  Written BEFORE
+        # gc so the collector sees it and retains the referenced files.
+        atomic_write_json(
+            os.path.join(self.snapshots_dir, f"v{self.version:06d}.json"),
+            {
+                "version": self.version,
+                "run_id": run_id,
+                "committed_at": time.time(),
+                "schema": schema_to_json(self.schema),
+                "key_cols": self.key_cols,
+                "ttl_enabled": self.ttl_enabled,
+                "partitions": {
+                    str(k): v.files for k, v in self.partitions.items()
+                },
+            },
+        )
         self.gc(keep_staging={run_id} if receipts else set())
         # the committing run's staged raw-event copy (~the whole input stream)
         # is dead weight once receipts are folded in.  Deleting tens of
@@ -425,9 +447,77 @@ class Manifest:
                     daemon=True,
                 ).start()
 
+    def list_snapshots(self) -> list[int]:
+        """Committed versions still available for time travel."""
+        d = self.snapshots_dir
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def snapshot(self, version: int) -> dict | None:
+        """The committed partition→files map (+ schema) at ``version``."""
+        p = os.path.join(self.snapshots_dir, f"v{version:06d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop time-travel snapshots older than the newest ``keep_last``
+        versions, then gc their now-unreferenced data files.  Returns the
+        pruned versions.  The current version is always retained."""
+        versions = self.list_snapshots()
+        cut = versions[-max(1, keep_last):] if versions else []
+        pruned = [v for v in versions if v not in cut]
+        for v in pruned:
+            try:
+                os.unlink(os.path.join(self.snapshots_dir, f"v{v:06d}.json"))
+            except OSError:
+                pass
+        # change feeds age out with their version: drop cdf files of runs
+        # committed below the retained-version floor
+        floor = cut[0] if cut else self.version
+        stale_runs = {
+            r["run_id"] for r in self.runs if r.get("version", 0) < floor
+        }
+        cdir = os.path.join(self.lake_dir, "cdf")
+        if stale_runs and os.path.isdir(cdir):
+            for fn in os.listdir(cdir):
+                rid = fn.rsplit("-", 1)[-1].removesuffix(".parquet")
+                if rid in stale_runs:
+                    try:
+                        os.unlink(os.path.join(cdir, fn))
+                    except OSError:
+                        pass
+        if pruned:
+            self.gc()
+        return pruned
+
+    def _snapshot_referenced_files(self) -> set[str]:
+        refs: set[str] = set()
+        d = self.snapshots_dir
+        if not os.path.isdir(d):
+            return refs
+        for fn in os.listdir(d):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    with open(os.path.join(d, fn)) as f:
+                        snap = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                for files in snap.get("partitions", {}).values():
+                    refs.update(files)
+        return refs
+
     def gc(self, keep_staging: set[str] | None = None) -> list[str]:
-        """Delete data files not referenced by the committed manifest."""
+        """Delete data files referenced by neither the committed manifest nor
+        a retained time-travel snapshot (vacuum() shrinks the latter set)."""
         referenced = {f for p in self.partitions.values() for f in p.files}
+        referenced |= self._snapshot_referenced_files()
         removed = []
         ddir = os.path.join(self.lake_dir, "data")
         if os.path.isdir(ddir):
@@ -436,6 +526,19 @@ class Manifest:
                 if rel not in referenced and not fn.endswith(".tmp"):
                     os.unlink(os.path.join(ddir, fn))
                     removed.append(rel)
+        # cdf files from a crashed (never-committed) run are invisible to
+        # readers but dead weight — drop any whose run is not in the ledger
+        cdir = os.path.join(self.lake_dir, "cdf")
+        if os.path.isdir(cdir):
+            committed = {r["run_id"] for r in self.runs}
+            for fn in os.listdir(cdir):
+                rid = fn.rsplit("-", 1)[-1].removesuffix(".parquet")
+                if rid not in committed and not fn.endswith(".tmp"):
+                    try:
+                        os.unlink(os.path.join(cdir, fn))
+                        removed.append(os.path.join("cdf", fn))
+                    except OSError:
+                        pass
         sdir = os.path.join(self.lake_dir, "_staging")
         if os.path.isdir(sdir):
             import shutil

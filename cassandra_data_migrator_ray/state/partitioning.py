@@ -43,6 +43,35 @@ def assign_partition(
     return (h % np.uint64(num_parts)).astype(np.int32)
 
 
+def candidate_partitions(
+    first_key_values: "np.ndarray | pd.Series | list",
+    num_parts: int,
+    salt: int = 1,
+) -> dict[object, list[int]]:
+    """Partitions that MAY hold rows of each first-key-component value — the
+    read-side inverse of :func:`assign_partition_keys` (reference target point
+    lookup, cql/statement/TargetSelectByPKStatement.java, re-expressed as
+    partition pruning).  Without salt each value routes to exactly one
+    partition; with ``salt > 1`` its rows spread over at most ``salt``
+    distinct partitions (the mix term only takes values 0..salt-1), so a
+    point lookup reads ≤ salt partition file sets instead of the whole lake.
+    """
+    vals = list(dict.fromkeys(
+        first_key_values.tolist()
+        if hasattr(first_key_values, "tolist")
+        else first_key_values
+    ))
+    h = hash_key(np.array(vals, dtype=object))
+    out: dict[object, list[int]] = {}
+    mixes = [
+        np.uint64(m) * np.uint64(0x9E3779B97F4A7C15) for m in range(max(1, salt))
+    ]
+    for v, hv in zip(vals, h):
+        parts = {int((np.uint64(hv) ^ mx) % np.uint64(num_parts)) for mx in mixes}
+        out[v] = sorted(parts)
+    return out
+
+
 def assign_partition_keys(
     keys: "list[np.ndarray | pd.Series]",
     num_parts: int,

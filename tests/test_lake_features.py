@@ -1,0 +1,308 @@
+"""Lakehouse read-side features: point lookup, snapshot time travel + vacuum,
+and the per-run change-data-feed (CDC out)."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+from cassandra_data_migrator_ray.pipelines.replay import replay
+from cassandra_data_migrator_ray.sources.lake import (
+    lookup,
+    read_changes,
+    read_changes_pandas,
+    read_lake,
+    read_lake_pandas,
+)
+from cassandra_data_migrator_ray.state.manifest import Manifest
+from cassandra_data_migrator_ray.state.partitioning import (
+    assign_partition_keys,
+    candidate_partitions,
+)
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _lake(tmp_path, name="lake"):
+    return str(tmp_path / name)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLookup:
+    def test_prefix_lookup_matches_oracle(self, tmp_path):
+        ev = gen_change_stream(n_convs=60, n_events=4000, seed=3)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=16, salt=2)
+        want = oracle_final_state(ev.to_pandas())
+        convs = want["conv_id"].unique()[:4].tolist()
+        got = lookup(lake, convs)
+        exp = want[want["conv_id"].isin(convs)].sort_values(KEY, ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_full_key_and_mixed_width(self, tmp_path):
+        ev = gen_change_stream(n_convs=30, n_events=2000, seed=5)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=8)
+        want = oracle_final_state(ev.to_pandas())
+        rows = want.head(5)
+        keys = [tuple(r) for r in rows[KEY].itertuples(index=False)]
+        got = lookup(lake, keys)
+        pd.testing.assert_frame_equal(
+            got, rows.sort_values(KEY, ignore_index=True), check_dtype=False
+        )
+        # mixed: one whole conversation + one exact turn of another
+        conv = want["conv_id"].iloc[-1]
+        other = keys[0]
+        got2 = lookup(lake, [conv, other])
+        exp2 = pd.concat(
+            [
+                want[want["conv_id"] == conv],
+                want[(want["conv_id"] == other[0]) & (want["turn_idx"] == other[1])],
+            ]
+        ).sort_values(KEY, ignore_index=True)
+        pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+
+    def test_missing_key_empty(self, tmp_path):
+        ev = gen_change_stream(n_convs=10, n_events=500, seed=7)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=4)
+        assert len(lookup(lake, ["conv-does-not-exist"])) == 0
+
+    def test_candidate_partitions_prune_and_cover(self):
+        """The candidate set is a small fraction of the lake (pruning) and
+        always contains the partition the write side actually routes to
+        (coverage) — with and without salt."""
+        convs = np.array([f"conv-{i:04d}" for i in range(200)], dtype=object)
+        turns = np.arange(200, dtype=np.int64) % 17
+        for salt in (1, 4):
+            cand = candidate_partitions(convs, 64, salt)
+            actual = assign_partition_keys([convs, turns], 64, salt)
+            for v, p in zip(convs, actual):
+                assert int(p) in cand[v], (v, salt)
+                assert len(cand[v]) <= max(1, salt)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTimeTravel:
+    def test_versioned_reads_match_history(self, tmp_path):
+        full = gen_change_stream(n_convs=40, n_events=4000, seed=9).to_pandas()
+        half = len(full) // 2
+        lake = _lake(tmp_path)
+        replay(full[full.event_seq < half], lake, num_parts=8)
+        v1 = read_lake_pandas(lake)
+        replay(full[full.event_seq >= half], lake, num_parts=8)
+        v2 = read_lake_pandas(lake)
+        m = Manifest.load(lake)
+        assert m.list_snapshots() == [1, 2]
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake, version=1), v1, check_dtype=False
+        )
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake, version=2), v2, check_dtype=False
+        )
+        assert read_lake(lake, version=1).count() == len(v1)
+
+    def test_old_version_hides_evolved_column(self, tmp_path):
+        """A column added by a later run must not appear in an earlier view
+        (the snapshot pins the schema, not just the file set)."""
+        base = gen_change_stream(n_convs=20, n_events=1000, seed=11).to_pandas()
+        lake = _lake(tmp_path)
+        replay(base, lake, num_parts=4)
+        more = gen_change_stream(
+            n_convs=20, n_events=500, seed=12, seq_start=2000
+        ).to_pandas()
+        more["lang"] = "en"  # additive evolution beyond the base schema
+        replay(more, lake, num_parts=4)
+        assert "lang" in read_lake_pandas(lake).columns
+        assert "lang" not in read_lake_pandas(lake, version=1).columns
+
+    def test_vacuum_prunes_old_versions_and_files(self, tmp_path):
+        full = gen_change_stream(n_convs=30, n_events=3000, seed=13).to_pandas()
+        third = len(full) // 3
+        lake = _lake(tmp_path)
+        for lo, hi in [(0, third), (third, 2 * third), (2 * third, len(full))]:
+            replay(
+                full[(full.event_seq >= lo) & (full.event_seq < hi)],
+                lake,
+                num_parts=4,
+            )
+        m = Manifest.load(lake)
+        assert m.list_snapshots() == [1, 2, 3]
+        files_before = set(glob.glob(os.path.join(lake, "data", "*.parquet")))
+        assert m.vacuum(keep_last=1) == [1, 2]
+        assert m.list_snapshots() == [3]
+        with pytest.raises(ValueError, match="not available"):
+            read_lake_pandas(lake, version=1)
+        # current view unaffected; superseded per-run files actually deleted
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake, version=3),
+            read_lake_pandas(lake),
+            check_dtype=False,
+        )
+        files_after = set(glob.glob(os.path.join(lake, "data", "*.parquet")))
+        assert files_after < files_before
+
+    def test_unknown_version_raises(self, tmp_path):
+        ev = gen_change_stream(n_convs=10, n_events=500, seed=15)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=4)
+        with pytest.raises(ValueError, match="not available"):
+            read_lake_pandas(lake, version=99)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChangeDataFeed:
+    def _replay_halves(self, tmp_path, **kw):
+        full = gen_change_stream(n_convs=40, n_events=4000, seed=9).to_pandas()
+        half = len(full) // 2
+        lake = _lake(tmp_path)
+        r1 = replay(
+            full[full.event_seq < half], lake, num_parts=8, emit_changes=True, **kw
+        )
+        v1 = read_lake_pandas(lake)
+        r2 = replay(
+            full[full.event_seq >= half], lake, num_parts=8, emit_changes=True, **kw
+        )
+        v2 = read_lake_pandas(lake)
+        return lake, r1, v1, r2, v2
+
+    def test_first_run_feed_is_insert_only_and_equals_state(self, tmp_path):
+        lake, r1, v1, _, _ = self._replay_halves(tmp_path)
+        ch = read_changes_pandas(lake, run_id=r1.run_id)
+        assert set(ch["_change_type"]) == {"insert"}
+        ins = ch.drop(columns="_change_type").sort_values(KEY, ignore_index=True)
+        pd.testing.assert_frame_equal(ins, v1, check_dtype=False)
+
+    def test_feed_applied_to_prior_state_reproduces_new_state(self, tmp_path):
+        lake, _, v1, r2, v2 = self._replay_halves(tmp_path)
+        ch = read_changes_pandas(lake, run_id=r2.run_id)
+        assert {"insert", "update_preimage", "update_postimage", "delete"} >= set(
+            ch["_change_type"]
+        )
+        post = ch[ch._change_type.isin(["insert", "update_postimage"])].drop(
+            columns="_change_type"
+        )
+        removed = pd.concat([post[KEY], ch[ch._change_type == "delete"][KEY]])
+        kept = v1.merge(removed, on=KEY, how="left", indicator=True)
+        kept = kept[kept._merge == "left_only"].drop(columns="_merge")
+        applied = pd.concat([kept, post], ignore_index=True).sort_values(
+            KEY, ignore_index=True
+        )
+        pd.testing.assert_frame_equal(applied, v2, check_dtype=False)
+
+    def test_preimages_match_prior_state(self, tmp_path):
+        lake, _, v1, r2, _ = self._replay_halves(tmp_path)
+        ch = read_changes_pandas(lake, run_id=r2.run_id)
+        pre = ch[ch._change_type == "update_preimage"].drop(columns="_change_type")
+        chk = pre.merge(v1, on=KEY, suffixes=("_pre", "_v1"))
+        assert len(chk) == len(pre)
+        for c in (c for c in pre.columns if c not in KEY):
+            a, b = chk[c + "_pre"], chk[c + "_v1"]
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+    def test_version_and_default_selectors(self, tmp_path):
+        lake, r1, _, r2, _ = self._replay_halves(tmp_path)
+        by_ver = read_changes_pandas(lake, version=1)
+        by_run = read_changes_pandas(lake, run_id=r1.run_id)
+        pd.testing.assert_frame_equal(by_ver, by_run)
+        latest = read_changes_pandas(lake)
+        pd.testing.assert_frame_equal(
+            latest, read_changes_pandas(lake, run_id=r2.run_id)
+        )
+        assert read_changes(lake, version=1).count() == len(by_ver)
+
+    def test_redelivery_produces_empty_feed(self, tmp_path):
+        ev = gen_change_stream(n_convs=20, n_events=1000, seed=17)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=4, emit_changes=True)
+        r2 = replay(ev, lake, num_parts=4, emit_changes=True)
+        assert r2.events_merged_keys == 0
+        assert len(read_changes_pandas(lake, run_id=r2.run_id)) == 0
+
+    def test_lww_loser_emits_nothing(self, tmp_path):
+        """A stale update (older writetime) against a written cell loses LWW
+        and emits NOTHING; against a never-written (unset) cell it wins and
+        emits an update pair — the feed reflects net state change only."""
+
+        def ev(seq, turn, wt, text):
+            return dict(
+                conv_id="c1", turn_idx=np.int32(turn), op="U", writetime=wt,
+                event_seq=seq, role="user", text=text, tool=None,
+                ts=pd.Timestamp("2026-01-01"),
+            )
+
+        lake = _lake(tmp_path)
+        replay(
+            pd.DataFrame([ev(0, 0, 100, "hello"), ev(1, 1, 100, None)]),
+            lake, num_parts=2, emit_changes=True,
+        )
+        r2 = replay(
+            pd.DataFrame([ev(10, 0, 1, "stale"), ev(11, 1, 1, "stale")]),
+            lake, num_parts=2, emit_changes=True,
+        )
+        ch = read_changes_pandas(lake, run_id=r2.run_id)
+        # turn 0: written cell, stale write lost — no emission for that key
+        assert not (ch["turn_idx"] == 0).any()
+        # turn 1: unset cell accepted the write — one pre/post pair
+        pair = ch[ch["turn_idx"] == 1].set_index("_change_type")
+        assert pair.loc["update_preimage", "text"] is None or pd.isna(
+            pair.loc["update_preimage", "text"]
+        )
+        assert pair.loc["update_postimage", "text"] == "stale"
+
+    def test_counter_feed_reports_totals(self, tmp_path):
+        """Counter columns surface the post-merge TOTAL in postimages (the
+        reference reads counters back as totals, not deltas)."""
+        rows = []
+        for seq, (op, d) in enumerate([("U", 5), ("U", 7), ("U", -2)]):
+            rows.append(
+                dict(
+                    conv_id="c1", turn_idx=np.int32(0), op=op, writetime=seq + 1,
+                    event_seq=seq, role="user", text="x", tool=None,
+                    ts=pd.Timestamp("2026-01-01"), score=d,
+                )
+            )
+        df = pd.DataFrame(rows)
+        lake = _lake(tmp_path)
+        replay(
+            df.iloc[:2], lake, num_parts=2, counter_cols=("score",),
+            emit_changes=True,
+        )
+        r2 = replay(
+            df.iloc[2:], lake, num_parts=2, counter_cols=("score",),
+            emit_changes=True,
+        )
+        ch = read_changes_pandas(lake, run_id=r2.run_id)
+        post = ch[ch._change_type == "update_postimage"]
+        assert len(post) == 1 and int(post["score"].iloc[0]) == 10
+        pre = ch[ch._change_type == "update_preimage"]
+        assert int(pre["score"].iloc[0]) == 12
+
+    def test_uncommitted_feed_invisible_and_gced(self, tmp_path):
+        ev = gen_change_stream(n_convs=20, n_events=1000, seed=21)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=4, emit_changes=True)
+        more = gen_change_stream(n_convs=20, n_events=500, seed=22, seq_start=2000)
+        replay(
+            more, lake, num_parts=4, run_id="deadcdf", commit=False,
+            emit_changes=True,
+        )
+        assert glob.glob(os.path.join(lake, "cdf", "*deadcdf*"))
+        with pytest.raises(ValueError, match="not committed"):
+            read_changes_pandas(lake, run_id="deadcdf")
+        third = gen_change_stream(n_convs=20, n_events=500, seed=23, seq_start=4000)
+        replay(third, lake, num_parts=4, emit_changes=True)
+        assert glob.glob(os.path.join(lake, "cdf", "*deadcdf*")) == []
+
+    def test_vacuum_prunes_old_feeds(self, tmp_path):
+        lake, r1, _, r2, _ = self._replay_halves(tmp_path)
+        m = Manifest.load(lake)
+        m.vacuum(keep_last=1)
+        # run-1's ledger entry remains but its feed files are pruned: the
+        # feed reads back empty by version and by run_id
+        assert len(read_changes_pandas(lake, version=1)) == 0
+        assert glob.glob(os.path.join(lake, "cdf", f"*{r1.run_id}*")) == []
+        assert len(read_changes_pandas(lake, run_id=r2.run_id)) > 0
