@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D. full-engine CDC over generated transcripts (not SQL-expressible)
         "cdc_replay": q.cdc_replay,
         "cdc_validate": q.cdc_validate,
+        "cdc_changes": q.cdc_changes,
     }
 
 
@@ -118,6 +119,80 @@ fin AS (
 )"""
 
 
+def _fold_cte_block(cache_glob: str, pred: str, p: str) -> str:
+    """The LWW fold of _cdc_fold_cte restricted to ``pred``, with every CTE
+    name prefixed ``p`` so two folds (prefix vs full stream) compose in one
+    query; ``{p}state`` is the live final table."""
+    return f"""
+{p}e AS (SELECT * FROM read_parquet('{cache_glob}') WHERE {pred}),
+{p}w AS (
+  SELECT *, count(*) FILTER (WHERE op = 'DELETE') OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY writetime, event_seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM {p}e
+),
+{p}mx AS (SELECT conv_id, turn_idx, max(epoch) AS mep FROM {p}w GROUP BY 1, 2),
+{p}live AS (
+  SELECT {p}w.* FROM {p}w JOIN {p}mx USING (conv_id, turn_idx)
+  WHERE {p}w.epoch = {p}mx.mep AND {p}w.op <> 'DELETE'
+),
+{p}fin AS (
+  SELECT conv_id, turn_idx,
+    last_value(role IGNORE NULLS) OVER pw AS role,
+    last_value(text IGNORE NULLS) OVER pw AS text,
+    last_value(tool IGNORE NULLS) OVER pw AS tool,
+    last_value(ts IGNORE NULLS) OVER pw AS ts,
+    row_number() OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY writetime DESC, event_seq DESC) AS rn
+  FROM {p}live
+  WINDOW pw AS (PARTITION BY conv_id, turn_idx ORDER BY writetime, event_seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+{p}state AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM {p}fin WHERE rn = 1)"""
+
+
+def _cdc_changes_sql(cache_glob: str, half: int) -> str:
+    """Oracle twin of queries.cdc_changes: the change feed of replaying the
+    second half onto the first-half state = state(prefix) vs state(full)
+    compared per key touched by the second half (IS DISTINCT FROM = the
+    engine's null-safe payload comparator)."""
+    diff = (
+        "o_role IS DISTINCT FROM n_role OR o_text IS DISTINCT FROM n_text "
+        "OR o_tool IS DISTINCT FROM n_tool OR o_ts IS DISTINCT FROM n_ts"
+    )
+    return f"""
+WITH {_fold_cte_block(cache_glob, f'event_seq < {half}', 'o')},
+{_fold_cte_block(cache_glob, 'TRUE', 'n')},
+touched AS (
+  SELECT DISTINCT conv_id, turn_idx FROM read_parquet('{cache_glob}')
+  WHERE event_seq >= {half}
+),
+j AS (
+  SELECT tc.conv_id, tc.turn_idx,
+         o.conv_id IS NOT NULL AS old_live,
+         n.conv_id IS NOT NULL AS new_live,
+         o.role AS o_role, o.text AS o_text, o.tool AS o_tool, o.ts AS o_ts,
+         n.role AS n_role, n.text AS n_text, n.tool AS n_tool, n.ts AS n_ts
+  FROM touched tc
+  LEFT JOIN ostate o ON o.conv_id = tc.conv_id AND o.turn_idx = tc.turn_idx
+  LEFT JOIN nstate n ON n.conv_id = tc.conv_id AND n.turn_idx = tc.turn_idx
+)
+SELECT conv_id, turn_idx, n_role AS role, n_text AS text, n_tool AS tool,
+       n_ts AS ts, 'insert' AS _change_type
+FROM j WHERE NOT old_live AND new_live
+UNION ALL
+SELECT conv_id, turn_idx, o_role, o_text, o_tool, o_ts, 'update_preimage'
+FROM j WHERE old_live AND new_live AND ({diff})
+UNION ALL
+SELECT conv_id, turn_idx, n_role, n_text, n_tool, n_ts, 'update_postimage'
+FROM j WHERE old_live AND new_live AND ({diff})
+UNION ALL
+SELECT conv_id, turn_idx, o_role, o_text, o_tool, o_ts, 'delete'
+FROM j WHERE old_live AND NOT new_live
+ORDER BY conv_id, turn_idx, _change_type
+"""
+
+
 def _cdc_cache_glob() -> str:
     """Materialize the deterministic change-stream cache at the correctness
     scale (the driver compares at sf0.01; tests override via
@@ -131,8 +206,13 @@ def _cdc_cache_glob() -> str:
 def oracle_sql() -> dict[str, str]:
     day5 = 1_704_067_200_000_000 + 4 * 86_400_000_000
     day10 = 1_704_067_200_000_000 + 9 * 86_400_000_000
-    cdc = _cdc_fold_cte(_cdc_cache_glob())
+    glob_ = _cdc_cache_glob()
+    cdc = _cdc_fold_cte(glob_)
+    from cassandra_data_migrator_ray.pipelines.queries import _cache_event_count
+
+    half = _cache_event_count(os.path.dirname(glob_)) // 2
     return {
+        "cdc_changes": _cdc_changes_sql(glob_, half),
         "cdc_replay": f"""
 {cdc}
 SELECT conv_id, turn_idx, role, text, tool, ts

@@ -741,6 +741,64 @@ def cdc_replay(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cache_event_count(cache: str) -> int:
+    """Row count of the cached change stream from parquet metadata only —
+    shared by the engine query and the SQL oracle so both split the stream at
+    the identical event_seq threshold."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(cache, "*.parquet"))
+    )
+
+
+def cdc_changes(sf_dir: str) -> pd.DataFrame:
+    """Change-data-feed gate: replay the first half of the change stream into
+    a fresh lake, then the second half with emit_changes=True, and return the
+    second run's feed (net inserts, update pre/post image pairs, deletes —
+    LWW losers emit nothing).  The SQL oracle derives the same feed from the
+    prefix-fold vs full-fold states per touched key."""
+    import shutil
+
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import read_changes_pandas
+
+    cache = _gen_cached_events(sf_dir)
+    h = _cache_event_count(cache) // 2
+
+    def first_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["event_seq"], h))
+
+    def second_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["event_seq"], h))
+
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    try:
+        replay(
+            ray.data.read_parquet(cache).map_batches(
+                first_half, batch_format="pyarrow"
+            ),
+            lake,
+            num_parts=NUM_PARTS,
+            salt=2,
+        )
+        r2 = replay(
+            ray.data.read_parquet(cache).map_batches(
+                second_half, batch_format="pyarrow"
+            ),
+            lake,
+            num_parts=NUM_PARTS,
+            salt=2,
+            emit_changes=True,
+        )
+        return read_changes_pandas(lake, run_id=r2.run_id)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def cdc_validate(sf_dir: str) -> pd.DataFrame:
     """Replay + DiffData validation vs the independent oracle; returns the
     status counts (all-VALID on a correct engine)."""
