@@ -8,6 +8,10 @@ Reference: com.datastax.cdm.job.{Migrate, DiffData, GuardrailCheck} Scala Apps
     python -m cassandra_data_migrator_ray guardrail --input D.parquet --max-kb 1.0
     python -m cassandra_data_migrator_ray tail      --source WAL_DIR --lake L [--stop-after-idle 3]
     python -m cassandra_data_migrator_ray metrics   --lake L [--scan]
+    python -m cassandra_data_migrator_ray lookup    --lake L --keys conv42 conv7,3
+    python -m cassandra_data_migrator_ray changes   --lake L [--run-id R | --version N] [--out F.parquet]
+    python -m cassandra_data_migrator_ray snapshots --lake L
+    python -m cassandra_data_migrator_ray vacuum    --lake L --keep-last 1
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -48,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--format", default="auto", dest="file_format",
                    choices=["auto", "parquet", "csv", "json", "arrow"],
                    help="change-batch file format (csv/json coerce to the transcripts event schema)")
+    m.add_argument("--emit-changes", action="store_true",
+                   help="write a per-run change-data-feed (readable with `changes`)")
 
     v = sub.add_parser("validate", help="diff the lake against an expected table")
     v.add_argument("--expected", required=True)
@@ -85,6 +91,26 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--scan", action="store_true",
                    help="also scan the lake for event-time lag (max __row_wt)")
 
+    lk = sub.add_parser("lookup", help="point lookup by PK / key prefix (partition-pruned)")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--keys", required=True, nargs="+",
+                    help="first-key values, or full keys as comma-joined tuples (conv,turn)")
+    lk.add_argument("--columns", nargs="*", default=None)
+    lk.add_argument("--out", default=None, help="write result parquet here instead of stdout JSON")
+
+    ch = sub.add_parser("changes", help="read a committed run's change-data-feed")
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--run-id", default=None)
+    ch.add_argument("--version", type=int, default=None)
+    ch.add_argument("--out", default=None, help="write feed parquet here instead of a stdout summary")
+
+    vc = sub.add_parser("vacuum", help="prune time-travel snapshots + their files and old change feeds")
+    vc.add_argument("--lake", required=True)
+    vc.add_argument("--keep-last", type=int, default=1)
+
+    sn = sub.add_parser("snapshots", help="list committed versions available for time travel")
+    sn.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
     ray = _init_ray(args.num_cpus)
     try:
@@ -114,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
                 salt=args.salt,
                 run_id=args.run_id,
                 compact=args.compact,
+                emit_changes=args.emit_changes,
             )
             print(
                 json.dumps(
@@ -198,6 +225,61 @@ def main(argv: list[str] | None = None) -> int:
                         "partitions": rep.to_dict(orient="records"),
                         "runs": tp.to_dict(orient="records"),
                     }
+                )
+            )
+        elif args.cmd == "lookup":
+            from cassandra_data_migrator_ray.sources.lake import lookup
+
+            keys = [
+                tuple(
+                    int(x) if x.lstrip("-").isdigit() else x
+                    for x in k.split(",")
+                )
+                if "," in k
+                else k
+                for k in args.keys
+            ]
+            df = lookup(args.lake, keys, columns=args.columns)
+            if args.out:
+                df.to_parquet(args.out)
+                print(json.dumps({"rows": int(len(df)), "out": args.out}))
+            else:
+                print(df.to_json(orient="records", date_format="iso"))
+        elif args.cmd == "changes":
+            from cassandra_data_migrator_ray.sources.lake import read_changes_pandas
+
+            df = read_changes_pandas(
+                args.lake, run_id=args.run_id, version=args.version
+            )
+            if args.out:
+                df.to_parquet(args.out)
+                print(json.dumps({"rows": int(len(df)), "out": args.out}))
+            else:
+                counts = (
+                    df["_change_type"].value_counts().to_dict() if len(df) else {}
+                )
+                print(json.dumps({"rows": int(len(df)), "by_type": counts}))
+        elif args.cmd == "vacuum":
+            from cassandra_data_migrator_ray.state.manifest import Manifest
+
+            man = Manifest.load(args.lake)
+            if man is None:
+                raise FileNotFoundError(f"no manifest at {args.lake}")
+            pruned = man.vacuum(keep_last=args.keep_last)
+            print(
+                json.dumps(
+                    {"pruned_versions": pruned, "kept": man.list_snapshots()}
+                )
+            )
+        elif args.cmd == "snapshots":
+            from cassandra_data_migrator_ray.state.manifest import Manifest
+
+            man = Manifest.load(args.lake)
+            if man is None:
+                raise FileNotFoundError(f"no manifest at {args.lake}")
+            print(
+                json.dumps(
+                    {"versions": man.list_snapshots(), "current": man.version}
                 )
             )
         elif args.cmd == "guardrail":

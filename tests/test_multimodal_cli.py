@@ -145,6 +145,52 @@ class TestCli:
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert out["counters"]["LARGE"] > 0 and r.returncode == 1
 
+    def test_cli_lookup_changes_snapshots_vacuum(self, tmp_path):
+        """The lakehouse read-side commands: lookup, change feed, snapshot
+        listing and vacuum, driven as subprocesses over a two-run lake."""
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+
+        events = gen_change_stream(n_convs=20, n_events=800, seed=5)
+        df = events.to_pandas()
+        half = len(df) // 2
+        ev1, ev2 = str(tmp_path / "e1.parquet"), str(tmp_path / "e2.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(df[df.event_seq < half], preserve_index=False), ev1
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df[df.event_seq >= half], preserve_index=False), ev2
+        )
+        lake = str(tmp_path / "lake")
+
+        def run(*args):
+            return subprocess.run(
+                [sys.executable, "-m", "cassandra_data_migrator_ray", "--num-cpus", "2", *args],
+                capture_output=True, text=True, cwd="/root/repo", timeout=180,
+            )
+
+        for ev in (ev1, ev2):
+            r = run("migrate", "--events", ev, "--lake", lake,
+                    "--num-parts", "4", "--emit-changes")
+            assert r.returncode == 0, r.stderr[-2000:]
+
+        r = run("snapshots", "--lake", lake)
+        assert json.loads(r.stdout.strip().splitlines()[-1])["versions"] == [1, 2]
+
+        conv = df["conv_id"].iloc[0]
+        r = run("lookup", "--lake", lake, "--keys", conv)
+        rows = json.loads(r.stdout.strip().splitlines()[-1])
+        assert rows and all(x["conv_id"] == conv for x in rows)
+
+        feed_out = str(tmp_path / "feed.parquet")
+        r = run("changes", "--lake", lake, "--version", "2", "--out", feed_out)
+        assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] > 0
+        feed = pq.read_table(feed_out)
+        assert "_change_type" in feed.column_names
+
+        r = run("vacuum", "--lake", lake, "--keep-last", "1")
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["pruned_versions"] == [1] and out["kept"] == [2]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSourceFormats:
