@@ -91,32 +91,10 @@ def _cdc_fold_cte(cache_glob: str) -> str:
     """DuckDB CTE reproducing the engine's LWW fold over the generated change
     stream: total order (writetime, event_seq); DELETE opens a new epoch
     (suppresses every cell at-or-below its token); within the live epoch each
-    cell is the last non-null value (null payload = unset keeps existing)."""
-    return f"""
-WITH e AS (SELECT * FROM read_parquet('{cache_glob}')),
-w AS (
-  SELECT *, count(*) FILTER (WHERE op = 'DELETE') OVER (
-      PARTITION BY conv_id, turn_idx ORDER BY writetime, event_seq
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
-  FROM e
-),
-mx AS (SELECT conv_id, turn_idx, max(epoch) AS mep FROM w GROUP BY 1, 2),
-live AS (
-  SELECT w.* FROM w JOIN mx USING (conv_id, turn_idx)
-  WHERE w.epoch = mx.mep AND w.op <> 'DELETE'
-),
-fin AS (
-  SELECT conv_id, turn_idx,
-    last_value(role IGNORE NULLS) OVER pw AS role,
-    last_value(text IGNORE NULLS) OVER pw AS text,
-    last_value(tool IGNORE NULLS) OVER pw AS tool,
-    last_value(ts IGNORE NULLS) OVER pw AS ts,
-    row_number() OVER (PARTITION BY conv_id, turn_idx
-                       ORDER BY writetime DESC, event_seq DESC) AS rn
-  FROM live
-  WINDOW pw AS (PARTITION BY conv_id, turn_idx ORDER BY writetime, event_seq
-                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-)"""
+    cell is the last non-null value (null payload = unset keeps existing).
+    One source of fold semantics: the unprefixed, unfiltered instance of
+    _fold_cte_block (callers select FROM fin WHERE rn = 1)."""
+    return "\nWITH " + _fold_cte_block(cache_glob, "TRUE", "").lstrip()
 
 
 def _fold_cte_block(cache_glob: str, pred: str, p: str) -> str:

@@ -112,7 +112,12 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--lake", required=True)
 
     args = p.parse_args(argv)
-    ray = _init_ray(args.num_cpus)
+    # the read-side metadata commands (lookup/changes/snapshots/vacuum) are
+    # driver-side pyarrow/os work — skip the multi-second Ray startup
+    needs_ray = args.cmd in {
+        "migrate", "validate", "guardrail", "compact", "tail", "metrics"
+    }
+    ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
         if args.cmd == "migrate":
             from cassandra_data_migrator_ray.pipelines.replay import replay
@@ -230,14 +235,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "lookup":
             from cassandra_data_migrator_ray.sources.lake import lookup
 
+            # components stay strings; lookup() casts them to the lake's
+            # declared key types (a digit-like string key column must NOT be
+            # coerced to int)
             keys = [
-                tuple(
-                    int(x) if x.lstrip("-").isdigit() else x
-                    for x in k.split(",")
-                )
-                if "," in k
-                else k
-                for k in args.keys
+                tuple(k.split(",")) if "," in k else k for k in args.keys
             ]
             df = lookup(args.lake, keys, columns=args.columns)
             if args.out:
@@ -292,7 +294,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if res.counters["LARGE"] == 0 else 1
         return 0
     finally:
-        ray.shutdown()
+        if ray is not None:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

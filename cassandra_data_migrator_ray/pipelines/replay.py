@@ -90,6 +90,7 @@ def replay(
     ttl: bool | None = None,
     rate_limit_rows_per_s: float | None = None,
     emit_changes: bool = False,
+    snapshot_retention: int | None = None,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -142,6 +143,7 @@ def replay(
         salt=salt,
         counter_cols=list(counter_cols),
         key_cols=list(key_cols) if key_cols else None,
+        snapshot_retention=snapshot_retention,
     )
     # apply the feature transform chain FIRST: schema evolution, ttl
     # detection and the required-column check must all see the

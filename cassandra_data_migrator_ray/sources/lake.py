@@ -197,6 +197,32 @@ def read_changes_pandas(
     )
 
 
+def _coerce_key_tuple(manifest: Manifest, t: tuple) -> tuple:
+    """Cast lookup key components to the manifest's declared key types so
+    string-sourced keys (CLI args, JSON) match integer columns and digit-like
+    strings are NOT mis-coerced when the column really is a string."""
+    out = []
+    for i, v in enumerate(t):
+        if i >= len(manifest.key_cols):
+            out.append(v)
+            continue
+        name = manifest.key_cols[i]
+        typ = (
+            manifest.schema.field(name).type
+            if name in manifest.schema.names
+            else None
+        )
+        if typ is not None and pa.types.is_integer(typ) and isinstance(v, str):
+            try:
+                v = int(v)
+            except ValueError:
+                pass
+        elif typ is not None and pa.types.is_string(typ) and not isinstance(v, str):
+            v = str(v)
+        out.append(v)
+    return tuple(out)
+
+
 def lookup(
     lake_dir: str,
     key_values: list,
@@ -226,6 +252,7 @@ def lookup(
     tuples = [
         tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in key_values
     ]
+    tuples = [_coerce_key_tuple(manifest, t) for t in tuples]
     firsts = [t[0] for t in tuples]
     cand = candidate_partitions(firsts, manifest.num_parts, manifest.salt)
     parts = sorted({p for ps in cand.values() for p in ps})
@@ -233,22 +260,40 @@ def lookup(
     public_cols = columns or [*key_cols, *manifest.payload_cols()]
     if not files:
         return pd.DataFrame(columns=public_cols)
-    read_cols = list(dict.fromkeys([*key_cols, *public_cols, DELETED]))
-    first_field = manifest.schema.field(key_cols[0]) if key_cols[0] in manifest.schema.names else None
-    want_first = pa.array(list(dict.fromkeys(firsts)),
-                          type=first_field.type if first_field else None)
-    # row-group-pruned parquet read: the key predicate pushes down
-    import pyarrow.dataset as pads
-
-    dataset = pads.dataset(files, format="parquet")
-    tbl = dataset.to_table(
-        columns=read_cols, filter=pads.field(key_cols[0]).isin(want_first)
+    ttl_eval = as_of is not None and manifest.ttl_enabled
+    # the TTL path needs every bookkeeping column (c__ttlx/__row_ttlx) to
+    # evaluate expiry, so it reads whole rows; otherwise prune to the ask
+    read_cols = (
+        None
+        if ttl_eval
+        else list(dict.fromkeys([*key_cols, *public_cols, DELETED]))
     )
+    want_first = list(dict.fromkeys(firsts))
+    # per-file reads (schema-evolved lakes mix file schemas — a dataset over
+    # mixed fragments would reject columns absent from the first one) with a
+    # row-group-pruned key predicate pushed into each read
+    tables = []
+    for f in files:
+        fschema = pq.read_schema(f)
+        cols = (
+            None
+            if read_cols is None
+            else [c for c in read_cols if c in fschema.names]
+        )
+        tables.append(
+            pq.read_table(
+                f, columns=cols, filters=[(key_cols[0], "in", want_first)]
+            )
+        )
+    tbl = pa.concat_tables(tables, promote_options="default")
     df = tbl.to_pandas()
-    if as_of is not None and manifest.ttl_enabled:
+    if ttl_eval:
         from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
 
         df = apply_ttl_expiry(df, as_of, manifest.payload_cols())
+    for c in public_cols:  # evolved columns absent from EVERY read file
+        if c not in df.columns:
+            df[c] = None
     df = df[~df[DELETED].to_numpy(dtype=bool)]
     if any(len(t) > 1 for t in tuples):
         # each lookup tuple matches rows whose key PREFIX of the same length

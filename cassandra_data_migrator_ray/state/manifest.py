@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 from dataclasses import dataclass, field
@@ -139,6 +140,14 @@ def atomic_write_json(path: str, obj: Any) -> None:
             os.unlink(tmp)
 
 
+def _cdf_run_id(fn: str) -> str | None:
+    """run_id embedded in a change-feed filename ``part-NNNNN-<run_id>.parquet``
+    — the run_id itself may contain dashes (user-supplied), so parse by the
+    fixed-width part prefix, never by splitting on '-'."""
+    m = re.match(r"part-\d{5}-(.+)\.parquet$", fn)
+    return m.group(1) if m else None
+
+
 @dataclass
 class PartitionState:
     files: list[str] = field(default_factory=list)  # relative to lake dir
@@ -163,6 +172,12 @@ class Manifest:
     key_cols: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
     # durable per-cell TTL bookkeeping (c__ttlx / __row_ttlx state columns)
     ttl_enabled: bool = False
+    # time-travel retention: keep this many committed versions readable
+    # (commit auto-prunes older snapshots + their change feeds, gc reclaims
+    # the copy-on-write files).  0 = unlimited, manual vacuum() only —
+    # without a bound a per-batch tail loop would leak one superseded file
+    # copy per partition per commit.
+    snapshot_retention: int = 8
     version: int = 0
     partitions: dict[int, PartitionState] = field(default_factory=dict)
     runs: list[dict] = field(default_factory=list)
@@ -195,6 +210,7 @@ class Manifest:
             "counter_cols": self.counter_cols,
             "key_cols": self.key_cols,
             "ttl_enabled": self.ttl_enabled,
+            "snapshot_retention": self.snapshot_retention,
             "version": self.version,
             "partitions": {
                 str(k): {
@@ -225,6 +241,7 @@ class Manifest:
             counter_cols=j.get("counter_cols", []),
             key_cols=j.get("key_cols", ["conv_id", "turn_idx"]),
             ttl_enabled=j.get("ttl_enabled", False),
+            snapshot_retention=j.get("snapshot_retention", 8),
             version=j["version"],
             runs=j.get("runs", []),
         )
@@ -249,6 +266,7 @@ class Manifest:
         counter_cols: list[str] | None = None,
         key_cols: list[str] | None = None,
         ttl_enabled: bool = False,
+        snapshot_retention: int | None = None,
     ) -> "Manifest":
         m = cls.load(lake_dir)
         if m is None:
@@ -261,6 +279,11 @@ class Manifest:
                 counter_cols=list(counter_cols or []),
                 key_cols=list(key_cols or ["conv_id", "turn_idx"]),
                 ttl_enabled=ttl_enabled,
+                **(
+                    {"snapshot_retention": snapshot_retention}
+                    if snapshot_retention is not None
+                    else {}
+                ),
             )
         return m
 
@@ -417,6 +440,11 @@ class Manifest:
                 },
             },
         )
+        if self.snapshot_retention:
+            # bounded time travel by default: a per-batch tail loop would
+            # otherwise leak one superseded file copy per partition per
+            # commit; gc below reclaims the newly-unreferenced files
+            self._prune_snapshots(self.snapshot_retention)
         self.gc(keep_staging={run_id} if receipts else set())
         # the committing run's staged raw-event copy (~the whole input stream)
         # is dead weight once receipts are folded in.  Deleting tens of
@@ -466,10 +494,10 @@ class Manifest:
         with open(p) as f:
             return json.load(f)
 
-    def vacuum(self, keep_last: int = 1) -> list[int]:
-        """Drop time-travel snapshots older than the newest ``keep_last``
-        versions, then gc their now-unreferenced data files.  Returns the
-        pruned versions.  The current version is always retained."""
+    def _prune_snapshots(self, keep_last: int) -> list[int]:
+        """Unlink snapshot JSONs beyond the newest ``keep_last`` and age out
+        the change feeds of runs committed below the retained floor.  Pure
+        metadata pruning — file reclamation is gc()'s job."""
         versions = self.list_snapshots()
         cut = versions[-max(1, keep_last):] if versions else []
         pruned = [v for v in versions if v not in cut]
@@ -478,8 +506,6 @@ class Manifest:
                 os.unlink(os.path.join(self.snapshots_dir, f"v{v:06d}.json"))
             except OSError:
                 pass
-        # change feeds age out with their version: drop cdf files of runs
-        # committed below the retained-version floor
         floor = cut[0] if cut else self.version
         stale_runs = {
             r["run_id"] for r in self.runs if r.get("version", 0) < floor
@@ -487,12 +513,21 @@ class Manifest:
         cdir = os.path.join(self.lake_dir, "cdf")
         if stale_runs and os.path.isdir(cdir):
             for fn in os.listdir(cdir):
-                rid = fn.rsplit("-", 1)[-1].removesuffix(".parquet")
+                rid = _cdf_run_id(fn)
                 if rid in stale_runs:
                     try:
                         os.unlink(os.path.join(cdir, fn))
                     except OSError:
                         pass
+        return pruned
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop time-travel snapshots older than the newest ``keep_last``
+        versions (and their runs' change feeds), then gc the now-unreferenced
+        data files.  Returns the pruned versions.  The current version is
+        always retained; staged work of in-flight/resumable runs is never
+        touched (only commit sweeps ``_staging``)."""
+        pruned = self._prune_snapshots(keep_last)
         if pruned:
             self.gc()
         return pruned
@@ -515,7 +550,13 @@ class Manifest:
 
     def gc(self, keep_staging: set[str] | None = None) -> list[str]:
         """Delete data files referenced by neither the committed manifest nor
-        a retained time-travel snapshot (vacuum() shrinks the latter set)."""
+        a retained time-travel snapshot (vacuum() shrinks the latter set).
+
+        ``keep_staging`` is commit-only: an explicit set sweeps every OTHER
+        run's staging dir (the committing run just proved it is the single
+        writer).  ``None`` (maintenance callers like vacuum) leaves
+        ``_staging`` untouched — a crashed-but-resumable run's staged slices
+        and receipts must survive maintenance, only ``.trash-*`` debris goes."""
         referenced = {f for p in self.partitions.values() for f in p.files}
         referenced |= self._snapshot_referenced_files()
         removed = []
@@ -532,8 +573,8 @@ class Manifest:
         if os.path.isdir(cdir):
             committed = {r["run_id"] for r in self.runs}
             for fn in os.listdir(cdir):
-                rid = fn.rsplit("-", 1)[-1].removesuffix(".parquet")
-                if rid not in committed and not fn.endswith(".tmp"):
+                rid = _cdf_run_id(fn)
+                if rid is not None and rid not in committed:
                     try:
                         os.unlink(os.path.join(cdir, fn))
                         removed.append(os.path.join("cdf", fn))
@@ -545,10 +586,8 @@ class Manifest:
 
             for run in os.listdir(sdir):
                 # .trash-* dirs (renamed-out staged events) are always garbage
-                if (
-                    keep_staging is not None
-                    and run in keep_staging
-                    and not run.startswith(".trash-")
+                if not run.startswith(".trash-") and (
+                    keep_staging is None or run in keep_staging
                 ):
                     continue
                 shutil.rmtree(os.path.join(sdir, run), ignore_errors=True)

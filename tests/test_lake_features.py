@@ -306,3 +306,99 @@ class TestChangeDataFeed:
         assert len(read_changes_pandas(lake, version=1)) == 0
         assert glob.glob(os.path.join(lake, "cdf", f"*{r1.run_id}*")) == []
         assert len(read_changes_pandas(lake, run_id=r2.run_id)) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions:
+    """Pinned fixes from the feature review: dashed run_ids, vacuum vs staged
+    work, retention default, TTL-aware lookup, schema-evolved lookup."""
+
+    def test_dashed_run_id_feed_survives_next_commit(self, tmp_path):
+        ev = gen_change_stream(n_convs=15, n_events=600, seed=31)
+        lake = _lake(tmp_path)
+        rid = "nightly-2026-08-17"
+        replay(ev, lake, num_parts=4, run_id=rid, emit_changes=True)
+        assert len(read_changes_pandas(lake, run_id=rid)) > 0
+        more = gen_change_stream(n_convs=15, n_events=300, seed=32, seq_start=1000)
+        replay(more, lake, num_parts=4, emit_changes=True)  # commit runs gc
+        assert len(read_changes_pandas(lake, run_id=rid)) > 0
+
+    def test_vacuum_leaves_staged_work_resumable(self, tmp_path):
+        ev = gen_change_stream(n_convs=15, n_events=600, seed=33)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=4)
+        state = read_lake_pandas(lake)
+        more = gen_change_stream(n_convs=15, n_events=300, seed=34, seq_start=1000)
+        replay(more, lake, num_parts=4, run_id="inflight", commit=False)
+        staged = glob.glob(os.path.join(lake, "_staging", "inflight", "**"),
+                           recursive=True)
+        assert staged
+        Manifest.load(lake).vacuum(keep_last=1)
+        staged_after = glob.glob(os.path.join(lake, "_staging", "inflight", "**"),
+                                 recursive=True)
+        assert staged_after == staged  # untouched by maintenance
+        # the run resumes from its receipts and commits the merged state
+        replay(more, lake, num_parts=4, run_id="inflight")
+        full = pd.concat([ev.to_pandas(), more.to_pandas()], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake), oracle_final_state(full), check_dtype=False
+        )
+
+    def test_snapshot_retention_bounds_history(self, tmp_path):
+        ev = gen_change_stream(n_convs=10, n_events=1200, seed=35).to_pandas()
+        lake = _lake(tmp_path)
+        for i in range(10):
+            chunk = ev[(ev.event_seq >= i * 120) & (ev.event_seq < (i + 1) * 120)]
+            replay(chunk, lake, num_parts=2, snapshot_retention=3)
+        m = Manifest.load(lake)
+        assert m.version == 10
+        assert m.list_snapshots() == [8, 9, 10]
+        # unlimited retention (0) keeps every version
+        lake2 = _lake(tmp_path, "lake2")
+        for i in range(5):
+            chunk = ev[(ev.event_seq >= i * 120) & (ev.event_seq < (i + 1) * 120)]
+            replay(chunk, lake2, num_parts=2, snapshot_retention=0)
+        assert Manifest.load(lake2).list_snapshots() == [1, 2, 3, 4, 5]
+
+    def test_lookup_ttl_expiry_parity(self, tmp_path):
+        base = 1_000_000_000_000
+        ev = pd.DataFrame(
+            [
+                dict(op="UPSERT", conv_id="c1", turn_idx=np.int32(0),
+                     role=None, text="short-lived", tool=None, ts=None,
+                     writetime=base, event_seq=0, ttl=10),
+                dict(op="UPSERT", conv_id="c1", turn_idx=np.int32(1),
+                     role=None, text="long-lived", tool=None, ts=None,
+                     writetime=base, event_seq=1, ttl=0),
+            ]
+        )
+        ev["ts"] = pd.Series([pd.NaT, pd.NaT], dtype="datetime64[us]")
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=2, ttl=True)
+        before = lookup(lake, ["c1"], as_of=base + 5_000_000)
+        assert set(before["text"]) == {"short-lived", "long-lived"}
+        after = lookup(lake, ["c1"], as_of=base + 11_000_000)
+        assert set(after["text"]) == {"long-lived"}
+        # narrowed projection with as_of must not crash
+        cols = lookup(
+            lake, ["c1"], columns=["conv_id", "text"], as_of=base + 11_000_000
+        )
+        assert list(cols.columns) == ["conv_id", "text"] and len(cols) == 1
+
+    def test_lookup_on_schema_evolved_lake(self, tmp_path):
+        """A partition untouched since before an additive evolution keeps its
+        old file schema; lookup across mixed-schema partitions must backfill
+        the evolved column with nulls, not crash."""
+        ev = gen_change_stream(n_convs=20, n_events=800, seed=37).to_pandas()
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=8)
+        one_conv = ev[ev.conv_id == ev.conv_id.iloc[0]].copy()
+        one_conv["event_seq"] = one_conv["event_seq"] + 10_000
+        one_conv["lang"] = "en"
+        replay(one_conv, lake, num_parts=8)
+        want = read_lake_pandas(lake)
+        convs = want["conv_id"].unique().tolist()  # spans old+new partitions
+        got = lookup(lake, convs)
+        pd.testing.assert_frame_equal(
+            got, want.sort_values(KEY, ignore_index=True), check_dtype=False
+        )
