@@ -62,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--report", default=None)
     v.add_argument("--columns", nargs="*", default=None,
                    help="restrict the diff to these payload columns (skip-list)")
+    v.add_argument("--since-version", type=int, default=None,
+                   help="incremental: compare only partitions touched by runs after this manifest version")
 
     g = sub.add_parser("guardrail", help="pre-flight column-size scan")
     g.add_argument("--input", required=True, nargs="+")
@@ -168,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake,
                 report_path=args.report,
                 columns=args.columns,
+                since_version=args.since_version,
             )
             out = {"counts": res.counts, "ok": res.ok, "seconds": round(res.seconds, 3)}
             if args.autocorrect and not res.ok:

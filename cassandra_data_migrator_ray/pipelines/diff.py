@@ -225,6 +225,7 @@ def validate(
     batch_size: int | None = 65536,
     shuffle: str = "staging",
     columns: list[str] | None = None,
+    since_version: int | None = None,
 ) -> ValidateResult:
     """Compare the lake's final state against an expected (origin) dataset.
 
@@ -233,7 +234,14 @@ def validate(
     + DiffJobSession's skip-if-configured columns) — omitted columns neither
     ship through the exchange nor count as differences, and a subsequent
     autocorrect upserts only the compared columns (nulls = unset keeps the
-    rest intact)."""
+    rest intact).
+
+    ``since_version`` makes the validate INCREMENTAL: only partitions touched
+    by runs committed after that manifest version are compared (both sides
+    prune before the exchange, so cost scales with the increment, not the
+    lake).  Sound iff the skipped partitions were valid at ``since_version``
+    and the expected table is unchanged for their keys — i.e. the standard
+    validate-after-each-incremental-replay loop."""
     from cassandra_data_migrator_ray.pipelines.replay import _as_dataset
     from cassandra_data_migrator_ray.sources.lake import lake_files
 
@@ -241,6 +249,16 @@ def validate(
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
+    touched_parts: list[int] | None = None
+    if since_version is not None:
+        touched_parts = sorted(
+            {
+                int(p)
+                for r in manifest.runs
+                if r.get("version", 0) > since_version
+                for p in r.get("partitions", [])
+            }
+        )
     key_cols = tuple(manifest.key_cols)
     payload_cols = [
         c for c in manifest.payload_cols() if columns is None or c in columns
@@ -264,6 +282,17 @@ def validate(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+    if touched_parts is not None:
+        import pyarrow.compute as pc
+
+        tp = pa.array(touched_parts, pa.int32())
+
+        def _keep_touched(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.is_in(pc.cast(t[PART_COL], pa.int32()), value_set=tp)
+            )
+
+        exp_ds = exp_ds.map_batches(_keep_touched, batch_format="pyarrow")
 
     if shuffle == "staging":
         # lakehouse exchange, one-sided: only the EXPECTED side is staged by
@@ -293,6 +322,11 @@ def validate(
             lake_by_part = {
                 int(k): v.files for k, v in manifest.partitions.items() if v.files
             }
+            if touched_parts is not None:
+                allowed = set(touched_parts)
+                lake_by_part = {
+                    k: v for k, v in lake_by_part.items() if k in allowed
+                }
             dirs = sorted(
                 staged_dirs | {p // coarse_factor for p in lake_by_part}
             )
@@ -320,7 +354,7 @@ def validate(
         finally:
             shutil.rmtree(staging, ignore_errors=True)
     else:
-        files = lake_files(manifest)
+        files = lake_files(manifest, touched_parts)
         if files:
             from cassandra_data_migrator_ray.schema import DELETED
 

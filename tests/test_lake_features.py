@@ -402,3 +402,58 @@ class TestReviewRegressions:
         pd.testing.assert_frame_equal(
             got, want.sort_values(KEY, ignore_index=True), check_dtype=False
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalValidate:
+    """validate(since_version=N) compares only partitions touched after N —
+    cost scales with the increment, and untouched-partition corruption is
+    (by design) invisible to the incremental pass."""
+
+    @pytest.mark.parametrize("shuffle", ["staging", "groupby"])
+    def test_incremental_validate_prunes_to_touched(self, tmp_path, shuffle):
+        from cassandra_data_migrator_ray.pipelines.diff import validate
+
+        ev = gen_change_stream(n_convs=30, n_events=2000, seed=41).to_pandas()
+        lake = _lake(tmp_path, f"lake_{shuffle}")
+        replay(ev, lake, num_parts=16)
+        m1 = Manifest.load(lake)
+        # run 2 touches only one conversation → a strict partition subset
+        one = ev[ev.conv_id == ev.conv_id.iloc[0]].copy()
+        one["event_seq"] = one["event_seq"] + 10_000
+        one["writetime"] = one["writetime"] + 10_000
+        replay(one, lake, num_parts=16)
+        m2 = Manifest.load(lake)
+        touched = {
+            p for r in m2.runs if r["version"] > m1.version
+            for p in r["partitions"]
+        }
+        assert 0 < len(touched) < 16
+
+        full = pd.concat([ev, one], ignore_index=True)
+        expected = oracle_final_state(full)
+        res = validate(expected, lake, since_version=m1.version, shuffle=shuffle)
+        assert res.ok
+        # compared row count == rows living in the touched partitions only
+        total_valid = validate(expected, lake, shuffle=shuffle).counts["VALID"]
+        assert 0 < res.counts["VALID"] < total_valid
+
+    def test_incremental_validate_catches_new_divergence(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.diff import validate
+
+        ev = gen_change_stream(n_convs=20, n_events=1000, seed=43).to_pandas()
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=8)
+        v1 = Manifest.load(lake).version
+        one = ev[ev.conv_id == ev.conv_id.iloc[0]].copy()
+        one["event_seq"] = one["event_seq"] + 10_000
+        replay(one, lake, num_parts=8)
+        expected = oracle_final_state(pd.concat([ev, one], ignore_index=True))
+        # corrupt the expectation for a key INSIDE the touched set
+        bad = expected.copy()
+        key0 = one[KEY].iloc[0]
+        sel = (bad.conv_id == key0.conv_id) & (bad.turn_idx == key0.turn_idx)
+        assert sel.any()
+        bad.loc[sel, "text"] = "diverged!"
+        res = validate(bad, lake, since_version=v1)
+        assert not res.ok and res.counts["MISMATCH"] >= 1
