@@ -197,6 +197,28 @@ def read_changes_pandas(
     )
 
 
+def apply_changes(
+    prior: pd.DataFrame, feed: pd.DataFrame, key_cols: list[str]
+) -> pd.DataFrame:
+    """Materialize a downstream replica: apply one committed run's change
+    feed onto the replica's prior state.  Inserts and update postimages
+    upsert, deletes remove, preimages are ignored — so
+    ``apply_changes(state@v_{n-1}, feed(run_n)) == state@v_n`` (the invariant
+    the cdc_changes gate verifies end-to-end)."""
+    from cassandra_data_migrator_ray.stages.merge import CHANGE_COL
+
+    post = feed[feed[CHANGE_COL].isin(["insert", "update_postimage"])].drop(
+        columns=CHANGE_COL
+    )
+    gone = pd.concat(
+        [post[key_cols], feed[feed[CHANGE_COL] == "delete"][key_cols]]
+    )
+    kept = prior.merge(gone.drop_duplicates(), on=key_cols, how="left", indicator=True)
+    kept = kept[kept["_merge"] == "left_only"].drop(columns="_merge")
+    out = pd.concat([kept, post[prior.columns]], ignore_index=True)
+    return out.sort_values(key_cols, kind="mergesort", ignore_index=True)
+
+
 def _coerce_key_tuple(manifest: Manifest, t: tuple) -> tuple:
     """Cast lookup key components to the manifest's declared key types so
     string-sourced keys (CLI args, JSON) match integer columns and digit-like
@@ -228,6 +250,7 @@ def lookup(
     key_values: list,
     columns: list[str] | None = None,
     as_of: int | None = None,
+    version: int | None = None,
 ) -> pd.DataFrame:
     """Point lookup by primary-key prefix — the reference's target SELECT by
     PK (cql/statement/TargetSelectByPKStatement.java:45-78), re-expressed as
@@ -256,11 +279,16 @@ def lookup(
     firsts = [t[0] for t in tuples]
     cand = candidate_partitions(firsts, manifest.num_parts, manifest.salt)
     parts = sorted({p for ps in cand.values() for p in ps})
-    files = lake_files(manifest, parts)
-    public_cols = columns or [*key_cols, *manifest.payload_cols()]
+    # route against the live manifest (num_parts/salt are fixed per lake),
+    # then resolve files from either the live view or a time-travel snapshot
+    files, v_key_cols, v_payload_cols, v_ttl = _resolve_view(
+        manifest, version, parts
+    )
+    key_cols = v_key_cols
+    public_cols = columns or [*key_cols, *v_payload_cols]
     if not files:
         return pd.DataFrame(columns=public_cols)
-    ttl_eval = as_of is not None and manifest.ttl_enabled
+    ttl_eval = as_of is not None and v_ttl
     # the TTL path needs every bookkeeping column (c__ttlx/__row_ttlx) to
     # evaluate expiry, so it reads whole rows; otherwise prune to the ask
     read_cols = (
@@ -290,7 +318,7 @@ def lookup(
     if ttl_eval:
         from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
 
-        df = apply_ttl_expiry(df, as_of, manifest.payload_cols())
+        df = apply_ttl_expiry(df, as_of, v_payload_cols)
     for c in public_cols:  # evolved columns absent from EVERY read file
         if c not in df.columns:
             df[c] = None

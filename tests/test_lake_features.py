@@ -457,3 +457,125 @@ class TestIncrementalValidate:
         bad.loc[sel, "text"] = "diverged!"
         res = validate(bad, lake, since_version=v1)
         assert not res.ok and res.counts["MISMATCH"] >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadSideComposition:
+    """Compositions of the read-side features: versioned lookup, the
+    apply_changes replica helper, feed exactly-once under crash-resume, and
+    the WAL-tail loop emitting feeds."""
+
+    def test_lookup_at_version(self, tmp_path):
+        from cassandra_data_migrator_ray.sources.lake import lookup
+
+        full = gen_change_stream(n_convs=30, n_events=3000, seed=51).to_pandas()
+        half = len(full) // 2
+        lake = _lake(tmp_path)
+        replay(full[full.event_seq < half], lake, num_parts=8, salt=2)
+        v1 = read_lake_pandas(lake)
+        replay(full[full.event_seq >= half], lake, num_parts=8, salt=2)
+        v2 = read_lake_pandas(lake)
+        conv = v2["conv_id"].iloc[0]
+        got_old = lookup(lake, [conv], version=1)
+        got_new = lookup(lake, [conv])
+        pd.testing.assert_frame_equal(
+            got_old,
+            v1[v1.conv_id == conv].sort_values(KEY, ignore_index=True),
+            check_dtype=False,
+        )
+        pd.testing.assert_frame_equal(
+            got_new,
+            v2[v2.conv_id == conv].sort_values(KEY, ignore_index=True),
+            check_dtype=False,
+        )
+
+    def test_apply_changes_reproduces_next_version(self, tmp_path):
+        from cassandra_data_migrator_ray.sources.lake import apply_changes
+
+        full = gen_change_stream(n_convs=30, n_events=3000, seed=53).to_pandas()
+        half = len(full) // 2
+        lake = _lake(tmp_path)
+        replay(full[full.event_seq < half], lake, num_parts=8, emit_changes=True)
+        v1 = read_lake_pandas(lake)
+        r2 = replay(
+            full[full.event_seq >= half], lake, num_parts=8, emit_changes=True
+        )
+        v2 = read_lake_pandas(lake)
+        feed = read_changes_pandas(lake, run_id=r2.run_id)
+        pd.testing.assert_frame_equal(
+            apply_changes(v1, feed, KEY), v2, check_dtype=False
+        )
+
+    def test_feed_identical_after_crash_resume(self, tmp_path):
+        """A crash between merge and commit, then a resume with the same
+        run_id, must produce the exact same feed as an uninterrupted run on
+        a twin lake (deterministic per-partition feed files; resumed
+        partitions skip via receipts without rewriting)."""
+        full = gen_change_stream(n_convs=25, n_events=2000, seed=55).to_pandas()
+        half = len(full) // 2
+        feeds = {}
+        for mode in ("clean", "crashed"):
+            lake = _lake(tmp_path, mode)
+            replay(full[full.event_seq < half], lake, num_parts=6)
+            if mode == "clean":
+                replay(
+                    full[full.event_seq >= half], lake, num_parts=6,
+                    run_id="r2", emit_changes=True,
+                )
+            else:
+                replay(
+                    full[full.event_seq >= half], lake, num_parts=6,
+                    run_id="r2", emit_changes=True, commit=False,
+                )
+                # crash: lose half the receipts → those partitions re-merge
+                sdir = os.path.join(lake, "_staging", "r2")
+                receipts = sorted(
+                    f for f in os.listdir(sdir) if f.endswith(".json")
+                )
+                for r in receipts[: len(receipts) // 2]:
+                    os.unlink(os.path.join(sdir, r))
+                replay(
+                    full[full.event_seq >= half], lake, num_parts=6,
+                    run_id="r2", emit_changes=True,
+                )
+            feeds[mode] = read_changes_pandas(lake, run_id="r2")
+        pd.testing.assert_frame_equal(feeds["clean"], feeds["crashed"])
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(_lake(tmp_path, "clean")),
+            read_lake_pandas(_lake(tmp_path, "crashed")),
+        )
+
+    def test_tail_loop_emits_feeds(self, tmp_path):
+        """The WAL-tail service shape forwards emit_changes to each cycle's
+        replay; every committed drain leaves a readable feed."""
+        import pyarrow.parquet as pq_
+        import pyarrow as pa_
+
+        from cassandra_data_migrator_ray.pipelines.tail import tail_replay
+
+        full = gen_change_stream(n_convs=20, n_events=1000, seed=57).to_pandas()
+        half = len(full) // 2
+        src = str(tmp_path / "wal")
+        os.makedirs(src)
+        lake = _lake(tmp_path)
+        for i, chunk in enumerate(
+            (full[full.event_seq < half], full[full.event_seq >= half])
+        ):
+            pq_.write_table(
+                pa_.Table.from_pandas(chunk, preserve_index=False),
+                os.path.join(src, f"seg-{i:03d}.parquet"),
+            )
+        res = tail_replay(
+            src, lake, stop_after_idle_cycles=1, poll_interval=0.1,
+            num_parts=4, emit_changes=True,
+        )
+        assert res.keys_merged > 0
+        m = Manifest.load(lake)
+        replay_runs = [r for r in m.runs if r.get("type", "replay") == "replay"]
+        total = 0
+        for r in replay_runs:
+            total += len(read_changes_pandas(lake, run_id=r["run_id"]))
+        assert total > 0
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake), oracle_final_state(full), check_dtype=False
+        )
