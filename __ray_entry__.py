@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.embedding_neardup_q,
         "embedding_neardup_planted": q.embedding_neardup_planted,
         "quality_docs": q.quality_docs,
+        "pii_scrub_docs": q.pii_scrub_docs,
+        "text_normalize_docs": q.text_normalize_docs,
         "multimodal_bmp_features": q.multimodal_bmp_features,
         "simhash_planted_twins": q.simhash_planted_twins,
         "fingerprint_dup_join": q.fingerprint_dup_join,
@@ -413,6 +415,39 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 ORDER BY id_a, id_b
+""",
+        # PII scrub: identical planted suffix + RE2 patterns on both sides
+        "pii_scrub_docs": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact: doc' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+       CAST(length(regexp_extract_all(
+         t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(length(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT)
+         AS n_phones
+FROM planted ORDER BY doc_id
+""",
+        # canonical text form: lower, digit runs -> <num>, ws collapsed, trim
+        "text_normalize_docs": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+           '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
+FROM n ORDER BY doc_id
 """,
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups

@@ -212,3 +212,35 @@ class Fingerprint:
             mins[nonempty] = np.minimum.reduceat(hashes, offsets[:-1][nonempty])
         batch["min_shingle_hash"] = mins.astype(np.int64)
         return batch
+
+
+# ---- Arrow-native scrubbing / normalization kernels -------------------------
+# RE2 syntax on BOTH sides of the correctness gate: pyarrow.compute's regex
+# kernels and DuckDB's regexp_* are each RE2-backed, so the same pattern
+# string is bit-compatible across engine and oracle.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub(arr: "pa.ChunkedArray | pa.Array"):
+    """Redact emails/phones in a string array (vectorized RE2 kernels).
+    Returns (scrubbed, n_emails, n_phones)."""
+    import pyarrow.compute as pc
+
+    n_emails = pc.count_substring_regex(arr, EMAIL_RE)
+    n_phones = pc.count_substring_regex(arr, PHONE_RE)
+    out = pc.replace_substring_regex(arr, pattern=EMAIL_RE, replacement="<EMAIL>")
+    out = pc.replace_substring_regex(out, pattern=PHONE_RE, replacement="<PHONE>")
+    return out, n_emails, n_phones
+
+
+def normalize_text(arr: "pa.ChunkedArray | pa.Array"):
+    """Canonical text form: lowercase, digit runs → <num>, whitespace runs
+    collapsed to one space, trimmed.  One RE2 pass per rule, no Python rows."""
+    import pyarrow.compute as pc
+
+    out = pc.utf8_lower(arr)
+    out = pc.replace_substring_regex(out, pattern=r"[0-9]+", replacement="<num>")
+    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(out)

@@ -387,6 +387,73 @@ def token_count_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pii_scrub_docs(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over documents: plant a deterministic email+phone per
+    doc (so the gate exercises real redaction on synthetic text), then scrub
+    with vectorized RE2 kernels.  The oracle plants the identical suffix in
+    SQL and scrubs with regexp_replace — same RE2 engine both sides."""
+    from cassandra_data_migrator_ray.functions.text import pii_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        planted = pc.binary_join_element_wise(
+            t["text"],
+            " contact: doc", did, "@example.com or +1-555-",
+            pc.utf8_lpad(
+                pa.array(
+                    (t["doc_id"].to_numpy(zero_copy_only=False) % 10_000),
+                    pa.int64(),
+                ).cast(pa.string()),
+                4,
+                "0",
+            ),
+            "",
+        )
+        scrubbed, n_emails, n_phones = pii_scrub(planted)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "scrubbed": scrubbed,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_phones": pc.cast(n_phones, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+def text_normalize_docs(sf_dir: str) -> pd.DataFrame:
+    """Canonical text form (lowercase, digit runs → <num>, whitespace
+    collapsed, trimmed) — the cleanup stage every training-data pipeline
+    runs before dedup/tokenization.  One RE2 pass per rule, zero Python
+    rows; oracle = the same rules in DuckDB regexp_replace."""
+    from cassandra_data_migrator_ray.functions.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        norm = normalize_text(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": norm,
+                "n_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for query vec_id=0 (ranks only — float scores
     are excluded from the comparison surface)."""
