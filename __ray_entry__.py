@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # E. custom operators beyond the reference (windowed agg, as-of join)
         "tumbling_window_counts": q.tumbling_window_counts,
         "session_windows": q.session_windows,
+        "sliding_window_counts": q.sliding_window_counts,
+        "running_purchase_total": q.running_purchase_total,
         "asof_purchase_click": q.asof_purchase_click,
         "range_join_clicks": q.range_join_clicks,
         "topk_orders_per_customer": q.topk_orders_per_customer,
@@ -504,6 +506,27 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        min(t) AS session_start, max(t) AS session_end
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
+""",
+        # sliding (hopping) windows: every event lands in the 4 covering 6-h
+        # hops of its 24-h window — identical shift construction both sides
+        "sliding_window_counts": """
+WITH e AS (SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket
+           FROM events WHERE ts IS NOT NULL),
+w AS (SELECT bucket - i * 21600000000 AS window_start
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+SELECT window_start, CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY 1 ORDER BY 1
+""",
+        # cumulative window sum in integer cents (total order -> exact)
+        "running_purchase_total": """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+WHERE event_type = 'purchase' AND ts IS NOT NULL
+  AND user_id IS NOT NULL AND value IS NOT NULL
+ORDER BY event_id
 """,
         "asof_purchase_click": """
 SELECT p.event_id, p.user_id, c.event_id AS click_event_id

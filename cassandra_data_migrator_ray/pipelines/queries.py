@@ -942,6 +942,113 @@ def tumbling_window_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "window_start"], ignore_index=True)
 
 
+SLIDE_HOP_US = 21_600_000_000  # 6 h hop
+SLIDE_K = 4  # window = K × hop = 24 h
+
+
+def sliding_window_counts(
+    sf_dir: str, hop_us: int = SLIDE_HOP_US, k: int = SLIDE_K
+) -> pd.DataFrame:
+    """Sliding (hopping) windows — each event counts in the k windows that
+    cover it (window = k × hop).  Per batch: one bucket computation + k
+    vectorized shifts + a np.unique partial count, so the shuffle carries at
+    most one row per distinct window per batch, independent of event count."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t["ts"]))
+        e = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bucket = (e // hop_us) * hop_us
+        ws = np.concatenate([bucket - i * hop_us for i in range(k)])
+        uniq, counts = np.unique(ws, return_counts=True)
+        return pd.DataFrame(
+            {"window_start": uniq, "n": counts.astype(np.int64)}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "window_start": [np.int64(g["window_start"].iloc[0])],
+                    "n": [np.int64(g["n"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("window_start", ignore_index=True)
+
+
+def running_purchase_total(sf_dir: str) -> pd.DataFrame:
+    """Running total (cumulative window sum): per user, the cumulative
+    purchase amount in integer cents ordered by (ts, event_id) — exact and
+    reduction-order-independent because the sum is integer and the order is
+    total.  Co-partition by user, ONE sort + cumsum + boundary-offset
+    subtraction per partition (no per-user Python)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+    nparts = _scaled_nparts(ds)
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t["event_type"], "purchase"),
+                pc.and_(
+                    pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"])),
+                    pc.is_valid(t["value"]),
+                ),
+            )
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "t": pc.cast(
+                    pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                ).to_numpy(zero_copy_only=False),
+                "cents": np.round(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        df["__part"] = _mod_part(df["user_id"].to_numpy(), nparts)
+        return df
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "t", "event_id"], kind="mergesort", ignore_index=True
+        )
+        u = g["user_id"].to_numpy()
+        cs = np.cumsum(g["cents"].to_numpy())
+        boundary = np.ones(len(g), dtype=bool)
+        boundary[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(boundary)
+        grp_base = np.where(starts > 0, cs[starts - 1], 0)
+        base = np.repeat(grp_base, np.diff(np.append(starts, len(g))))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "running_cents": (cs - base).astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+    )
+    out = _typed_empty(
+        out, {"event_id": "int64", "user_id": "int64", "running_cents": "int64"}
+    )
+    return out.sort_values("event_id", ignore_index=True)
+
+
 SESSION_GAP_US = 28_800_000_000  # 8 h — matches the sparse per-user event density
 
 

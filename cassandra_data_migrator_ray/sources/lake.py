@@ -212,10 +212,14 @@ def apply_changes(
     )
     gone = pd.concat(
         [post[key_cols], feed[feed[CHANGE_COL] == "delete"][key_cols]]
-    )
-    kept = prior.merge(gone.drop_duplicates(), on=key_cols, how="left", indicator=True)
-    kept = kept[kept["_merge"] == "left_only"].drop(columns="_merge")
-    out = pd.concat([kept, post[prior.columns]], ignore_index=True)
+    ).drop_duplicates()
+    if len(prior) and len(gone):
+        kept = prior.merge(gone, on=key_cols, how="left", indicator=True)
+        kept = kept[kept["_merge"] == "left_only"].drop(columns="_merge")
+    else:
+        kept = prior
+    cols = list(prior.columns) if len(prior.columns) else list(post.columns)
+    out = pd.concat([kept, post[cols]], ignore_index=True)
     return out.sort_values(key_cols, kind="mergesort", ignore_index=True)
 
 
