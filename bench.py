@@ -123,7 +123,12 @@ def run_bench() -> dict:
             "range_join_clicks",
             "revenue_by_nation",
             "session_windows",
+            "sliding_window_counts",
+            "running_purchase_total",
             "hll_distinct_users",
+            "pii_scrub_docs",
+            "text_normalize_docs",
+            "cdc_changes",
         ):
             fn = getattr(q, name)
             t0 = time.perf_counter()
