@@ -140,8 +140,8 @@ def atomic_write_json(path: str, obj: Any) -> None:
             os.unlink(tmp)
 
 
-def _cdf_run_id(fn: str) -> str | None:
-    """run_id embedded in a change-feed filename ``part-NNNNN-<run_id>.parquet``
+def _partfile_run_id(fn: str) -> str | None:
+    """run_id embedded in a partition or change-feed filename ``part-NNNNN-<run_id>.parquet``
     — the run_id itself may contain dashes (user-supplied), so parse by the
     fixed-width part prefix, never by splitting on '-'."""
     m = re.match(r"part-\d{5}-(.+)\.parquet$", fn)
@@ -513,7 +513,7 @@ class Manifest:
         cdir = os.path.join(self.lake_dir, "cdf")
         if stale_runs and os.path.isdir(cdir):
             for fn in os.listdir(cdir):
-                rid = _cdf_run_id(fn)
+                rid = _partfile_run_id(fn)
                 if rid in stale_runs:
                     try:
                         os.unlink(os.path.join(cdir, fn))
@@ -557,29 +557,9 @@ class Manifest:
         writer).  ``None`` (maintenance callers like vacuum) leaves
         ``_staging`` untouched — a crashed-but-resumable run's staged slices
         and receipts must survive maintenance, only ``.trash-*`` debris goes."""
-        referenced = {f for p in self.partitions.values() for f in p.files}
-        referenced |= self._snapshot_referenced_files()
         removed = []
-        ddir = os.path.join(self.lake_dir, "data")
-        if os.path.isdir(ddir):
-            for fn in os.listdir(ddir):
-                rel = os.path.join("data", fn)
-                if rel not in referenced and not fn.endswith(".tmp"):
-                    os.unlink(os.path.join(ddir, fn))
-                    removed.append(rel)
-        # cdf files from a crashed (never-committed) run are invisible to
-        # readers but dead weight — drop any whose run is not in the ledger
-        cdir = os.path.join(self.lake_dir, "cdf")
-        if os.path.isdir(cdir):
-            committed = {r["run_id"] for r in self.runs}
-            for fn in os.listdir(cdir):
-                rid = _cdf_run_id(fn)
-                if rid is not None and rid not in committed:
-                    try:
-                        os.unlink(os.path.join(cdir, fn))
-                        removed.append(os.path.join("cdf", fn))
-                    except OSError:
-                        pass
+        # staging sweep FIRST: what survives it defines the in-flight/
+        # resumable run set, whose phase-1 outputs must not be collected
         sdir = os.path.join(self.lake_dir, "_staging")
         if os.path.isdir(sdir):
             import shutil
@@ -591,6 +571,47 @@ class Manifest:
                 ):
                     continue
                 shutil.rmtree(os.path.join(sdir, run), ignore_errors=True)
+        # a run with a surviving staging dir is in-flight or resumable: its
+        # already-written partition/cdf files (deterministic names, written
+        # BEFORE its commit) will be referenced when it commits — deleting
+        # them here would let that commit register missing files
+        inflight = (
+            {
+                d
+                for d in os.listdir(sdir)
+                if not d.startswith(".trash-")
+                and os.path.isdir(os.path.join(sdir, d))
+            }
+            if os.path.isdir(sdir)
+            else set()
+        )
+        referenced = {f for p in self.partitions.values() for f in p.files}
+        referenced |= self._snapshot_referenced_files()
+        ddir = os.path.join(self.lake_dir, "data")
+        if os.path.isdir(ddir):
+            for fn in os.listdir(ddir):
+                rel = os.path.join("data", fn)
+                if (
+                    rel not in referenced
+                    and not fn.endswith(".tmp")
+                    and _partfile_run_id(fn) not in inflight
+                ):
+                    os.unlink(os.path.join(ddir, fn))
+                    removed.append(rel)
+        # cdf files from a crashed (never-committed) run are invisible to
+        # readers but dead weight — drop any whose run is neither committed
+        # nor still resumable
+        cdir = os.path.join(self.lake_dir, "cdf")
+        if os.path.isdir(cdir):
+            committed = {r["run_id"] for r in self.runs}
+            for fn in os.listdir(cdir):
+                rid = _partfile_run_id(fn)
+                if rid is not None and rid not in committed and rid not in inflight:
+                    try:
+                        os.unlink(os.path.join(cdir, fn))
+                        removed.append(os.path.join("cdf", fn))
+                    except OSError:
+                        pass
         # crashed validates leave _validate/v-* dirs (live ones clean up in
         # their finally); sweep only stale ones so a concurrent validate's
         # expected-side staging is never pulled out from under it.  Staleness

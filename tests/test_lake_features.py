@@ -324,22 +324,27 @@ class TestReviewRegressions:
         assert len(read_changes_pandas(lake, run_id=rid)) > 0
 
     def test_vacuum_leaves_staged_work_resumable(self, tmp_path):
-        ev = gen_change_stream(n_convs=15, n_events=600, seed=33)
+        """vacuum during an in-flight run must not touch its staging NOR its
+        already-written phase-1 partition files — two committed versions
+        first, so vacuum(keep_last=1) actually prunes and runs gc."""
+        ev = gen_change_stream(n_convs=15, n_events=600, seed=33).to_pandas()
+        half = len(ev) // 2
         lake = _lake(tmp_path)
-        replay(ev, lake, num_parts=4)
-        state = read_lake_pandas(lake)
+        replay(ev[ev.event_seq < half], lake, num_parts=4)
+        replay(ev[ev.event_seq >= half], lake, num_parts=4)
         more = gen_change_stream(n_convs=15, n_events=300, seed=34, seq_start=1000)
         replay(more, lake, num_parts=4, run_id="inflight", commit=False)
         staged = glob.glob(os.path.join(lake, "_staging", "inflight", "**"),
                            recursive=True)
-        assert staged
-        Manifest.load(lake).vacuum(keep_last=1)
-        staged_after = glob.glob(os.path.join(lake, "_staging", "inflight", "**"),
-                                 recursive=True)
-        assert staged_after == staged  # untouched by maintenance
+        data_files = glob.glob(os.path.join(lake, "data", "*inflight*"))
+        assert staged and data_files
+        assert Manifest.load(lake).vacuum(keep_last=1) == [1]  # gc DID run
+        assert glob.glob(os.path.join(lake, "_staging", "inflight", "**"),
+                         recursive=True) == staged
+        assert glob.glob(os.path.join(lake, "data", "*inflight*")) == data_files
         # the run resumes from its receipts and commits the merged state
         replay(more, lake, num_parts=4, run_id="inflight")
-        full = pd.concat([ev.to_pandas(), more.to_pandas()], ignore_index=True)
+        full = pd.concat([ev, more.to_pandas()], ignore_index=True)
         pd.testing.assert_frame_equal(
             read_lake_pandas(lake), oracle_final_state(full), check_dtype=False
         )
