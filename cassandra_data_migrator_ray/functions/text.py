@@ -243,4 +243,7 @@ def normalize_text(arr: "pa.ChunkedArray | pa.Array"):
     out = pc.utf8_lower(arr)
     out = pc.replace_substring_regex(out, pattern=r"[0-9]+", replacement="<num>")
     out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
-    return pc.utf8_trim_whitespace(out)
+    # trim SPACES only (after the collapse, edges are plain spaces): Arrow's
+    # utf8_trim_whitespace would also strip Unicode whitespace like \v that
+    # neither RE2 \s nor SQL trim() touches, diverging from the oracle
+    return pc.utf8_trim(out, " ")

@@ -981,6 +981,7 @@ def sliding_window_counts(
         )
         .to_pandas()
     )
+    out = _typed_empty(out, {"window_start": "int64", "n": "int64"})
     return out.sort_values("window_start", ignore_index=True)
 
 

@@ -218,8 +218,18 @@ def apply_changes(
         kept = kept[kept["_merge"] == "left_only"].drop(columns="_merge")
     else:
         kept = prior
-    cols = list(prior.columns) if len(prior.columns) else list(post.columns)
-    out = pd.concat([kept, post[cols]], ignore_index=True)
+    # column set = prior ∪ feed: a run that additively evolved the schema
+    # carries the new column in its feed, and untouched prior rows read it as
+    # null — the same backfill the lake's own read side applies
+    cols = list(prior.columns) + [
+        c for c in post.columns if c not in prior.columns
+    ]
+    if not cols:
+        cols = list(post.columns)
+    out = pd.concat(
+        [kept.reindex(columns=cols), post.reindex(columns=cols)],
+        ignore_index=True,
+    )
     return out.sort_values(key_cols, kind="mergesort", ignore_index=True)
 
 

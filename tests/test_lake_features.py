@@ -584,3 +584,53 @@ class TestReadSideComposition:
         pd.testing.assert_frame_equal(
             read_lake_pandas(lake), oracle_final_state(full), check_dtype=False
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSecondReviewRegressions:
+    def test_sliding_windows_all_null_ts_empty(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.queries import (
+            sliding_window_counts,
+        )
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.array([1, 2], dtype=np.int64),
+                "user_id": np.array([1, 2], dtype=np.int64),
+                "event_type": ["click", "view"],
+                "ts": pd.Series([pd.NaT, pd.NaT], dtype="datetime64[us]"),
+                "value": [1.0, 2.0],
+            }
+        )
+        df.to_parquet(os.path.join(tmp_path, "events.parquet"))
+        out = sliding_window_counts(str(tmp_path))
+        assert len(out) == 0 and list(out.columns) == ["window_start", "n"]
+
+    def test_apply_changes_carries_evolved_column(self, tmp_path):
+        from cassandra_data_migrator_ray.sources.lake import apply_changes
+
+        base = gen_change_stream(n_convs=10, n_events=500, seed=63).to_pandas()
+        lake = _lake(tmp_path)
+        replay(base, lake, num_parts=4, emit_changes=True)
+        v1 = read_lake_pandas(lake)
+        more = gen_change_stream(
+            n_convs=10, n_events=200, seed=64, seq_start=2000
+        ).to_pandas()
+        more["lang"] = "en"  # additive evolution inside the feed-emitting run
+        r2 = replay(more, lake, num_parts=4, emit_changes=True)
+        v2 = read_lake_pandas(lake)
+        assert "lang" in v2.columns
+        feed = read_changes_pandas(lake, run_id=r2.run_id)
+        got = apply_changes(v1, feed, KEY)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], v2[sorted(v2.columns)], check_dtype=False
+        )
+
+    def test_normalize_trims_spaces_only(self):
+        import pyarrow as pa_
+
+        from cassandra_data_migrator_ray.functions.text import normalize_text
+
+        got = normalize_text(pa_.array(["  A  12 b \x0bt\x0b", "x 1\x0b"]))
+        # \x0b is neither RE2 \s nor SQL-trimmed space: preserved verbatim
+        assert got.to_pylist() == ["a <num> b \x0bt\x0b", "x <num>\x0b"]
