@@ -634,3 +634,34 @@ class TestSecondReviewRegressions:
         got = normalize_text(pa_.array(["  A  12 b \x0bt\x0b", "x 1\x0b"]))
         # \x0b is neither RE2 \s nor SQL-trimmed space: preserved verbatim
         assert got.to_pylist() == ["a <num> b \x0bt\x0b", "x <num>\x0b"]
+
+
+class TestHashKeyFastPath:
+    def test_route_identical_across_representations(self):
+        """The dictionary-encode hash fast path must be byte-identical to the
+        element-wise object hash for every input representation the engine
+        routes (numpy, pandas, Arrow, chunked, dictionary, null-bearing)."""
+        import pyarrow as pa_
+
+        from cassandra_data_migrator_ray.state.partitioning import hash_key
+
+        rng = np.random.default_rng(1)
+        convs = np.array([f"c{i}" for i in range(500)], dtype=object)
+        col = convs[rng.integers(0, 500, 20000)]
+        turns = rng.integers(0, 40, 20000)
+        base = assign_partition_keys([col, turns], 64, 4)
+        for rep in (
+            [pd.Series(col), pd.Series(turns)],
+            [pa_.array(col), pa_.array(turns)],
+            [
+                pa_.chunked_array([pa_.array(col[:7000]), pa_.array(col[7000:])]),
+                pa_.chunked_array([pa_.array(turns[:7000]), pa_.array(turns[7000:])]),
+            ],
+        ):
+            assert np.array_equal(base, assign_partition_keys(rep, 64, 4))
+        assert np.array_equal(
+            hash_key(pa_.array(col).dictionary_encode()), hash_key(col)
+        )
+        coln = col.copy()
+        coln[::100] = None
+        assert np.array_equal(hash_key(coln), hash_key(pa_.array(coln)))
