@@ -224,8 +224,6 @@ def apply_changes(
     cols = list(prior.columns) + [
         c for c in post.columns if c not in prior.columns
     ]
-    if not cols:
-        cols = list(post.columns)
     out = pd.concat(
         [kept.reindex(columns=cols), post.reindex(columns=cols)],
         ignore_index=True,

@@ -144,7 +144,7 @@ def _partfile_run_id(fn: str) -> str | None:
     """run_id embedded in a partition or change-feed filename ``part-NNNNN-<run_id>.parquet``
     — the run_id itself may contain dashes (user-supplied), so parse by the
     fixed-width part prefix, never by splitting on '-'."""
-    m = re.match(r"part-\d{5}-(.+)\.parquet$", fn)
+    m = re.match(r"part-\d{5,}-(.+)\.parquet$", fn)
     return m.group(1) if m else None
 
 
@@ -559,7 +559,10 @@ class Manifest:
         and receipts must survive maintenance, only ``.trash-*`` debris goes."""
         removed = []
         # staging sweep FIRST: what survives it defines the in-flight/
-        # resumable run set, whose phase-1 outputs must not be collected
+        # resumable run set, whose phase-1 outputs must not be collected —
+        # their already-written partition/cdf files (deterministic names,
+        # written BEFORE commit) will be referenced when the run commits
+        inflight: set[str] = set()
         sdir = os.path.join(self.lake_dir, "_staging")
         if os.path.isdir(sdir):
             import shutil
@@ -569,32 +572,23 @@ class Manifest:
                 if not run.startswith(".trash-") and (
                     keep_staging is None or run in keep_staging
                 ):
+                    inflight.add(run)
                     continue
                 shutil.rmtree(os.path.join(sdir, run), ignore_errors=True)
-        # a run with a surviving staging dir is in-flight or resumable: its
-        # already-written partition/cdf files (deterministic names, written
-        # BEFORE its commit) will be referenced when it commits — deleting
-        # them here would let that commit register missing files
-        inflight = (
-            {
-                d
-                for d in os.listdir(sdir)
-                if not d.startswith(".trash-")
-                and os.path.isdir(os.path.join(sdir, d))
-            }
-            if os.path.isdir(sdir)
-            else set()
-        )
         referenced = {f for p in self.partitions.values() for f in p.files}
         referenced |= self._snapshot_referenced_files()
         ddir = os.path.join(self.lake_dir, "data")
         if os.path.isdir(ddir):
             for fn in os.listdir(ddir):
                 rel = os.path.join("data", fn)
+                rid = _partfile_run_id(fn)
+                # fail SAFE on an unparsable name: keeping an alien file
+                # leaks bytes; deleting an in-flight run's file corrupts it
                 if (
                     rel not in referenced
                     and not fn.endswith(".tmp")
-                    and _partfile_run_id(fn) not in inflight
+                    and rid is not None
+                    and rid not in inflight
                 ):
                     os.unlink(os.path.join(ddir, fn))
                     removed.append(rel)

@@ -33,7 +33,13 @@ def hash_key(values) -> np.ndarray:
     if isinstance(values, pd.Series):
         values = values.to_numpy()
     if isinstance(values, pa.ChunkedArray):
-        values = values.combine_chunks()
+        # hash per chunk and concatenate: combine_chunks on (non-large)
+        # string data > 2 GiB raises ArrowCapacityError (32-bit offsets)
+        if values.num_chunks != 1:
+            if values.num_chunks == 0:
+                return np.empty(0, dtype=np.uint64)
+            return np.concatenate([hash_key(c) for c in values.chunks])
+        values = values.chunk(0)
     if isinstance(values, pa.Array):
         is_dict = pa.types.is_dictionary(values.type)
         if values.null_count == 0 and (
@@ -51,6 +57,14 @@ def hash_key(values) -> np.ndarray:
     arr = np.asarray(values)
     if arr.dtype != object:
         arr = arr.astype(object)
+    if len(arr):
+        # canonicalize null sentinels: pandas StringDtype yields pd.NA where
+        # Arrow yields None — hash_array gives them DIFFERENT hashes, which
+        # would route the same logical null key to different partitions
+        mask = pd.isna(arr)
+        if mask.any():
+            arr = arr.copy()
+            arr[mask] = None
     return hash_array(arr, categorize=False)
 
 

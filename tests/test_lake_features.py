@@ -665,3 +665,25 @@ class TestHashKeyFastPath:
         coln = col.copy()
         coln[::100] = None
         assert np.array_equal(hash_key(coln), hash_key(pa_.array(coln)))
+
+    def test_null_sentinels_hash_identically(self):
+        """pd.NA (pandas StringDtype), np.nan and None must hash as the SAME
+        logical null — else the same key routes differently by input dtype."""
+        from cassandra_data_migrator_ray.state.partitioning import hash_key
+
+        import pyarrow as pa_
+
+        vals = ["a", None, "b"]
+        base = hash_key(np.array(vals, dtype=object))
+        assert np.array_equal(base, hash_key(pd.Series(vals, dtype="string")))
+        assert np.array_equal(base, hash_key(pa_.array(vals)))
+        assert np.array_equal(
+            base, hash_key(np.array(["a", np.nan, "b"], dtype=object))
+        )
+
+    def test_partfile_run_id_wide_part_numbers(self):
+        from cassandra_data_migrator_ray.state.manifest import _partfile_run_id
+
+        assert _partfile_run_id("part-00003-abc.parquet") == "abc"
+        assert _partfile_run_id("part-123456-my-run-id.parquet") == "my-run-id"
+        assert _partfile_run_id("garbage.parquet") is None
