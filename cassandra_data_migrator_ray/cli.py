@@ -113,12 +113,15 @@ def main(argv: list[str] | None = None) -> int:
     sn = sub.add_parser("snapshots", help="list committed versions available for time travel")
     sn.add_argument("--lake", required=True)
 
+    lg = sub.add_parser("lineage", help="file-level lineage: which run wrote each partition file")
+    lg.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
     # the read-side metadata commands (lookup/changes/snapshots/vacuum) are
     # driver-side pyarrow/os work — skip the multi-second Ray startup
     needs_ray = args.cmd in {
-        "migrate", "validate", "guardrail", "compact", "tail", "metrics"
-    }
+        "migrate", "validate", "guardrail", "compact", "tail", "metrics",
+    }  # lineage/lookup/changes/snapshots/vacuum are driver-side metadata
     ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
         if args.cmd == "migrate":
@@ -286,6 +289,12 @@ def main(argv: list[str] | None = None) -> int:
                 json.dumps(
                     {"versions": man.list_snapshots(), "current": man.version}
                 )
+            )
+        elif args.cmd == "lineage":
+            from cassandra_data_migrator_ray.pipelines.tail import lineage_report
+
+            print(
+                lineage_report(args.lake).to_json(orient="records")
             )
         elif args.cmd == "guardrail":
             import ray.data as rd

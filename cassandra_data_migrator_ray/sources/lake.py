@@ -75,8 +75,15 @@ def read_lake(
     parts: list[int] | None = None,
     as_of: int | None = None,
     version: int | None = None,
+    filter: "object | None" = None,
 ) -> ray.data.Dataset:
     """Public view of the lake as a streaming Dataset (column-pruned read).
+
+    ``filter``: a ``pyarrow.dataset`` expression (e.g.
+    ``pyarrow.dataset.field("role") == "user"``) pushed into the parquet
+    scan — row groups whose statistics exclude the predicate are never
+    read.  Applied before the tombstone filter; filtering on bookkeeping
+    columns is not supported through this parameter.
 
     ``as_of`` (µs): for TTL-enabled lakes, evaluate per-cell expiry at this
     instant (same semantics as :func:`read_lake_pandas`) — expired cells read
@@ -105,7 +112,11 @@ def read_lake(
             ]
         )
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=empty_schema))
-    ds = ray.data.read_parquet(files, columns=read_cols)
+    ds = ray.data.read_parquet(
+        files,
+        columns=read_cols,
+        **({"filter": filter} if filter is not None else {}),
+    )
     if ttl_eval:
         from functools import partial
 

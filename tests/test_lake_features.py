@@ -687,3 +687,46 @@ class TestHashKeyFastPath:
         assert _partfile_run_id("part-00003-abc.parquet") == "abc"
         assert _partfile_run_id("part-123456-my-run-id.parquet") == "my-run-id"
         assert _partfile_run_id("garbage.parquet") is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLineageAndPushdown:
+    def test_lineage_report(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.tail import lineage_report
+
+        full = gen_change_stream(n_convs=20, n_events=1500, seed=67).to_pandas()
+        half = len(full) // 2
+        lake = _lake(tmp_path)
+        r1 = replay(full[full.event_seq < half], lake, num_parts=4, run_id="runA")
+        r2 = replay(full[full.event_seq >= half], lake, num_parts=4, run_id="run-B")
+        rep = lineage_report(lake)
+        assert set(rep["partition"]) == set(range(4))
+        # every live file attributes to the dash-safe parsed run that wrote it
+        assert set(rep["written_by_run"]) <= {"runA", "run-B"}
+        assert "run-B" in set(rep["written_by_run"])
+        m = Manifest.load(lake)
+        by_run_ver = {r["run_id"]: r["version"] for r in m.runs}
+        for _, row in rep.iterrows():
+            assert row["committed_version"] == by_run_ver[row["written_by_run"]]
+        # partitions rewritten by run-B retain their runA file for time travel
+        rewritten = rep[rep["written_by_run"] == "run-B"]
+        assert (rewritten["retained_versions"] >= 1).all()
+
+    def test_read_lake_filter_pushdown(self, tmp_path):
+        import pyarrow.dataset as pads
+
+        ev = gen_change_stream(n_convs=30, n_events=2000, seed=69)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=4)
+        want = read_lake_pandas(lake)
+        want_user = want[want["role"] == "user"].reset_index(drop=True)
+        got = (
+            read_lake(lake, filter=pads.field("role") == "user")
+            .to_pandas()
+            .sort_values(KEY, ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got,
+            want_user.sort_values(KEY, ignore_index=True),
+            check_dtype=False,
+        )
