@@ -177,18 +177,94 @@ def _empty_cdf_frame(manifest: Manifest) -> pd.DataFrame:
     return pd.DataFrame(columns=cols)
 
 
+def _empty_cdf_table(manifest: Manifest, with_version: bool = False) -> pa.Table:
+    """Typed empty feed (an empty pandas block loses its columns through the
+    Dataset round-trip; an Arrow schema survives)."""
+    from cassandra_data_migrator_ray.stages.merge import CHANGE_COL
+
+    fields = [
+        manifest.schema.field(n)
+        for n in (*manifest.key_cols, *manifest.payload_cols())
+        if n in manifest.schema.names
+    ]
+    fields.append(pa.field(CHANGE_COL, pa.string()))
+    if with_version:
+        fields.append(pa.field("_commit_version", pa.int64()))
+    return pa.Table.from_pylist([], schema=pa.schema(fields))
+
+
 def read_changes(
-    lake_dir: str, run_id: str | None = None, version: int | None = None
+    lake_dir: str,
+    run_id: str | None = None,
+    version: int | None = None,
+    since_version: int | None = None,
+    until_version: int | None = None,
 ) -> ray.data.Dataset:
     """The change-data-feed of one committed run as a streaming Dataset:
     what that replay actually changed (``_change_type`` ∈ insert /
     update_preimage / update_postimage / delete; LWW losers emit nothing).
     Written only when the run used ``replay(..., emit_changes=True)``.
     Select the run by ``run_id``, by committed ``version``, or default to the
-    latest run."""
+    latest run.
+
+    ``since_version`` (exclusive) selects a RANGE of commits instead — the
+    feeds of every run committed after it (up to ``until_version``,
+    inclusive, default latest), each row tagged with its
+    ``_commit_version`` so a downstream replica can apply them in commit
+    order.  Feeds pruned by vacuum()/retention read back empty."""
+    if since_version is not None:
+        import glob as _glob
+
+        manifest = Manifest.load(lake_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no manifest at {lake_dir}")
+        span = [
+            r
+            for r in manifest.runs
+            if r.get("version", 0) > since_version
+            and (until_version is None or r.get("version", 0) <= until_version)
+        ]
+        pieces = []
+        for r in sorted(span, key=lambda r: r.get("version", 0)):
+            files = sorted(
+                _glob.glob(
+                    os.path.join(
+                        lake_dir, "cdf", f"part-*-{r['run_id']}.parquet"
+                    )
+                )
+            )
+            for f in files:
+                pieces.append((f, r["version"]))
+        if not pieces:
+            return ray.data.from_arrow(_empty_cdf_table(manifest, True))
+        import numpy as np
+
+        by_version: dict[int, list[str]] = {}
+        for f, v in pieces:
+            by_version.setdefault(v, []).append(f)
+
+        def _tag(v):
+            def f(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "_commit_version",
+                    pa.array(np.full(t.num_rows, v, dtype=np.int64)),
+                )
+
+            return f
+
+        parts = [
+            ray.data.read_parquet(fs).map_batches(
+                _tag(v), batch_format="pyarrow"
+            )
+            for v, fs in sorted(by_version.items())
+        ]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
     manifest, run_id, files = _resolve_cdf(lake_dir, run_id, version)
     if not files:
-        return ray.data.from_pandas(_empty_cdf_frame(manifest))
+        return ray.data.from_arrow(_empty_cdf_table(manifest))
     return ray.data.read_parquet(files)
 
 
