@@ -124,3 +124,39 @@ def test_empty_increment_emits_nothing(ev):
         cfg, old, state, partials[KEY].drop_duplicates(ignore_index=True)
     )
     assert len(changes) == 0
+
+
+# ---- routing properties (no Ray) -------------------------------------------
+
+route_keys = st.lists(
+    st.tuples(
+        st.text(alphabet="abcxyz0123456789-", min_size=0, max_size=12),
+        st.integers(min_value=-5, max_value=500),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    keys=route_keys,
+    num_parts=st.sampled_from([1, 2, 7, 64, 256, 100_000]),
+    salt=st.sampled_from([1, 2, 4, 32]),
+)
+def test_candidate_partitions_always_cover_the_write_route(keys, num_parts, salt):
+    """For ANY key set / partition count / salt, the read-side candidate set
+    contains the partition the write side routes to, and is at most ``salt``
+    wide — the invariant lookup()'s pruning correctness rests on."""
+    from cassandra_data_migrator_ray.state.partitioning import (
+        assign_partition_keys,
+        candidate_partitions,
+    )
+
+    convs = np.array([k[0] for k in keys], dtype=object)
+    turns = np.array([k[1] for k in keys], dtype=np.int64)
+    actual = assign_partition_keys([convs, turns], num_parts, salt)
+    cand = candidate_partitions(convs, num_parts, salt)
+    for v, p in zip(convs, actual):
+        assert int(p) in cand[v]
+        assert 1 <= len(cand[v]) <= max(1, salt)
