@@ -358,7 +358,14 @@ def replay(
     if commit:
         manifest.commit_run(
             run_id,
-            extra={"type": "replay", "keys_in": int(metrics["keys_in"].sum())},
+            extra={
+                "type": "replay",
+                "keys_in": int(metrics["keys_in"].sum()),
+                # ranged feed readers verify completeness against these:
+                # emit off → the range is unreconstructable; fewer feed files
+                # on disk than recorded → the feed was pruned
+                "emit_changes": bool(emit_changes),
+            },
         )
     return ReplayResult(
         run_id=run_id,

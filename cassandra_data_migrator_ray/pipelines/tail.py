@@ -224,15 +224,17 @@ def lineage_report(lake_dir: str) -> pd.DataFrame:
     if m is None:
         raise FileNotFoundError(f"no lake manifest under {lake_dir}")
     run_version = {r.get("run_id"): r.get("version") for r in m.runs}
-    # retained historical files per partition (beyond the live set)
-    historical: dict[int, set[str]] = {}
+    # per partition: how many RETAINED versions show a different (older)
+    # file set than the live one — the time-travel depth for that partition
+    per_part_snap: dict[int, list[frozenset]] = {}
     for v in m.list_snapshots():
         snap = m.snapshot(v) or {}
         for part, files in snap.get("partitions", {}).items():
-            historical.setdefault(int(part), set()).update(files)
+            per_part_snap.setdefault(int(part), []).append(frozenset(files))
     rows = []
     for part, st in sorted(m.partitions.items()):
-        live = set(st.files)
+        live = frozenset(st.files)
+        older = sum(1 for s in per_part_snap.get(part, []) if s != live)
         for f in st.files:
             rid = _partfile_run_id(os.path.basename(f))
             rows.append(
@@ -244,7 +246,7 @@ def lineage_report(lake_dir: str) -> pd.DataFrame:
                     "watermark_seq": st.watermark,
                     "rows": st.rows,
                     "status": st.status,
-                    "retained_versions": len(historical.get(part, live) - live),
+                    "retained_versions": older,
                 }
             )
     return pd.DataFrame(

@@ -100,6 +100,13 @@ def read_lake(
     )
     public_cols = columns or [*v_key_cols, *v_payload_cols]
     ttl_eval = as_of is not None and v_ttl
+    if ttl_eval and filter is not None:
+        raise ValueError(
+            "filter= cannot combine with TTL evaluation (as_of on a "
+            "TTL-enabled lake): the scan predicate would see stored cell "
+            "values BEFORE expiry nulls them, returning rows inconsistent "
+            "with the public view — filter after the read instead"
+        )
     read_cols = None if ttl_eval else list(dict.fromkeys([*public_cols, DELETED]))
     if not files:
         # empty lake: surface the MANIFEST's declared types, not all-string
@@ -138,11 +145,19 @@ def read_lake(
     return ds
 
 
+def _cdf_glob(lake_dir: str, run_id: str) -> list[str]:
+    """The ONE place the feed-file naming scheme is globbed (it is written by
+    stages/merge._write_cdf and parsed by manifest._partfile_run_id)."""
+    import glob as _glob
+
+    return sorted(
+        _glob.glob(os.path.join(lake_dir, "cdf", f"part-*-{run_id}.parquet"))
+    )
+
+
 def _resolve_cdf(
     lake_dir: str, run_id: str | None, version: int | None
 ) -> tuple[Manifest, str, list[str]]:
-    import glob as _glob
-
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
@@ -164,10 +179,7 @@ def _resolve_cdf(
             f"run {run_id} is not committed in {lake_dir} — its change feed "
             "is not readable (uncommitted/crashed runs are invisible)"
         )
-    files = sorted(
-        _glob.glob(os.path.join(lake_dir, "cdf", f"part-*-{run_id}.parquet"))
-    )
-    return manifest, run_id, files
+    return manifest, run_id, _cdf_glob(lake_dir, run_id)
 
 
 def _empty_cdf_frame(manifest: Manifest) -> pd.DataFrame:
@@ -211,44 +223,83 @@ def read_changes(
     feeds of every run committed after it (up to ``until_version``,
     inclusive, default latest), each row tagged with its
     ``_commit_version`` so a downstream replica can apply them in commit
-    order.  Feeds pruned by vacuum()/retention read back empty."""
+    order (``apply_changes`` does this grouping itself when it sees the
+    column).  The range is verified complete: a replay in the span that ran
+    without emit_changes, or whose feed files were pruned by retention /
+    vacuum, raises instead of silently skipping commits (the replica would
+    diverge) — re-seed the replica from ``read_lake(version=...)`` instead."""
     if since_version is not None:
-        import glob as _glob
-
+        if run_id is not None or version is not None:
+            raise ValueError(
+                "pass either run_id/version (single-run feed) or "
+                "since_version/until_version (ranged feed), not both"
+            )
         manifest = Manifest.load(lake_dir)
         if manifest is None:
             raise FileNotFoundError(f"no manifest at {lake_dir}")
-        span = [
-            r
-            for r in manifest.runs
-            if r.get("version", 0) > since_version
-            and (until_version is None or r.get("version", 0) <= until_version)
-        ]
-        pieces = []
-        for r in sorted(span, key=lambda r: r.get("version", 0)):
-            files = sorted(
-                _glob.glob(
-                    os.path.join(
-                        lake_dir, "cdf", f"part-*-{r['run_id']}.parquet"
-                    )
+        span = sorted(
+            (
+                r
+                for r in manifest.runs
+                if r.get("version", 0) > since_version
+                and (
+                    until_version is None
+                    or r.get("version", 0) <= until_version
                 )
-            )
-            for f in files:
-                pieces.append((f, r["version"]))
-        if not pieces:
+            ),
+            key=lambda r: r.get("version", 0),
+        )
+        by_version: dict[int, list[str]] = {}
+        for r in span:
+            if not r.get("partitions"):
+                continue  # no-op commit (nothing merged) — nothing to apply
+            files = _cdf_glob(lake_dir, r["run_id"])
+            recorded = r.get("cdf_files")
+            if recorded is not None and len(files) < recorded:
+                raise ValueError(
+                    f"change feed of run {r['run_id']} (version "
+                    f"{r.get('version')}) was pruned by retention/vacuum "
+                    f"({len(files)} of {recorded} files remain) — the range "
+                    "since_version="
+                    f"{since_version} cannot be reconstructed; re-seed the "
+                    "replica from read_lake(version=...)"
+                )
+            if not r.get("emit_changes", False) and not files:
+                raise ValueError(
+                    f"run {r['run_id']} (version {r.get('version')}) in the "
+                    "requested range did not emit a change feed "
+                    "(emit_changes was off) — the range is incomplete; "
+                    "re-seed the replica from read_lake(version=...)"
+                )
+            if files:
+                by_version[r["version"]] = files
+        if not by_version:
             return ray.data.from_arrow(_empty_cdf_table(manifest, True))
         import numpy as np
 
-        by_version: dict[int, list[str]] = {}
-        for f, v in pieces:
-            by_version.setdefault(v, []).append(f)
+        # one unified schema across the span: a run may additively evolve
+        # the payload, and Ray's union does not reconcile block schemas
+        fields: dict[str, pa.Field] = {}
+        for fs in by_version.values():
+            for f in pq.read_schema(fs[0]):
+                fields.setdefault(f.name, f)
+        unified = pa.schema(list(fields.values())).append(
+            pa.field("_commit_version", pa.int64())
+        )
 
         def _tag(v):
             def f(t: pa.Table) -> pa.Table:
-                return t.append_column(
-                    "_commit_version",
-                    pa.array(np.full(t.num_rows, v, dtype=np.int64)),
-                )
+                cols = []
+                for fld in unified:
+                    if fld.name == "_commit_version":
+                        cols.append(
+                            pa.array(np.full(t.num_rows, v, dtype=np.int64))
+                        )
+                    elif fld.name in t.column_names:
+                        cols.append(t.column(fld.name).cast(fld.type))
+                    else:
+                        cols.append(pa.nulls(t.num_rows, fld.type))
+                return pa.Table.from_arrays(cols, schema=unified)
 
             return f
 
@@ -258,10 +309,9 @@ def read_changes(
             )
             for v, fs in sorted(by_version.items())
         ]
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
-        return ds
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    if until_version is not None:
+        raise ValueError("until_version requires since_version")
     manifest, run_id, files = _resolve_cdf(lake_dir, run_id, version)
     if not files:
         return ray.data.from_arrow(_empty_cdf_table(manifest))
@@ -287,12 +337,29 @@ def read_changes_pandas(
 def apply_changes(
     prior: pd.DataFrame, feed: pd.DataFrame, key_cols: list[str]
 ) -> pd.DataFrame:
-    """Materialize a downstream replica: apply one committed run's change
-    feed onto the replica's prior state.  Inserts and update postimages
-    upsert, deletes remove, preimages are ignored — so
+    """Materialize a downstream replica: apply a committed change feed onto
+    the replica's prior state.  Inserts and update postimages upsert,
+    deletes remove, preimages are ignored — so
     ``apply_changes(state@v_{n-1}, feed(run_n)) == state@v_n`` (the invariant
-    the cdc_changes gate verifies end-to-end)."""
+    the cdc_changes gate verifies end-to-end).
+
+    A ranged feed (carrying ``_commit_version`` from
+    ``read_changes(since_version=...)``) is applied one commit at a time in
+    version order — applying commits out of order or flattened would e.g.
+    resurrect a key inserted at v_n and deleted at v_{n+1}."""
     from cassandra_data_migrator_ray.stages.merge import CHANGE_COL
+
+    if "_commit_version" in feed.columns:
+        out = prior
+        for v in sorted(feed["_commit_version"].unique()):
+            out = apply_changes(
+                out,
+                feed[feed["_commit_version"] == v].drop(
+                    columns="_commit_version"
+                ),
+                key_cols,
+            )
+        return out
 
     post = feed[feed[CHANGE_COL].isin(["insert", "update_postimage"])].drop(
         columns=CHANGE_COL

@@ -418,6 +418,11 @@ class Manifest:
                 "version": self.version,
                 "committed_at": time.time(),
                 "partitions": sorted(receipts),
+                # feed files this commit wrote — ranged readers compare the
+                # on-disk count against this to detect pruned feeds
+                "cdf_files": sum(
+                    1 for r in receipts.values() if r.get("cdf_file")
+                ),
                 **(extra or {}),
             }
         )

@@ -765,3 +765,87 @@ class TestLineageAndPushdown:
         empty = read_changes(lake, since_version=3)
         assert empty.count() == 0
         assert "_commit_version" in empty.schema().names
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangedFeedSafety:
+    """Review regressions: ranged-feed apply ordering, completeness checks,
+    parameter validation, and the TTL/filter guard."""
+
+    def _ev(self, seq, turn, wt, text, op="UPSERT"):
+        return dict(
+            conv_id="c1", turn_idx=np.int32(turn), op=op, writetime=wt,
+            event_seq=seq, role="user", text=text, tool=None,
+            ts=pd.Timestamp("2026-01-01"),
+        )
+
+    def test_tagged_feed_applies_per_commit_no_resurrection(self, tmp_path):
+        """Key inserted at v2 then deleted at v3: applying the tagged span in
+        ONE apply_changes call must not resurrect it."""
+        from cassandra_data_migrator_ray.sources.lake import apply_changes
+
+        lake = _lake(tmp_path)
+        replay(pd.DataFrame([self._ev(0, 0, 10, "base")]), lake,
+               num_parts=2, emit_changes=True)
+        v1 = read_lake_pandas(lake)
+        replay(pd.DataFrame([self._ev(1, 1, 20, "new-key")]), lake,
+               num_parts=2, emit_changes=True)
+        replay(pd.DataFrame([self._ev(2, 1, 30, None, op="DELETE")]), lake,
+               num_parts=2, emit_changes=True)
+        v3 = read_lake_pandas(lake)
+        assert not (v3["turn_idx"] == 1).any()
+        span = read_changes(lake, since_version=1).to_pandas()
+        got = apply_changes(v1, span, KEY)
+        pd.testing.assert_frame_equal(got, v3, check_dtype=False)
+        assert "_commit_version" not in got.columns
+
+    def test_pruned_range_raises(self, tmp_path):
+        full = gen_change_stream(n_convs=20, n_events=2000, seed=77).to_pandas()
+        q = len(full) // 4
+        lake = _lake(tmp_path)
+        for i in range(4):
+            replay(full[(full.event_seq >= i * q) & (full.event_seq < (i + 1) * q)],
+                   lake, num_parts=4, emit_changes=True)
+        Manifest.load(lake).vacuum(keep_last=1)  # prunes feeds of v1..v3
+        with pytest.raises(ValueError, match="pruned"):
+            read_changes(lake, since_version=1)
+        # the unpruned tail of the range still reads
+        assert read_changes(lake, since_version=3).count() >= 0
+
+    def test_emit_off_run_in_range_raises(self, tmp_path):
+        full = gen_change_stream(n_convs=20, n_events=1500, seed=79).to_pandas()
+        third = len(full) // 3
+        lake = _lake(tmp_path)
+        replay(full[full.event_seq < third], lake, num_parts=4, emit_changes=True)
+        replay(full[(full.event_seq >= third) & (full.event_seq < 2 * third)],
+               lake, num_parts=4)  # emit_changes OFF
+        replay(full[full.event_seq >= 2 * third], lake, num_parts=4,
+               emit_changes=True)
+        with pytest.raises(ValueError, match="did not emit"):
+            read_changes(lake, since_version=1)
+
+    def test_parameter_validation(self, tmp_path):
+        ev = gen_change_stream(n_convs=10, n_events=400, seed=81)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=2, emit_changes=True)
+        with pytest.raises(ValueError, match="until_version requires"):
+            read_changes(lake, until_version=1)
+        with pytest.raises(ValueError, match="not both"):
+            read_changes(lake, run_id="x", since_version=0)
+
+    def test_ttl_filter_guard(self, tmp_path):
+        import pyarrow.dataset as pads
+
+        base = 1_000_000_000_000
+        ev = pd.DataFrame(
+            [dict(op="UPSERT", conv_id="c1", turn_idx=np.int32(0), role=None,
+                  text="x", tool=None, ts=None, writetime=base, event_seq=0,
+                  ttl=10)]
+        )
+        ev["ts"] = pd.Series([pd.NaT], dtype="datetime64[us]")
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=2, ttl=True)
+        with pytest.raises(ValueError, match="filter= cannot combine"):
+            read_lake(lake, as_of=base + 1, filter=pads.field("text") == "x")
+        # filter without as_of stays fine
+        assert read_lake(lake, filter=pads.field("text") == "x").count() == 1
