@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_counts": q.tumbling_window_counts,
         "session_windows": q.session_windows,
         "sliding_window_counts": q.sliding_window_counts,
+        "distinct_users_by_type": q.distinct_users_by_type,
         "running_purchase_total": q.running_purchase_total,
         "asof_purchase_click": q.asof_purchase_click,
         "range_join_clicks": q.range_join_clicks,
@@ -516,6 +517,13 @@ w AS (SELECT bucket - i * 21600000000 AS window_start
       FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
 SELECT window_start, CAST(count(*) AS BIGINT) AS n
 FROM w GROUP BY 1 ORDER BY 1
+""",
+        # exact grouped COUNT(DISTINCT) via disjoint per-partition pair sets
+        "distinct_users_by_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1 ORDER BY 1
 """,
         # cumulative window sum in integer cents (total order -> exact)
         "running_purchase_total": """

@@ -942,6 +942,49 @@ def tumbling_window_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "window_start"], ignore_index=True)
 
 
+def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped COUNT(DISTINCT): distinct users per event type.  The
+    100-TB shape: per-batch distinct (type, user) pairs bound the shuffle to
+    the distinct-pair cardinality per batch; pairs co-locate by user hash,
+    each partition distincts its disjoint pair set once and emits |types|
+    count rows; the driver sums a tiny (partitions × types) frame — exact
+    because the per-partition pair sets are disjoint."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nparts = _scaled_nparts(ds)
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["event_type"]))
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+            }
+        ).drop_duplicates(ignore_index=True)
+        df["__part"] = _mod_part(df["user_id"].to_numpy(), nparts)
+        return df
+
+    def count_partition(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        out = d.groupby("event_type", sort=False).size().reset_index(name="n")
+        return out
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(count_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    partials = _typed_empty(partials, {"event_type": "object", "n": "int64"})
+    out = (
+        partials.groupby("event_type", sort=True)["n"].sum().reset_index()
+    )
+    out = out.rename(columns={"n": "n_users"})
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)
+
+
 SLIDE_HOP_US = 21_600_000_000  # 6 h hop
 SLIDE_K = 4  # window = K × hop = 24 h
 

@@ -25,12 +25,13 @@ already-merged events on later runs, making duplicate delivery a no-op.
 Concurrency contract: ONE writer job per lake at a time (same as the
 reference's one-Spark-job-per-migration); commit-time GC reclaims any staging
 not belonging to the committing run.  Readers always see a CONSISTENT
-manifest (the swap is atomic), but snapshot isolation is manifest-level, not
-file-level: commit-time GC deletes data files the previous manifest version
-referenced, so a reader that loaded the old manifest and is still mid-scan
-can hit FileNotFoundError and must retry from the fresh manifest.  (Full MVCC
-would defer GC by one manifest version; at one commit per run the
-retry-on-miss contract is the deliberate trade.)
+manifest (the swap is atomic), and since time-travel snapshots pin old file
+sets (``snapshot_retention``, default 8), a reader that loaded an older
+manifest keeps its files on disk for the next ``retention`` commits — MVCC
+reader isolation with a bounded window.  Only a reader lagging beyond
+retention (or racing a ``vacuum``) can hit FileNotFoundError and must retry
+from the fresh manifest; ``snapshot_retention=0`` keeps every version until
+an explicit vacuum.
 """
 
 from __future__ import annotations
