@@ -125,6 +125,7 @@ def run_bench() -> dict:
             "session_windows",
             "sliding_window_counts",
             "running_purchase_total",
+            "distinct_users_by_type",
             "hll_distinct_users",
             "pii_scrub_docs",
             "text_normalize_docs",
