@@ -503,6 +503,153 @@ def merge_state_frames(
     return out
 
 
+def merge_state_tables_arrow(
+    tables: "Sequence[object]",
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    counter_cols: Sequence[str] = (),
+    ttl: bool = False,
+) -> "object":
+    """Arrow-native :func:`merge_state_frames`: identical semantics (per-cell
+    LWW argmax, merged-tombstone suppression, additive counters with
+    identical-cell dedup), but bookkeeping stays int64 numpy end-to-end and
+    payload values move only through one nullable ``pc.take`` per column —
+    no Python-object string materialization.  This makes the INCREMENTAL
+    merge (prior lake state ⊕ new fold — the steady-state CDC path) as cheap
+    per byte as the fresh-load ``fold_events_arrow`` path.
+
+    Inputs must share one schema (align with ``align_to_schema`` first);
+    bookkeeping nulls (schema-evolved older fragments) are sentinel-filled
+    (``NEG_INF`` / ``NO_EXPIRY``) rather than propagated.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tabs = [t for t in tables if t is not None and t.num_rows]
+    if not tabs:
+        raise ValueError("merge_state_tables_arrow: no non-empty tables")
+    tbl = pa.concat_tables(tabs, promote_options="none") if len(tabs) > 1 else tabs[0]
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+
+    codes: list[np.ndarray] = []
+    for k in key_cols:
+        col = tbl.column(k)
+        if pa.types.is_integer(col.type):
+            filled = pc.fill_null(pc.cast(col, pa.int64()), np.iinfo(np.int64).min)
+            codes.append(filled.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            enc = pc.dictionary_encode(col).combine_chunks()
+            idxs = enc.indices.to_numpy(zero_copy_only=False)
+            codes.append(np.nan_to_num(idxs, nan=-1).astype(np.int64))
+    order = np.lexsort(tuple(reversed(codes)))
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in codes:
+        cs = c[order]
+        change[1:] |= cs[1:] != cs[:-1]
+    starts = np.flatnonzero(change)
+    ngroups = len(starts)
+    gid = np.repeat(np.arange(ngroups), np.diff(np.r_[starts, n]))
+    sidx = np.arange(n, dtype=np.int64)
+
+    def _i64(name: str, fill: int) -> np.ndarray:
+        """Sorted int64 view of a bookkeeping column, nulls → sentinel."""
+        if name not in tbl.column_names:
+            return np.full(n, fill, dtype=np.int64)
+        col = tbl.column(name)
+        if col.null_count:
+            col = pc.fill_null(col, fill)
+        return (
+            pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        )
+
+    def _argmax_lex(w: np.ndarray, s: np.ndarray) -> np.ndarray:
+        wmax = np.maximum.reduceat(w, starts)[gid]
+        cand = w == wmax
+        smax = np.maximum.reduceat(np.where(cand, s, NEG_INF), starts)[gid]
+        win = cand & (s == smax)
+        return np.maximum.reduceat(np.where(win, sidx, -1), starts)
+
+    dwt, dsq = _i64(DEL_WT, NEG_INF), _i64(DEL_SEQ, NEG_INF)
+    di = _argmax_lex(dwt, dsq)
+    del_wt, del_seq = dwt[di], dsq[di]
+    rwt, rsq = _i64(ROW_WT, NEG_INF), _i64(ROW_SEQ, NEG_INF)
+    ri = _argmax_lex(rwt, rsq)
+    row_wt, row_seq = rwt[ri], rsq[ri]
+    exists = _lex_gt(row_wt, row_seq, del_wt, del_seq)
+
+    key_take = pa.array(order[starts], type=pa.int64())
+    out: dict[str, object] = {}
+    for k in key_cols:
+        out[k] = pc.take(tbl.column(k), key_take)
+
+    for c in payload_cols:
+        w = _i64(c + WT_SUFFIX, NEG_INF)
+        s = _i64(c + SEQ_SUFFIX, NEG_INF)
+        col = tbl.column(c)
+        if c in counter_cols:
+            notna = (
+                pc.is_valid(col).to_numpy(zero_copy_only=False).astype(bool)[order]
+            )
+            if pa.types.is_integer(col.type):
+                vals = (
+                    pc.fill_null(pc.cast(col, pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[order]
+                )
+            else:
+                fv = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)[order]
+                vals = np.rint(np.nan_to_num(fv)).astype(np.int64)
+            # identical-cell dedup — see merge_state_frames for the contract
+            o2 = np.lexsort((vals, s, w, gid))
+            same = (
+                (gid[o2][1:] == gid[o2][:-1])
+                & (w[o2][1:] == w[o2][:-1])
+                & (s[o2][1:] == s[o2][:-1])
+                & (vals[o2][1:] == vals[o2][:-1])
+                & notna[o2][1:]
+                & notna[o2][:-1]
+            )
+            dup = np.zeros(n, dtype=bool)
+            dup[o2[1:]] = same
+            live = _lex_gt(w, s, del_wt[gid], del_seq[gid]) & notna & ~dup
+            total = np.add.reduceat(np.where(live, vals, 0), starts)
+            any_live = np.maximum.reduceat(np.where(live, sidx, -1), starts) >= 0
+            out[c] = pa.array(total, type=pa.int64(), mask=~any_live)
+            ci = _argmax_lex(
+                np.where(live, w, NEG_INF), np.where(live, s, NEG_INF)
+            )
+            out[c + WT_SUFFIX] = pa.array(np.where(any_live, w[ci], NEG_INF))
+            out[c + SEQ_SUFFIX] = pa.array(np.where(any_live, s[ci], NEG_INF))
+            if ttl:
+                out[c + TTLX_SUFFIX] = pa.array(
+                    np.full(ngroups, NO_EXPIRY, dtype=np.int64)
+                )
+            continue
+        wi = _argmax_lex(w, s)
+        win_wt, win_seq = w[wi], s[wi]
+        alive = _lex_gt(win_wt, win_seq, del_wt, del_seq)
+        take_idx = pa.array(order[np.clip(wi, 0, None)], pa.int64(), mask=~alive)
+        out[c] = pc.take(col, take_idx)
+        out[c + WT_SUFFIX] = pa.array(np.where(alive, win_wt, NEG_INF))
+        out[c + SEQ_SUFFIX] = pa.array(np.where(alive, win_seq, NEG_INF))
+        if ttl:
+            tx = _i64(c + TTLX_SUFFIX, NO_EXPIRY)
+            out[c + TTLX_SUFFIX] = pa.array(np.where(alive, tx[wi], NO_EXPIRY))
+
+    out[DEL_WT] = pa.array(del_wt)
+    out[DEL_SEQ] = pa.array(del_seq)
+    out[ROW_WT] = pa.array(np.where(exists, row_wt, NEG_INF))
+    out[ROW_SEQ] = pa.array(np.where(exists, row_seq, NEG_INF))
+    out[DELETED] = pa.array(~exists)
+    out[MAX_SEQ] = pa.array(np.maximum.reduceat(_i64(MAX_SEQ, NEG_INF), starts))
+    if ttl:
+        rtx = _i64(ROW_TTLX, NO_EXPIRY)
+        out[ROW_TTLX] = pa.array(np.where(exists, rtx[ri], NO_EXPIRY))
+    return pa.table(out)
+
+
 def merge_states(
     a: pd.DataFrame,
     b: pd.DataFrame,

@@ -114,6 +114,7 @@ def _compare_staged_part(
     schema_ipc: bytes,
     key_cols: tuple[str, ...],
     coarse_factor: int,
+    counter_cols: tuple[str, ...],
     batch: pd.DataFrame,
 ) -> pd.DataFrame:
     """Staged-exchange comparator task: staged expected slices + the lake
@@ -209,7 +210,11 @@ def _compare_staged_part(
             names = sides[0].column_names
             sides = [s.select(names) for s in sides]
             tbl = _pa.concat_tables(sides)
-            outs.append(compare_part_arrow(tbl, list(key_cols), payload_cols, part))
+            outs.append(
+                compare_part_arrow(
+                    tbl, list(key_cols), payload_cols, part, counter_cols
+                )
+            )
     if not outs:
         return pd.DataFrame(
             columns=[*key_cols, "status", "cols_differ", "fix_wt"]
@@ -345,6 +350,7 @@ def validate(
                         full_schema.serialize().to_pybytes(),
                         key_cols,
                         coarse_factor,
+                        tuple(manifest.counter_cols),
                     ),
                     batch_format="pandas",
                     batch_size=None,
@@ -402,6 +408,7 @@ def validate(
                 key_cols=list(key_cols),
                 payload_cols=payload_cols,
                 part_col=PART_COL,
+                counter_cols=tuple(manifest.counter_cols),
             ),
             batch_format="pandas",
         )
@@ -468,7 +475,11 @@ def autocorrect(
                 else pd.Series(np.nan, index=rep.index)
             )
             delta = exp_n.fillna(0) - act_n.fillna(0)
-            # only emit a delta where expected has a value (null = unset)
+            # only emit a delta where either side has a value (null = unset).
+            # A NULL-expected / valued-actual counter settles at 0 (delta =
+            # −actual); validate treats NULL and 0 as equal for counter
+            # columns (compare_part_arrow/compare_group counter_cols), so
+            # the correct→validate loop converges in one round.
             col = delta.where(exp_n.notna() | act_n.notna())
         ev[c] = col.where(rep["status"] != "EXTRA")
     ev["writetime"] = rep["fix_wt"].to_numpy(dtype=np.int64)

@@ -1221,6 +1221,15 @@ def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     )
     # float64, not Int64: the DuckDB oracle's nullable BIGINT surfaces as
     # float64 in pandas, and the driver's value-hash is dtype-sensitive.
+    # The cast happens ONLY at this oracle-comparison boundary (the join
+    # itself stays Int64); event ids must stay < 2^53 or the float
+    # round-trip would corrupt them — assert rather than corrupt silently.
+    mx = out["click_event_id"].max()
+    if pd.notna(mx) and int(mx) >= (1 << 53):
+        raise ValueError(
+            "click_event_id exceeds 2^53; float64 oracle-parity cast would "
+            "corrupt it — widen the comparison boundary instead"
+        )
     out["click_event_id"] = out["click_event_id"].astype("float64")
     return out.sort_values("event_id", ignore_index=True)
 

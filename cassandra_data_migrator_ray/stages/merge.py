@@ -199,6 +199,134 @@ def read_partition_state(cfg: MergeConfig, part: int) -> pd.DataFrame | None:
     return pdf
 
 
+def read_partition_state_arrow(cfg: MergeConfig, part: int) -> "pa.Table | None":
+    """Arrow twin of :func:`read_partition_state`: the partition's prior state
+    aligned to the current state schema, never converted to pandas — feeds
+    :func:`merge_state_tables_arrow` so the incremental (steady-state CDC)
+    merge is Arrow end-to-end.  Schema-evolved fragments' bookkeeping nulls
+    are sentinel-filled by the merge kernel, not here."""
+    files = cfg.prior_files.get(part) or []
+    if not files:
+        return None
+    tables = [
+        pq.read_table(os.path.join(cfg.lake_dir, f), use_threads=False)
+        for f in files
+    ]
+    tbl = pa.concat_tables(tables, promote_options="default")
+    from cassandra_data_migrator_ray.schema import align_to_schema
+
+    return align_to_schema(tbl, _arrow_state_schema(cfg))
+
+
+def _compute_changes_arrow(
+    cfg: MergeConfig,
+    old: "pa.Table | None",
+    state: "pa.Table",
+    touched: "pa.Table",
+) -> "pa.Table":
+    """Arrow twin of :func:`_compute_changes` (same classification contract,
+    same output ordering): touched keys are matched between prior and merged
+    state via joint compact key codes + searchsorted alignment; payload
+    difference uses the validate comparator's null-safe kernel.  ``touched``
+    is any table carrying the increment's key columns (≤1 row per key)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    from cassandra_data_migrator_ray.stages.validate import _null_safe_ne
+
+    keys, payload = list(cfg.key_cols), list(cfg.payload_cols)
+    cols = [*keys, *payload]
+    n_s = state.num_rows
+    n_o = old.num_rows if old is not None else 0
+    sort_keys = [(k, "ascending") for k in (*keys, CHANGE_COL)]
+    n_t = touched.num_rows
+    ids = np.zeros(n_s + n_o + n_t, dtype=np.int64)
+    for k in keys:
+        chunks = [
+            *state.column(k).chunks,
+            *(old.column(k).chunks if n_o else ()),
+            *touched.column(k).chunks,
+        ]
+        joint = pa.chunked_array(chunks)
+        if pa.types.is_integer(joint.type):
+            raw = (
+                pc.fill_null(pc.cast(joint, pa.int64()), np.iinfo(np.int64).min)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        else:
+            enc = pc.dictionary_encode(joint).combine_chunks()
+            raw = np.nan_to_num(
+                enc.indices.to_numpy(zero_copy_only=False), nan=-1
+            ).astype(np.int64)
+        _, inv = np.unique(raw, return_inverse=True)
+        card = int(inv.max()) + 1 if len(inv) else 1
+        ids = ids * card + inv
+    s_ids, o_ids, t_ids = ids[:n_s], ids[n_s : n_s + n_o], ids[n_s + n_o :]
+    tset = np.unique(t_ids)
+    s_rows = np.flatnonzero(np.isin(s_ids, tset))
+    o_rows = np.flatnonzero(np.isin(o_ids, tset))
+    so = np.argsort(s_ids[s_rows], kind="stable")
+    s_rows = s_rows[so]
+    # merged state contains every key of old ∪ increment, so each touched
+    # old key has exactly one aligned position in the sorted new side
+    pos = np.searchsorted(s_ids[s_rows], o_ids[o_rows])
+    idx_old = np.full(len(s_rows), -1, dtype=np.int64)
+    idx_old[pos] = o_rows
+    old_present = idx_old >= 0
+    new_take = pa.array(s_rows, pa.int64())
+    new_live = ~(
+        pc.fill_null(pc.take(state[DELETED], new_take), True)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    if n_o:
+        old_take = pa.array(
+            np.clip(idx_old, 0, None), pa.int64(), mask=~old_present
+        )
+        old_live = old_present & ~(
+            pc.fill_null(pc.take(old[DELETED], old_take), True)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        ne = np.zeros(len(s_rows), dtype=bool)
+        for c in payload:
+            ne |= _null_safe_ne(
+                pc.take(state.column(c), new_take), pc.take(old.column(c), old_take)
+            )
+    else:
+        old_live = np.zeros(len(s_rows), dtype=bool)
+        ne = np.zeros(len(s_rows), dtype=bool)
+    ins_m = new_live & ~old_live
+    upd_m = new_live & old_live & ne
+    del_m = old_live & ~new_live
+
+    def _sel(tbl: pa.Table, rows: np.ndarray, mask: np.ndarray, label: str) -> pa.Table:
+        t = tbl.select(cols).take(pa.array(rows[mask], pa.int64()))
+        return t.append_column(
+            CHANGE_COL, pa.array([label] * t.num_rows, pa.string())
+        )
+
+    parts = []
+    if ins_m.any():
+        parts.append(_sel(state, s_rows, ins_m, "insert"))
+    if upd_m.any():
+        parts.append(_sel(old, idx_old, upd_m, "update_preimage"))
+        parts.append(_sel(state, s_rows, upd_m, "update_postimage"))
+    if del_m.any():
+        parts.append(_sel(old, idx_old, del_m, "delete"))
+    if not parts:
+        return pa.table(
+            {
+                **{c: state.column(c).slice(0, 0) for c in cols},
+                CHANGE_COL: pa.array([], pa.string()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    return out.take(pc.sort_indices(out, sort_keys=sort_keys))
+
+
 def write_partition_state(cfg: MergeConfig, part: int, state: pd.DataFrame) -> str:
     rel = os.path.join("data", f"part-{part:05d}-{cfg.run_id}.parquet")
     path = os.path.join(cfg.lake_dir, rel)

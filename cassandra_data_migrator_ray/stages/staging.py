@@ -379,15 +379,28 @@ def fold_staged_subslice(
             if os.path.isdir(pdir)
             else []
         )
-        mine = files[sub::m]
-        if not mine:
+        if not files:
             continue
 
         def _read_ipc(path: str) -> pa.Table:
             with pa.memory_map(path) as src:
                 return pa.ipc.open_file(src).read_all()
 
-        tbl = pa.concat_tables([_read_ipc(f) for f in mine])
+        tbl = pa.concat_tables([_read_ipc(f) for f in files])
+        if m > 1:
+            # Row-level sub assignment by event_seq, NOT a positional file
+            # split: a crashed stage-1 attempt can leave duplicate copies of
+            # the same events in slices with DIFFERENT block boundaries, and
+            # a file-positional split could then send two copies of one event
+            # to different subs — each sub's fold would count its counter
+            # delta once, double-counting after merge.  A pure function of
+            # the event itself guarantees duplicates co-locate in one fold,
+            # where the event_seq dup mask removes them (exactly-once).
+            # Every sub memory-maps all slices but folds only its 1/m rows.
+            seq = tbl.column("event_seq").to_numpy(zero_copy_only=False)
+            tbl = tbl.filter(pa.array((seq % m) == sub))
+        if tbl.num_rows == 0:
+            continue
         drop = [PART_COL] if coarse_factor > 1 and PART_COL in tbl.column_names else []
         fines = (
             [(part, tbl.drop_columns(drop))]
@@ -429,7 +442,7 @@ def _split_by_part(tbl: pa.Table) -> list[tuple[int, pa.Table]]:
 
 
 def merge_partials_partition(
-    cfg, staging_dir: str, coarse_factor: int, group: pd.DataFrame, m: int = 0
+    cfg, staging_dir: str, coarse_factor: int, group: pd.DataFrame, m: int = 1
 ) -> pd.DataFrame:
     """Phase B task: merge a partition's folded partials (state frames) with
     prior lake state — rides the existing state-partials merge path.
@@ -437,8 +450,10 @@ def merge_partials_partition(
     Only partials of the CURRENT rerun multiplier ``m`` are merged (filename
     suffix ``-{m:03d}.arrow``); a rerun with a different multiplier would
     otherwise also pick up the crashed attempt's stale partials and count
-    every event's counter delta twice.  ``m=0`` accepts any (single-attempt
-    call sites)."""
+    every event's counter delta twice.  ``m >= 1`` is enforced — a
+    match-any suffix would silently fold stale attempts' partials."""
+    if m < 1:
+        raise ValueError(f"merge_partials_partition requires m >= 1, got {m}")
     from cassandra_data_migrator_ray.stages.merge import (
         METRICS_COLUMNS,
         merge_partition_group,
@@ -452,7 +467,7 @@ def merge_partials_partition(
         if not os.path.isdir(pdir):
             continue
         by_fine: dict[int, list[str]] = {}
-        suffix = f"-{m:03d}.arrow" if m else ".arrow"
+        suffix = f"-{m:03d}.arrow"
         for f in sorted(os.listdir(pdir)):
             if f.startswith("partial-") and f.endswith(suffix):
                 fine = int(f.split("-")[1])

@@ -54,6 +54,7 @@ def compare_group(
     key_cols: Sequence[str],
     payload_cols: Sequence[str],
     part_col: str,
+    counter_cols: Sequence[str] = (),
 ) -> pd.DataFrame:
     """One co-partitioned group (both sides) → diff rows + a counts row.
 
@@ -81,6 +82,15 @@ def compare_group(
     for c in payload_cols:
         e = m[f"{c}_e"]
         a = m[f"{c}_a"]
+        if c in counter_cols:
+            # Counters: NULL and 0 are equal.  A counter that never received
+            # a delta reads NULL while an autocorrected one settles at 0 —
+            # operationally the same state (reference counters only move by
+            # deltas, TargetUpdateStatement.java:69-76), and treating them as
+            # different makes the validate→autocorrect loop oscillate forever
+            # on NULL-expected keys.
+            e = e.fillna(0)
+            a = a.fillna(0)
         # null-safe inequality (reference DataUtility.diff: null==null is equal)
         ne = (e != a) & ~(e.isna() & a.isna())
         # reference null-asymmetry (DiffJobSession.java:309-312): origin null +
@@ -189,6 +199,7 @@ def compare_part_arrow(
     key_cols: Sequence[str],
     payload_cols: Sequence[str],
     part: int,
+    counter_cols: Sequence[str] = (),
 ) -> pd.DataFrame:
     """Arrow-native comparator for one co-partitioned table holding both sides
     (SIDE_COL 0=expected, 1=actual).  Same output contract as compare_group,
@@ -272,6 +283,12 @@ def compare_part_arrow(
         col = tbl.column(c)
         a = pc.take(col, exp_take)
         b = pc.take(col, act_take)
+        if c in counter_cols:
+            # counters: NULL == 0 (see compare_group) so the autocorrect
+            # loop converges when a NULL-expected counter settled at 0
+            zero = pa.scalar(0, type=col.type)
+            a = pc.fill_null(a, zero)
+            b = pc.fill_null(b, zero)
         mask = _null_safe_ne(a, b) & both
         diff_masks[c] = mask
         cols_differ = np.where(

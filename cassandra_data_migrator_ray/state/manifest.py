@@ -372,10 +372,43 @@ class Manifest:
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > 600:
-                        os.unlink(lock)  # crashed holder — break the lock
-                        continue
+                    st = os.stat(lock)
                 except OSError:
+                    continue
+                if time.time() - st.st_mtime > 600:
+                    # Crashed holder — break the lock.  Breaking must be
+                    # serialized: if two waiters both unlink unconditionally,
+                    # one can delete a FRESH lock created between the other's
+                    # stat and unlink, letting two commits run concurrently.
+                    # An O_EXCL break-token admits one breaker at a time, and
+                    # under the token we re-stat and only unlink if the lock
+                    # is still the same inode AND still stale.
+                    token = lock + ".break"
+                    try:
+                        if time.time() - os.path.getmtime(token) > 600:
+                            os.unlink(token)  # breaker itself crashed
+                    except OSError:
+                        pass
+                    try:
+                        tfd = os.open(token, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    except OSError:
+                        time.sleep(0.05)
+                        continue
+                    try:
+                        st2 = os.stat(lock)
+                        if (
+                            st2.st_ino == st.st_ino
+                            and time.time() - st2.st_mtime > 600
+                        ):
+                            os.unlink(lock)
+                    except OSError:
+                        pass
+                    finally:
+                        os.close(tfd)
+                        try:
+                            os.unlink(token)
+                        except OSError:
+                            pass
                     continue
                 if time.monotonic() > deadline:
                     raise RuntimeError(
