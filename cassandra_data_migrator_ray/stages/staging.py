@@ -215,29 +215,36 @@ def _merge_fine(
     cfg, part: int, events_tbl: pa.Table, _t_read: float, _t0: float
 ) -> pd.DataFrame:
     """Fold ONE fine partition's staged events + prior lake state and write
-    its partition file + receipt (the exactly-once unit)."""
+    its partition file + receipt (the exactly-once unit).
+
+    Arrow end-to-end for BOTH the fresh-load fold and the incremental
+    (steady-state CDC) merge: prior state is read as Arrow, merged with the
+    increment's fold by ``merge_state_tables_arrow``, and the change feed is
+    classified by ``_compute_changes_arrow`` — payload bytes move only
+    through nullable ``take`` kernels, never through Python-object frames.
+    (Round-2 scaling instrumentation blamed the pandas incremental merge's
+    DRAM traffic for the 8→32-worker efficiency cap.)"""
     import time as _time
 
-    from cassandra_data_migrator_ray.stages.merge import (
-        merge_partition_group,
-        read_partition_state,
-    )
-
-    old = read_partition_state(cfg, part)
-    is_raw_events = "op" in events_tbl.column_names
-    if (old is not None and len(old)) or not is_raw_events:
-        # incremental merge or pre-folded state partials → pandas merge path
-        events = events_tbl.to_pandas()
-        events[PART_COL] = np.int32(part)
-        return merge_partition_group(cfg, events)
-
-    # Arrow-native fresh-partition path
     import pyarrow.compute as pc
 
-    from cassandra_data_migrator_ray.functions.lww import fold_events_arrow
-    from cassandra_data_migrator_ray.schema import DEL_WT, DELETED, MAX_SEQ
+    from cassandra_data_migrator_ray.functions.lww import (
+        fold_events_arrow,
+        merge_state_tables_arrow,
+    )
+    from cassandra_data_migrator_ray.schema import (
+        DEL_WT,
+        DELETED,
+        MAX_SEQ,
+        align_to_schema,
+    )
     from cassandra_data_migrator_ray.state.manifest import atomic_write_json
-    from cassandra_data_migrator_ray.stages.merge import _arrow_state_schema
+    from cassandra_data_migrator_ray.stages.merge import (
+        _arrow_state_schema,
+        _compute_changes_arrow,
+        _write_cdf,
+        read_partition_state_arrow,
+    )
 
     receipt_path = os.path.join(
         cfg.lake_dir, "_staging", cfg.run_id, f"part-{part:05d}.json"
@@ -262,38 +269,54 @@ def _merge_fine(
             ]
         )
 
+    out_schema = _arrow_state_schema(cfg)
     _t1 = _time.perf_counter()
-    state = fold_events_arrow(
-        events_tbl,
-        list(cfg.key_cols),
-        cfg.payload_cols,
-        cfg.counter_cols,
-        ttl=cfg.ttl_enabled,
-    )
+    if "op" in events_tbl.column_names:
+        state_new = fold_events_arrow(
+            events_tbl,
+            list(cfg.key_cols),
+            cfg.payload_cols,
+            cfg.counter_cols,
+            ttl=cfg.ttl_enabled,
+        )
+    else:
+        # pre-folded state slices (prefold staging / partials): collapse
+        # duplicate keys across slices with the same merge kernel
+        state_new = merge_state_tables_arrow(
+            [align_to_schema(events_tbl, out_schema)],
+            list(cfg.key_cols),
+            cfg.payload_cols,
+            cfg.counter_cols,
+            ttl=cfg.ttl_enabled,
+        )
+    state_new = align_to_schema(state_new, out_schema)
+    keys_in = state_new.num_rows
+    old = read_partition_state_arrow(cfg, part)
+    if old is not None and old.num_rows:
+        state = merge_state_tables_arrow(
+            [state_new, old],
+            list(cfg.key_cols),
+            cfg.payload_cols,
+            cfg.counter_cols,
+            ttl=cfg.ttl_enabled,
+        )
+        state = align_to_schema(state, out_schema)
+    else:
+        old = None
+        state = state_new
     _t_fold = _time.perf_counter() - _t1
-    keys_in = state.num_rows
     # watermark BEFORE tombstone compaction: a compacted-away tombstone may
     # hold the partition's max merged event_seq — recording the post-compact
-    # max would understate it and re-admit redelivered events on resume
+    # max would understate it and re-admit redelivered events on resume.
+    # Computed from the INCREMENT's fold (the prior watermark already covers
+    # everything the old state merged).
     watermark = max(
         int(cfg.prior_watermarks.get(part, -1)),
-        int(pc.max(state[MAX_SEQ]).as_py()) if state.num_rows else -1,
+        int(pc.max(state_new[MAX_SEQ]).as_py()) if state_new.num_rows else -1,
     )
     cdf_rel = None
     if cfg.emit_changes:
-        # fresh partition (no prior state): every live folded key is a net
-        # insert; tombstones of never-existing keys emit nothing
-        from cassandra_data_migrator_ray.stages.merge import (
-            CHANGE_COL,
-            _write_cdf,
-        )
-
-        live = state.filter(pc.invert(state[DELETED]))
-        changes = live.select(
-            [c for c in (*cfg.key_cols, *cfg.payload_cols) if c in live.column_names]
-        ).append_column(
-            CHANGE_COL, pa.array(["insert"] * live.num_rows, pa.string())
-        )
+        changes = _compute_changes_arrow(cfg, old, state, state_new)
         cdf_rel = _write_cdf(cfg, part, changes)
     if cfg.compact:
         state = state.filter(pc.invert(state[DELETED]))
@@ -309,7 +332,6 @@ def _merge_fine(
     rel = os.path.join("data", f"part-{part:05d}-{cfg.run_id}.parquet")
     path = os.path.join(cfg.lake_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    out_schema = _arrow_state_schema(cfg)
     state = state.select(out_schema.names).cast(out_schema)
     tmp = path + ".tmp"
     pq.write_table(state, tmp, compression="zstd")
@@ -454,10 +476,9 @@ def merge_partials_partition(
     match-any suffix would silently fold stale attempts' partials."""
     if m < 1:
         raise ValueError(f"merge_partials_partition requires m >= 1, got {m}")
-    from cassandra_data_migrator_ray.stages.merge import (
-        METRICS_COLUMNS,
-        merge_partition_group,
-    )
+    import time as _time
+
+    from cassandra_data_migrator_ray.stages.merge import METRICS_COLUMNS
 
     if pa.cpu_count() != 1:
         pa.set_cpu_count(1)
@@ -477,9 +498,13 @@ def merge_partials_partition(
                 with pa.memory_map(path) as src:
                     return pa.ipc.open_file(src).read_all()
 
-            partials = pa.concat_tables([_read_ipc(f) for f in files]).to_pandas()
-            partials[PART_COL] = np.int32(fine)
-            outs.append(merge_partition_group(cfg, partials))
+            _t0 = _time.perf_counter()
+            partials = pa.concat_tables([_read_ipc(f) for f in files])
+            # state-frame input (no "op" column) rides _merge_fine's Arrow
+            # merge kernel — same receipt/CDF/write protocol as stage 2
+            outs.append(
+                _merge_fine(cfg, fine, partials, _time.perf_counter() - _t0, _t0)
+            )
     return (
         pd.concat(outs, ignore_index=True)
         if outs
