@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_planted_twins": q.simhash_planted_twins,
         "fingerprint_dup_join": q.fingerprint_dup_join,
         "dedup_exact_hash_only": q.dedup_exact_hash_only,
+        "vector_lake_roundtrip": q.vector_lake_roundtrip,
         # D. full-engine CDC over generated transcripts (not SQL-expressible)
         "cdc_replay": q.cdc_replay,
         "cdc_validate": q.cdc_validate,
@@ -460,6 +461,13 @@ FROM documents GROUP BY text ORDER BY doc_id
         "dedup_exact_hash_only": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        # VECTOR payload through the full lake engine: fixed_size_list fold,
+        # parquet sanitize/restore codec; first element is exact under
+        # float32→float64 widening so the hash compare is bit-for-bit
+        "vector_lake_roundtrip": """
+SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e0
+FROM embeddings ORDER BY vec_id
 """,
         # planted exact copies MUST pair with their original at hamming 0
         "simhash_planted_twins": """

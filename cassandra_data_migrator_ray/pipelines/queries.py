@@ -808,6 +808,56 @@ def cdc_replay(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def vector_lake_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """VECTOR payload gate (reference data/CqlData.java:36-38, SIT
+    smoke/06_vector; SURVEY §1.3 maps CQL VECTOR → fixed_size_list<float32>):
+    replay the embeddings table as a fixed_size_list payload column through
+    the full engine (fold → sanitize-to-parquet → read restore), assert the
+    public Dataset surfaces the DECLARED fixed_size_list type, and return
+    each vector's first element — exact under float32→float64 widening, so
+    the DuckDB oracle (embedding[1]) hash-matches bit-for-bit."""
+    import shutil
+
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import read_lake
+
+    emb = pa.parquet.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    dim = len(emb["embedding"][0])
+    vec_t = pa.list_(pa.float32(), dim)
+    n = emb.num_rows
+    ev = pa.table(
+        {
+            "op": pa.array(["UPSERT"] * n, pa.string()),
+            "vec_id": emb["vec_id"],
+            "embedding": emb["embedding"].combine_chunks().cast(vec_t),
+            "writetime": pa.array(np.full(n, 1, dtype=np.int64)),
+            "event_seq": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        }
+    )
+    schema = pa.schema([("vec_id", pa.int64()), ("embedding", vec_t)])
+    lake = tempfile.mkdtemp(prefix="cdm_ray_veclake_")
+    try:
+        replay(ev, lake, num_parts=8, payload_schema=schema, key_cols=("vec_id",))
+        ds = read_lake(lake)
+        assert ds.schema().base_schema.field("embedding").type == vec_t, (
+            "lake must surface the declared fixed_size_list type"
+        )
+
+        def first_elem(t: pa.Table) -> pa.Table:
+            v = t["embedding"].combine_chunks()
+            e0 = v.values.to_numpy(zero_copy_only=False).reshape(-1, dim)[:, 0]
+            return pa.table(
+                {"vec_id": t["vec_id"], "e0": pa.array(e0.astype(np.float64))}
+            )
+
+        out = ds.map_batches(first_elem, batch_format="pyarrow").to_pandas()
+        return out.sort_values("vec_id", ignore_index=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cache_event_count(cache: str) -> int:
     """Row count of the cached change stream from parquet metadata only —
     shared by the engine query and the SQL oracle so both split the stream at

@@ -125,6 +125,43 @@ def align_to_schema(table: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+def sanitize_lists_for_parquet(tbl: pa.Table) -> pa.Table:
+    """Storage codec for VECTOR columns (CQL VECTOR → fixed_size_list,
+    reference data/CqlData.java:36-38): pyarrow (≤16) cannot write a
+    fixed_size_list with null slots to parquet — FSL layout allocates
+    ``dim`` child values under every null slot and the writer rejects
+    "lists with non-zero length null components".  Convert each top-level
+    FSL column to a canonical variable list whose null entries have ZERO
+    length; reads restore the declared fixed_size_list type via
+    ``align_to_schema`` (list→FSL cast re-validates element counts).
+    Structs containing FSL fields are out of scope (as is multi-level
+    nesting) — same boundary the reference draws for frozen UDT vectors."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    for i, field in enumerate(tbl.schema):
+        if not pa.types.is_fixed_size_list(field.type):
+            continue
+        col = tbl.column(i).combine_chunks()
+        lst = col.cast(pa.list_(field.type.value_type))
+        valid = pc.is_valid(lst).to_numpy(zero_copy_only=False).astype(bool)
+        if valid.all():
+            tbl = tbl.set_column(i, field.name, lst)
+            continue
+        lens = (
+            pc.fill_null(pc.list_value_length(lst), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        offs = np.r_[0, np.cumsum(np.where(valid, lens, 0))]
+        values = pc.list_flatten(lst)  # values of valid slots only
+        offsets = pa.array(offs, pa.int32(), mask=np.r_[~valid, False])
+        tbl = tbl.set_column(
+            i, field.name, pa.ListArray.from_arrays(offsets, values)
+        )
+    return tbl
+
+
 def payload_cols_of(schema: pa.Schema, key_cols: list[str] | None = None) -> list[str]:
     key_cols = KEY_COLS if key_cols is None else key_cols
     return [n for n in schema.names if n not in key_cols]

@@ -142,6 +142,26 @@ def read_lake(
             lambda t: t.filter(pc.invert(t[DELETED])).select(public_cols),
             batch_format="pyarrow",
         )
+    # VECTOR restore: fixed_size_list columns are stored as variable lists
+    # (parquet cannot hold FSL nulls — schema.sanitize_lists_for_parquet);
+    # cast back so the public Dataset surfaces the DECLARED type
+    fsl_fields = [
+        (c, manifest.schema.field(c).type)
+        for c in public_cols
+        if c in manifest.schema.names
+        and pa.types.is_fixed_size_list(manifest.schema.field(c).type)
+    ]
+    if fsl_fields:
+
+        def _restore_fsl(t: pa.Table) -> pa.Table:
+            for c, typ in fsl_fields:
+                if c in t.column_names and t.column(c).type != typ:
+                    t = t.set_column(
+                        t.column_names.index(c), c, t.column(c).cast(typ)
+                    )
+            return t
+
+        ds = ds.map_batches(_restore_fsl, batch_format="pyarrow")
     return ds
 
 

@@ -149,8 +149,10 @@ def _write_cdf(
         else pa.Table.from_pandas(changes, preserve_index=False)
     )
     tbl = tbl.select(schema.names).cast(schema)
+    from cassandra_data_migrator_ray.schema import sanitize_lists_for_parquet
+
     tmp = path + ".tmp"
-    pq.write_table(tbl, tmp, compression="zstd")
+    pq.write_table(sanitize_lists_for_parquet(tbl), tmp, compression="zstd")
     os.replace(tmp, path)
     return rel
 
@@ -334,8 +336,10 @@ def write_partition_state(cfg: MergeConfig, part: int, state: pd.DataFrame) -> s
     out_schema = _arrow_state_schema(cfg)
     tbl = pa.Table.from_pandas(state, preserve_index=False)
     tbl = tbl.select(out_schema.names).cast(out_schema)
+    from cassandra_data_migrator_ray.schema import sanitize_lists_for_parquet
+
     tmp = path + ".tmp"
-    pq.write_table(tbl, tmp, compression="zstd")
+    pq.write_table(sanitize_lists_for_parquet(tbl), tmp, compression="zstd")
     os.replace(tmp, path)
     return rel
 

@@ -334,7 +334,9 @@ def _merge_fine(
     os.makedirs(os.path.dirname(path), exist_ok=True)
     state = state.select(out_schema.names).cast(out_schema)
     tmp = path + ".tmp"
-    pq.write_table(state, tmp, compression="zstd")
+    from cassandra_data_migrator_ray.schema import sanitize_lists_for_parquet
+
+    pq.write_table(sanitize_lists_for_parquet(state), tmp, compression="zstd")
     os.replace(tmp, path)
 
     tombstones = int(pc.sum(pc.cast(state[DELETED], pa.int64())).as_py() or 0)

@@ -91,6 +91,17 @@ def compare_group(
             # on NULL-expected keys.
             e = e.fillna(0)
             a = a.fillna(0)
+        if e.dtype == object or a.dtype == object:
+            # list/vector cells (ndarray or list) break elementwise != with
+            # an ambiguous-truth error — compare as tuples
+            def _tup(v):
+                return tuple(v) if isinstance(v, (list, np.ndarray)) else v
+
+            if any(isinstance(v, (list, np.ndarray)) for v in e) or any(
+                isinstance(v, (list, np.ndarray)) for v in a
+            ):
+                e = e.map(_tup)
+                a = a.map(_tup)
         # null-safe inequality (reference DataUtility.diff: null==null is equal)
         ne = (e != a) & ~(e.isna() & a.isna())
         # reference null-asymmetry (DiffJobSession.java:309-312): origin null +
@@ -181,6 +192,23 @@ def _null_safe_ne(a, b) -> np.ndarray:
         for i in range(a.type.num_fields):
             ne |= _null_safe_ne(a.field(i), b.field(i)) & both_valid
         return ne
+    if pa.types.is_fixed_size_list(a.type) and pa.types.is_fixed_size_list(b.type):
+        # VECTOR comparison (fixed_size_list, reference CqlData VECTOR →
+        # SURVEY §1.3): no Arrow ``equal`` kernel exists for FSL, so compare
+        # the flattened (n, dim) element matrices row-wise in numpy —
+        # vectorized, no Python-object fallback.  FSL allocates dim children
+        # under null slots too, so the reshape is always rectangular; null
+        # rows are settled by the validity masks, element NaNs compare equal
+        # to each other (a vector that round-trips is never "different").
+        dim = a.type.list_size
+        va = a.values.to_numpy(zero_copy_only=False).reshape(len(a), dim)
+        vb = b.values.to_numpy(zero_copy_only=False).reshape(len(b), dim)
+        elem_ne = va != vb
+        if va.dtype.kind == "f":
+            elem_ne &= ~(np.isnan(va) & np.isnan(vb))
+        ne_rows = elem_ne.any(axis=1)
+        both_valid = ~a_null & ~b_null
+        return (a_null != b_null) | (both_valid & ne_rows)
     try:
         eq = pc.equal(a, b)
     except pa.lib.ArrowNotImplementedError:
@@ -346,6 +374,12 @@ def compare_part_arrow(
         # counter delta (expected − actual) must be exact past 2^53
         if pa.types.is_integer(col.type):
             return taken.to_pandas(types_mapper=int_mapper)
+        if pa.types.is_fixed_size_list(col.type) or pa.types.is_list(col.type):
+            # plain Python lists, not ndarrays: Ray's pandas block builder
+            # tries (and fails) to TensorArray-cast ndarray object columns
+            # when report frames cross map_batches; report rows are the
+            # bounded diff set, so to_pylist is fine here
+            return pd.Series(taken.to_pylist(), dtype=object)
         return taken.to_pandas()
 
     for c in payload_cols:
