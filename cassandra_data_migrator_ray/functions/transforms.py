@@ -406,20 +406,56 @@ class ExtractJson:
             overwrite,
         )
 
+    # Anchored RE2 shape of a FLAT json object with escape-free keys/values
+    # (string/number/bool/null scalars only, no nesting, no backslash
+    # escapes).  Docs matching this shape are provably safe for regex field
+    # extraction: the field can only occur top-level, string values carry no
+    # escapes, and validity is guaranteed — so the fast path is EXACTLY
+    # json.loads-equivalent.  RE2 has no lookahead, hence the pair-list form.
+    _SCALAR = r'(?:"[^"\\]*"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null)'
+    _PAIR = r'"[^"\\]*"\s*:\s*' + _SCALAR
+    FLAT_RE = r"^\{\s*(?:" + _PAIR + r"(?:\s*,\s*" + _PAIR + r")*\s*)?\}$"
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        src = t.column(self.src_col).to_pylist()
-        out = []
-        for s in src:
-            if s is None or s == "":
-                out.append(None)
-                continue
-            try:
-                v = json.loads(s)
-            except (ValueError, TypeError):
-                out.append(None)
-                continue
-            v = v.get(self.field) if isinstance(v, dict) else None
-            out.append(None if v is None else str(v) if not isinstance(v, str) else v)
+        import re as _re
+
+        src_col = t.column(self.src_col)
+        n = t.num_rows
+        f_re = _re.escape(self.field)
+        flat = pc.fill_null(pc.match_substring_regex(src_col, self.FLAT_RE), False)
+        occurs = pc.fill_null(
+            pc.count_substring_regex(src_col, f'"{f_re}"\\s*:'), 0
+        ).to_numpy(zero_copy_only=False)
+        has_np_all = occurs >= 1
+        # duplicate keys: json.loads keeps the LAST occurrence, the regex
+        # extracts the first — send those (pathological) rows to the slow path
+        sv = pc.struct_field(
+            pc.extract_regex(src_col, f'"{f_re}"\\s*:\\s*"(?P<v>[^"\\\\]*)"'), "v"
+        )
+        flat_np = flat.to_numpy(zero_copy_only=False).astype(bool)
+        str_hit = pc.is_valid(sv).to_numpy(zero_copy_only=False).astype(bool)
+        # fast rows: provably-flat doc AND (field absent → null, or field
+        # present EXACTLY ONCE as a string scalar → extracted value).
+        # Present-but-non-string fields fall back (str(v) of a parsed
+        # number/bool is not the raw token, e.g. 1e3 → "1000.0").
+        fast = flat_np & (~has_np_all | ((occurs == 1) & str_hit))
+        out: list = sv.to_pylist()
+        if not fast.all():
+            src = src_col.to_pylist()
+            for i in np.flatnonzero(~fast):
+                s = src[i]
+                if s is None or s == "":
+                    out[i] = None
+                    continue
+                try:
+                    v = json.loads(s)
+                except (ValueError, TypeError):
+                    out[i] = None
+                    continue
+                v = v.get(self.field) if isinstance(v, dict) else None
+                out[i] = (
+                    None if v is None else str(v) if not isinstance(v, str) else v
+                )
         arr = pa.array(out, type=pa.string())
         if self.dst_col in t.column_names:
             if not self.overwrite:

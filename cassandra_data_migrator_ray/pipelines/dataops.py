@@ -724,6 +724,8 @@ def ann_topk_ivf(
     nprobe: int = 8,
     train_sample: int = 4096,
     refine_iters: int = 0,
+    merge: str = "auto",
+    materialize: "str | bool" = "auto",
 ) -> pd.DataFrame:
     """IVF (inverted-file) cosine top-k — the bucketed scale path.
 
@@ -738,6 +740,11 @@ def ann_topk_ivf(
     ~nprobe/n_centroids per query.  nprobe == n_centroids degenerates to
     exact brute force; clustered real embeddings need far lower nprobe than
     random gaussians.
+
+    ``merge``: candidate reduction — ``"driver"``, ``"distributed"``
+    (groupby(qi), driver sees only the final q × k rows) or ``"auto"``
+    (distributed from 256 queries).  ``materialize``: ``"auto"`` pins only
+    transform-bearing lineages, never plain source reads (see body).
     """
     from cassandra_data_migrator_ray.functions.similarity import (
         kmeans_lite,
@@ -749,13 +756,20 @@ def ann_topk_ivf(
         queries = queries[None, :]
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
 
-    # IVF is a multi-pass algorithm (count+sample, refine × k, score):
-    # materialize once so a lineage-bearing input (filter/plant chains) is not
-    # re-EXECUTED per pass — blocks pin in the object store and spill.  At a
-    # scale where pinning the corpus is unacceptable, pass a parquet-backed
-    # Dataset (re-reads are cheap) — materialize of an already-materialized
-    # or freshly-read dataset is near-free.
-    ds = ds.materialize()
+    # IVF is a multi-pass algorithm (count+sample, refine × k, score).
+    # ``materialize="auto"``: a SOURCE dataset (plain read_parquet /
+    # from_arrow, no transform lineage) is NOT pinned — re-scans are cheap
+    # and pinning a 100-TB corpus in the object store is exactly the wrong
+    # move at scale; a transform-bearing lineage IS materialized once so the
+    # chain isn't re-executed per pass.  Pass True/False to override.
+    if materialize == "auto":
+        try:
+            dag = ds._logical_plan.dag
+            materialize = len(dag.input_dependencies) > 0
+        except AttributeError:  # plan internals moved — pin, the safe default
+            materialize = True
+    if materialize:
+        ds = ds.materialize()
     total = max(1, ds.count())
     frac = min(1.0, train_sample / total)
 
@@ -810,8 +824,15 @@ def ann_topk_ivf(
         )
         return out[np.isfinite(out["score"].to_numpy())]
 
-    cand = ds.map_batches(per_batch, batch_format="pandas").to_pandas()
-    return _merge_topk(cand, k, id_col, query_ids)
+    cand_ds = ds.map_batches(per_batch, batch_format="pandas")
+    # same reduction policy as brute-force ann_topk: the candidate shuffle
+    # goes distributed from 256 queries up so the driver only ever holds the
+    # final q × k frame
+    if merge == "auto":
+        merge = "distributed" if qn.shape[0] >= 256 else "driver"
+    if merge == "distributed":
+        return _merge_topk_distributed(cand_ds, k, id_col, query_ids)
+    return _merge_topk(cand_ds.to_pandas(), k, id_col, query_ids)
 
 
 def embedding_neardup(
@@ -820,7 +841,7 @@ def embedding_neardup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bands: int = 8,
-    bits_per_band: int = 12,
+    bits_per_band: int | None = None,
     max_bucket: int = 512,
     verify: str = "driver",
 ) -> ray.data.Dataset:
@@ -834,13 +855,29 @@ def embedding_neardup(
     replaces the old single-band 8-bit scheme whose 256 global buckets grew
     linearly with the dataset.  2^bits_per_band buckets per band keeps bucket
     population ~n/4096; recall for cosine>=0.95 is 1-(1-p^b)^B with
-    p = 1 - arccos(0.95)/pi ~= 0.90 → ~93% at 8x12, and bits_per_band should
-    grow with log2(n) at larger scale.  Only (band, bucket, id) crosses the
-    shuffle; candidate vectors are gathered in a second broadcast-filter pass
-    and verified exactly.  Oversized buckets chunk with a logged metric row —
-    never a silent drop.
+    p = 1 - arccos(0.95)/pi ~= 0.90 → ~93% at 8x12.  Only (band, bucket, id)
+    crosses the shuffle; candidate vectors are gathered in a second
+    broadcast-filter pass and verified exactly.  Oversized buckets chunk
+    with a logged metric row — never a silent drop.
+
+    ``bits_per_band=None`` (default) AUTO-SIZES from the corpus count so
+    expected bucket occupancy stays ~4096 regardless of scale:
+    ``max(12, ceil(log2(n/4096)))`` — 12 bits to ~16M vectors, 18 bits at
+    10^9.  The count is one metadata-cheap pass for parquet-backed inputs;
+    pass an explicit value to skip it.
     """
     from cassandra_data_migrator_ray.functions.similarity import random_hyperplanes
+
+    if bits_per_band is None:
+        n_total = max(1, ds.count())
+        bits_per_band = max(12, int(np.ceil(np.log2(max(n_total / 4096.0, 2.0)))))
+        _log.info(
+            "embedding_neardup: auto bits_per_band=%d for n=%d "
+            "(expected bucket occupancy ~%d)",
+            bits_per_band,
+            n_total,
+            max(1, n_total >> bits_per_band),
+        )
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         _require_nonneg_ids(batch[id_col].to_numpy(), id_col)

@@ -305,21 +305,55 @@ def counter_rollup(sf_dir: str) -> pd.DataFrame:
 
 
 def diff_missing_customers(sf_dir: str) -> pd.DataFrame:
-    """J1: the validation anti-join, broadcast-side variant — customers with no
-    orders (small key set broadcast via ray.put, filtered in map_batches)."""
-    orders = _read(sf_dir, "orders", ["o_custkey"])
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    """J1: the validation anti-join at scale — customers with no orders.
 
-    def f(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = ~np.isin(t["c_custkey"].to_numpy(), ks)
-        return t.filter(pa.array(mask))
+    Both sides are co-partitioned on the customer key in ONE shuffle and
+    each partition anti-joins locally (``np.isin`` over int64 arrays).  The
+    big side's keys are pre-deduped per batch before the exchange, so the
+    shuffle carries at most one (key, part) row per distinct key per batch —
+    no driver-side key-set materialization, no row-multiplicity
+    amplification.  (Replaces the round-2 variant that looped
+    ``to_pylist()`` over the whole orders table on the driver.)"""
+    n_parts = 32
 
-    cust = _read(sf_dir, "customer", ["c_custkey"])
-    out = cust.map_batches(f, batch_format="pyarrow").to_pandas()
+    def tag(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if side == 1:
+                k = np.unique(k)  # combiner: orders repeat custkeys heavily
+            part = (
+                (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)
+            ) % np.uint64(n_parts)
+            return pa.table(
+                {
+                    "key": pa.array(k),
+                    "side": pa.array(np.full(len(k), side, dtype=np.int8)),
+                    "__part": pa.array(part.astype(np.int32)),
+                }
+            )
+
+        return f
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        tag("c_custkey", 0), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        tag("o_custkey", 1), batch_format="pyarrow"
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy()
+        s = g["side"].to_numpy()
+        missing = np.setdiff1d(k[s == 0], k[s == 1])
+        return pd.DataFrame({"c_custkey": missing.astype(np.int64)})
+
+    out = (
+        cust.union(orders)
+        .groupby("__part")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
     if "c_custkey" not in out.columns:  # empty result drops schema via to_pandas
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
     return out.sort_values("c_custkey", ignore_index=True)
@@ -632,17 +666,38 @@ def fingerprint_dup_join(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     planted = _plant_copies(ds, "doc_id", every=25, offset=1_000_000)
-    fp = planted.map_batches(
+    fp_ds = planted.map_batches(
         Fingerprint(), batch_format="pandas", concurrency=2
-    ).to_pandas()
-    m = fp.merge(fp, on=["text_hash", "min_shingle_hash"], suffixes=("_a", "_b"))
-    m = m[m["doc_id_a"] < m["doc_id_b"]]
-    return (
-        m[["doc_id_a", "doc_id_b"]]
-        .rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
-        .astype(np.int64)
-        .sort_values(["id_a", "id_b"], ignore_index=True)
+    ).select_columns(["doc_id", "text_hash", "min_shingle_hash"])
+
+    # pair emission INSIDE the fingerprint-key groupby: only (doc_id, 128-bit
+    # key) rows cross the shuffle and the driver sees only the pair list —
+    # never the corpus (replaces the round-2 full-frame pandas self-merge)
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    out = (
+        fp_ds.groupby(["text_hash", "min_shingle_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
     )
+    if "id_a" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 def dedup_exact_hash_only(sf_dir: str) -> pd.DataFrame:

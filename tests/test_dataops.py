@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -345,3 +346,51 @@ class TestIvfAnn:
         bf = ann_topk(ds, q, k=5)
         ivf = ann_topk_ivf(ds, q, k=5, n_centroids=8, nprobe=8)
         assert list(bf["vec_id"]) == list(ivf["vec_id"])
+
+    def test_ivf_parquet_source_not_pinned_and_distributed_merge(
+        self, tmp_path, monkeypatch
+    ):
+        """materialize="auto" must NOT pin a plain parquet read (re-scans are
+        cheap; pinning a 100-TB corpus is the anti-pattern), and the
+        distributed candidate merge must equal the driver merge exactly."""
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.pipelines.dataops import ann_topk_ivf
+
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((400, 12))
+        path = str(tmp_path / "emb.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+                }
+            ),
+            path,
+        )
+        pinned = []
+        orig = ray.data.Dataset.materialize
+
+        def spy(self, **kw):
+            pinned.append(1)
+            return orig(self, **kw)
+
+        monkeypatch.setattr(ray.data.Dataset, "materialize", spy)
+        q = vecs[[3, 11]]
+        a = ann_topk_ivf(
+            ray.data.read_parquet(path), q, k=5, n_centroids=4, nprobe=4,
+            merge="driver",
+        )
+        assert not pinned, "source read must not be materialized"
+        b = ann_topk_ivf(
+            ray.data.read_parquet(path), q, k=5, n_centroids=4, nprobe=4,
+            merge="distributed",
+        )
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+        # transform-bearing lineage IS pinned under auto
+        ds2 = ray.data.read_parquet(path).map_batches(lambda t: t, batch_format="pyarrow")
+        ann_topk_ivf(ds2, q, k=5, n_centroids=4, nprobe=4)
+        assert pinned, "transform lineage must be materialized once"
