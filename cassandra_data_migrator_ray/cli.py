@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--num-parts", type=int, default=64)
     m.add_argument("--salt", type=int, default=1)
     m.add_argument("--run-id", default=None)
+    m.add_argument("--resume", action="store_true",
+                   help="resume the latest incomplete run (auto-detects its "
+                        "run id from _staging/; requires the same --events)")
     m.add_argument("--compact", action="store_true")
     m.add_argument("--format", default="auto", dest="file_format",
                    choices=["auto", "parquet", "csv", "json", "arrow"],
@@ -148,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake,
                 num_parts=args.num_parts,
                 salt=args.salt,
-                run_id=args.run_id,
+                run_id="auto" if args.resume else args.run_id,
                 compact=args.compact,
                 emit_changes=args.emit_changes,
             )

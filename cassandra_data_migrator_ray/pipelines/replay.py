@@ -56,6 +56,29 @@ def _merge_staged_batch(
     return pd.concat(outs, ignore_index=True)
 
 
+def latest_incomplete_run(lake_dir: str) -> str | None:
+    """The newest ``_staging`` run directory whose run_id never committed —
+    the reference's auto-rerun target (TargetUpsertRunDetailsStatement
+    .java:87-130 picks the latest run with ENDED/DIFF status to rerun;
+    here "rerunnable" = staged work exists and no manifest.runs entry).
+    Returns None when every staging dir is committed or none exist."""
+    import os
+
+    sdir = os.path.join(lake_dir, "_staging")
+    if not os.path.isdir(sdir):
+        return None
+    m = Manifest.load(lake_dir)
+    committed = {r["run_id"] for r in m.runs} if m is not None else set()
+    cands = []
+    for fn in os.listdir(sdir):
+        if fn.startswith("."):
+            continue  # .trash-* sweep leftovers
+        p = os.path.join(sdir, fn)
+        if os.path.isdir(p) and fn not in committed:
+            cands.append((os.path.getmtime(p), fn))
+    return max(cands)[1] if cands else None
+
+
 def _as_dataset(events: Any) -> ray.data.Dataset:
     if isinstance(events, ray.data.Dataset):
         return events
@@ -199,6 +222,15 @@ def replay(
     counter_cols = tuple(manifest.counter_cols)
     key_cols = tuple(manifest.key_cols)
     ttl_enabled = manifest.ttl_enabled
+    if run_id == "auto":
+        # reference auto-rerun detection (TargetUpsertRunDetailsStatement
+        # .java:87-130: prevRunId=0 → latest rerunnable run): resume the
+        # newest UNCOMMITTED staging run without the caller having to
+        # recover its run_id from _staging/ by hand.  Requires the same
+        # input stream as the crashed attempt (receipts skip completed
+        # partitions; re-staged slices are content-addressed, so identical
+        # input re-stages byte-identically).  No incomplete run → fresh id.
+        run_id = latest_incomplete_run(lake_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
 
     norm = Normalize(

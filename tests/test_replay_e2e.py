@@ -234,6 +234,40 @@ class TestRerunMultiplier:
             check_dtype=False,
         )
 
+    def test_auto_resume_latest_incomplete_run(self, tmp_path):
+        """reference auto-rerun (TargetUpsertRunDetailsStatement.java:87-130):
+        a crashed unattended job resumes with run_id="auto" — no need to dig
+        the run_id out of _staging/ by hand.  Crash = staged + partially
+        merged, never committed (one receipt deleted = one failed merge)."""
+        import glob
+        import os
+
+        events = gen_change_stream(n_convs=120, n_events=5000, seed=71)
+        lake = str(tmp_path / "lake")
+        crashed = replay(events, lake, num_parts=8, commit=False)
+        receipts = sorted(
+            glob.glob(os.path.join(lake, "_staging", crashed.run_id, "part-*.json"))
+        )
+        os.unlink(receipts[1])
+
+        res = replay(events, lake, num_parts=8, run_id="auto")
+        assert res.run_id == crashed.run_id  # picked up the incomplete run
+        statuses = res.metrics["status"].value_counts().to_dict()
+        assert statuses.get("SKIPPED_RESUME", 0) >= 6, statuses
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake),
+            oracle_final_state(events.to_pandas()),
+            check_dtype=False,
+        )
+
+        # everything committed → "auto" starts a FRESH run, not a rerun
+        res3 = replay(
+            gen_change_stream(n_convs=10, n_events=200, seed=72, seq_start=10**6),
+            lake,
+            run_id="auto",
+        )
+        assert res3.run_id != crashed.run_id
+
     def test_two_level_plus_multiplier(self, tmp_path):
         events = gen_change_stream(n_convs=150, n_events=5000, seed=63)
         lake = str(tmp_path / "lake")
