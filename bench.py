@@ -81,11 +81,19 @@ def run_bench() -> dict:
     # (same job at N and 4N): 256 partitions (≥4× per worker at 32 CPUs, so
     # dynamic scheduling can pack), salt=32 (= max turns per conversation, so
     # the generated hot conversation spreads instead of straggling).
+    # MEDIAN of GRAFT_BENCH_REPS runs (default 3): this host shows external
+    # contention swings of up to ±50% on identical code (BENCH/BASELINE.md
+    # interleaved A/B evidence) — a single sample is not a measurement.
     lake_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    lake = tempfile.mkdtemp(prefix="cdm_bench_lake_", dir=lake_root)
-    t0 = time.perf_counter()
-    res = replay(cache, lake, num_parts=256, salt=32)
-    replay_sec = time.perf_counter() - t0
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
+    replay_walls: list[float] = []
+    for _ in range(reps):
+        lake = tempfile.mkdtemp(prefix="cdm_bench_lake_", dir=lake_root)
+        t0 = time.perf_counter()
+        res = replay(cache, lake, num_parts=256, salt=32)
+        replay_walls.append(time.perf_counter() - t0)
+        shutil.rmtree(lake, ignore_errors=True)
+    replay_sec = sorted(replay_walls)[len(replay_walls) // 2]
     timings["cdc_replay"] = round(replay_sec, 3)
 
     oracle_sec = 0.0
@@ -149,7 +157,6 @@ def run_bench() -> dict:
             if hasattr(out, "to_pandas") and not hasattr(out, "columns"):
                 out.to_pandas()
             timings[name] = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(lake, ignore_errors=True)
 
     ray.shutdown()
     return {
@@ -161,6 +168,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "events": n_events,
         "events_per_sec": round(n_events / replay_sec, 1),
+        "replay_runs": [round(w, 3) for w in replay_walls],
         "oracle_prep_sec": round(oracle_sec, 3),
     }
 
@@ -169,18 +177,37 @@ def run_scaling() -> dict:
     # The scaling criterion needs a compute-dominated run: per-execution fixed
     # cost (~4 s: planning, shuffle barriers, commit) would otherwise swamp the
     # speedup at any CPU count.  Use a 20× larger cached stream than the
-    # headline (same input at both CPU levels).
+    # headline (same input at every CPU level).
+    #
+    # PROTOCOL (round-2 verdict: one clean attempt of six is not evidence):
+    # GRAFT_SCALING_REPS rounds (default 3), legs INTERLEAVED (2, 8, 32 per
+    # round) so slow host phases hit all levels alike; per-level MEDIAN
+    # throughput feeds the efficiency ratios; per-leg walls + load averages
+    # are reported so a contended round is visible, and a leg that starts
+    # under heavy exogenous load (loadavg1 > 6 on this otherwise-idle VM)
+    # waits up to twice before running anyway (flagged in the output).
+    import statistics
+
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     scale_events = int(os.environ.get("GRAFT_SCALING_EVENTS", "0")) or int(
         600_000_000 * sf
     )
+    reps = max(1, int(os.environ.get("GRAFT_SCALING_REPS", "3")))
 
     def one(ncpu: int) -> dict:
+        contended = False
+        for attempt in range(3):
+            la = os.getloadavg()[0]
+            if la <= 6.0 or attempt == 2:
+                contended = la > 6.0
+                break
+            time.sleep(20)
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_EVENTS=str(scale_events),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            GRAFT_BENCH_REPS="1",  # the outer protocol owns repetition
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -189,33 +216,50 @@ def run_scaling() -> dict:
             text=True,
             check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        r["loadavg_at_start"] = round(la, 2)
+        r["contended_start"] = contended
+        return r
 
+    levels = (2, 8, 32)
+    runs: dict[int, list[dict]] = {n: [] for n in levels}
+    for _ in range(reps):
+        for ncpu in levels:  # interleaved: one leg per level per round
+            runs[ncpu].append(one(ncpu))
+    med = {
+        n: statistics.median(r["events_per_sec"] for r in rs)
+        for n, rs in runs.items()
+    }
     # Two N→4N pairs over the same input: 2→8 (within this VM's memory-
     # bandwidth budget — the regime a real 4N-node cluster, with 4N memory
     # channels, corresponds to) and 8→32 (beyond it: per-task CPU time
     # measurably inflates up to 4x once >8 concurrent folds saturate shared
     # DRAM on this virtualized host — see BENCH/BASELINE.md).
-    r2, r8, r32 = one(2), one(8), one(32)
-    eff_2_8 = (r8["events_per_sec"] / r2["events_per_sec"]) / 4
-    eff_8_32 = (r32["events_per_sec"] / r8["events_per_sec"]) / 4
-    return {
+    eff_2_8 = (med[8] / med[2]) / 4
+    eff_8_32 = (med[32] / med[8]) / 4
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff_2_8, 3),
         "unit": "ratio",
         "pair": "2->8 cpus (N->4N)",
-        "sf": r2["sf"],
-        "events": r2["events"],
-        "sec_2": r2["value"],
-        "sec_8": r8["value"],
-        "sec_32": r32["value"],
-        "events_per_sec_2": r2["events_per_sec"],
-        "events_per_sec_8": r8["events_per_sec"],
-        "events_per_sec_32": r32["events_per_sec"],
+        "sf": runs[2][0]["sf"],
+        "events": runs[2][0]["events"],
+        "reps": reps,
         "efficiency_2_8": round(eff_2_8, 3),
         "efficiency_8_32": round(eff_8_32, 3),
         "note": "8->32 is bandwidth-capped on this single VM; see BENCH/BASELINE.md",
     }
+    for n in levels:
+        walls = [r["value"] for r in runs[n]]
+        eps = [r["events_per_sec"] for r in runs[n]]
+        out[f"sec_{n}"] = sorted(walls)[len(walls) // 2]
+        out[f"events_per_sec_{n}"] = med[n]
+        out[f"walls_{n}"] = walls
+        out[f"eps_spread_{n}"] = [min(eps), max(eps)]
+        out[f"loadavg_{n}"] = [r["loadavg_at_start"] for r in runs[n]]
+        if any(r["contended_start"] for r in runs[n]):
+            out[f"contended_{n}"] = True
+    return out
 
 
 if __name__ == "__main__":
