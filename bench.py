@@ -93,7 +93,9 @@ def run_bench() -> dict:
         res = replay(cache, lake, num_parts=256, salt=32)
         replay_walls.append(time.perf_counter() - t0)
         shutil.rmtree(lake, ignore_errors=True)
-    replay_sec = sorted(replay_walls)[len(replay_walls) // 2]
+    import statistics
+
+    replay_sec = statistics.median(replay_walls)
     timings["cdc_replay"] = round(replay_sec, 3)
 
     oracle_sec = 0.0
@@ -252,7 +254,7 @@ def run_scaling() -> dict:
     for n in levels:
         walls = [r["value"] for r in runs[n]]
         eps = [r["events_per_sec"] for r in runs[n]]
-        out[f"sec_{n}"] = sorted(walls)[len(walls) // 2]
+        out[f"sec_{n}"] = statistics.median(walls)
         out[f"events_per_sec_{n}"] = med[n]
         out[f"walls_{n}"] = walls
         out[f"eps_spread_{n}"] = [min(eps), max(eps)]

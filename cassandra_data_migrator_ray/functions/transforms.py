@@ -412,8 +412,14 @@ class ExtractJson:
     # extraction: the field can only occur top-level, string values carry no
     # escapes, and validity is guaranteed — so the fast path is EXACTLY
     # json.loads-equivalent.  RE2 has no lookahead, hence the pair-list form.
-    _SCALAR = r'(?:"[^"\\]*"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null)'
-    _PAIR = r'"[^"\\]*"\s*:\s*' + _SCALAR
+    # strings exclude raw control chars (json.loads strict mode rejects
+    # them); numbers follow the JSON grammar exactly (no leading zeros,
+    # digits required after '.') — otherwise the fast path would extract
+    # values from docs the loads path rejects as invalid
+    _STR = r'"[^"\\\x00-\x1f]*"'
+    _NUM = r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?"
+    _SCALAR = r"(?:" + _STR + r"|" + _NUM + r"|true|false|null)"
+    _PAIR = _STR + r"\s*:\s*" + _SCALAR
     FLAT_RE = r"^\{\s*(?:" + _PAIR + r"(?:\s*,\s*" + _PAIR + r")*\s*)?\}$"
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -430,7 +436,10 @@ class ExtractJson:
         # duplicate keys: json.loads keeps the LAST occurrence, the regex
         # extracts the first — send those (pathological) rows to the slow path
         sv = pc.struct_field(
-            pc.extract_regex(src_col, f'"{f_re}"\\s*:\\s*"(?P<v>[^"\\\\]*)"'), "v"
+            pc.extract_regex(
+                src_col, f'"{f_re}"\\s*:\\s*"(?P<v>[^"\\\\\\x00-\\x1f]*)"'
+            ),
+            "v",
         )
         flat_np = flat.to_numpy(zero_copy_only=False).astype(bool)
         str_hit = pc.is_valid(sv).to_numpy(zero_copy_only=False).astype(bool)

@@ -613,6 +613,21 @@ def dedup_simhash(
 # --------------------------------------------------------------------------
 
 
+def _ensure_multipass(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Prepare a dataset for a MULTI-PASS algorithm: a transform-bearing
+    lineage is materialized once (else every pass re-executes the chain);
+    a plain source read (read_parquet / from_arrow, no transforms) is
+    returned as-is — re-scans are cheap and pinning a 100-TB corpus in the
+    object store is the anti-pattern.  Falls back to pinning if the plan
+    internals ever move."""
+    try:
+        if len(ds._logical_plan.dag.input_dependencies) == 0:
+            return ds
+    except AttributeError:
+        pass
+    return ds.materialize()
+
+
 def ann_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -763,12 +778,8 @@ def ann_topk_ivf(
     # move at scale; a transform-bearing lineage IS materialized once so the
     # chain isn't re-executed per pass.  Pass True/False to override.
     if materialize == "auto":
-        try:
-            dag = ds._logical_plan.dag
-            materialize = len(dag.input_dependencies) > 0
-        except AttributeError:  # plan internals moved — pin, the safe default
-            materialize = True
-    if materialize:
+        ds = _ensure_multipass(ds)
+    elif materialize:
         ds = ds.materialize()
     total = max(1, ds.count())
     frac = min(1.0, train_sample / total)
@@ -869,6 +880,10 @@ def embedding_neardup(
     from cassandra_data_migrator_ray.functions.similarity import random_hyperplanes
 
     if bits_per_band is None:
+        # near-dup is itself multi-pass (count, bucketize, verify gather):
+        # pin transform lineages once so the count pass doesn't re-execute
+        # the whole chain; plain source reads stay unpinned
+        ds = _ensure_multipass(ds)
         n_total = max(1, ds.count())
         bits_per_band = max(12, int(np.ceil(np.log2(max(n_total / 4096.0, 2.0)))))
         _log.info(

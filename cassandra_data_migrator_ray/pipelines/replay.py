@@ -56,26 +56,47 @@ def _merge_staged_batch(
     return pd.concat(outs, ignore_index=True)
 
 
-def latest_incomplete_run(lake_dir: str) -> str | None:
+def latest_incomplete_run(lake_dir: str, grace_s: float = 300.0) -> str | None:
     """The newest ``_staging`` run directory whose run_id never committed —
     the reference's auto-rerun target (TargetUpsertRunDetailsStatement
-    .java:87-130 picks the latest run with ENDED/DIFF status to rerun;
-    here "rerunnable" = staged work exists and no manifest.runs entry).
-    Returns None when every staging dir is committed or none exist."""
+    .java:87-130 picks the latest run with terminal ENDED/DIFF status;
+    "uncommitted" alone would conflate CRASHED with STILL-RUNNING).
+    Liveness proxy: a live writer keeps creating receipts/slices, so a run
+    whose newest write is younger than ``grace_s`` is presumed in flight
+    and skipped — adopting it would attach a second writer to the same
+    run_id (racing receipts + duplicate manifest.runs entries).  Returns
+    None when every staging dir is committed, in flight, or absent."""
     import os
+    import time as _time
 
     sdir = os.path.join(lake_dir, "_staging")
     if not os.path.isdir(sdir):
         return None
     m = Manifest.load(lake_dir)
     committed = {r["run_id"] for r in m.runs} if m is not None else set()
+    now = _time.time()
     cands = []
     for fn in os.listdir(sdir):
         if fn.startswith("."):
             continue  # .trash-* sweep leftovers
         p = os.path.join(sdir, fn)
-        if os.path.isdir(p) and fn not in committed:
-            cands.append((os.path.getmtime(p), fn))
+        if not os.path.isdir(p) or fn in committed:
+            continue
+        # newest write anywhere a writer touches: the run dir (receipts),
+        # events/, and events' two-level part dirs (staged slices) — depth
+        # ≤2 dir mtimes, never a full file walk
+        newest = os.path.getmtime(p)
+        ev = os.path.join(p, "events")
+        if os.path.isdir(ev):
+            newest = max(newest, os.path.getmtime(ev))
+            for sub in os.listdir(ev):
+                sp = os.path.join(ev, sub)
+                try:
+                    newest = max(newest, os.path.getmtime(sp))
+                except OSError:
+                    pass
+        if now - newest >= grace_s:
+            cands.append((newest, fn))
     return max(cands)[1] if cands else None
 
 
@@ -230,7 +251,12 @@ def replay(
         # input stream as the crashed attempt (receipts skip completed
         # partitions; re-staged slices are content-addressed, so identical
         # input re-stages byte-identically).  No incomplete run → fresh id.
-        run_id = latest_incomplete_run(lake_dir)
+        import os as _os
+
+        run_id = latest_incomplete_run(
+            lake_dir,
+            grace_s=float(_os.environ.get("CDM_RAY_RESUME_GRACE_S", "300")),
+        )
     run_id = run_id or uuid.uuid4().hex[:12]
 
     norm = Normalize(

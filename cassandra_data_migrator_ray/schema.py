@@ -162,6 +162,19 @@ def sanitize_lists_for_parquet(tbl: pa.Table) -> pa.Table:
     return tbl
 
 
+def write_parquet_atomic(tbl: pa.Table, path: str, compression: str = "zstd") -> None:
+    """THE lake parquet writer: every state/CDF file goes through here so no
+    write site can forget the VECTOR storage codec (sanitize) or the
+    tmp-then-rename atomicity that makes retried writes byte-identical."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(sanitize_lists_for_parquet(tbl), tmp, compression=compression)
+    os.replace(tmp, path)
+
+
 def payload_cols_of(schema: pa.Schema, key_cols: list[str] | None = None) -> list[str]:
     key_cols = KEY_COLS if key_cols is None else key_cols
     return [n for n in schema.names if n not in key_cols]

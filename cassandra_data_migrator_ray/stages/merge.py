@@ -149,11 +149,9 @@ def _write_cdf(
         else pa.Table.from_pandas(changes, preserve_index=False)
     )
     tbl = tbl.select(schema.names).cast(schema)
-    from cassandra_data_migrator_ray.schema import sanitize_lists_for_parquet
+    from cassandra_data_migrator_ray.schema import write_parquet_atomic
 
-    tmp = path + ".tmp"
-    pq.write_table(sanitize_lists_for_parquet(tbl), tmp, compression="zstd")
-    os.replace(tmp, path)
+    write_parquet_atomic(tbl, path)
     return rel
 
 
@@ -265,6 +263,10 @@ def _compute_changes_arrow(
         _, inv = np.unique(raw, return_inverse=True)
         card = int(inv.max()) + 1 if len(inv) else 1
         ids = ids * card + inv
+        # re-compact after EVERY column: keeps ids < row count, so the next
+        # fold step is bounded by n·card — no silent int64 overflow however
+        # many key columns / distinct values a partition carries
+        _, ids = np.unique(ids, return_inverse=True)
     s_ids, o_ids, t_ids = ids[:n_s], ids[n_s : n_s + n_o], ids[n_s + n_o :]
     tset = np.unique(t_ids)
     s_rows = np.flatnonzero(np.isin(s_ids, tset))
@@ -336,11 +338,9 @@ def write_partition_state(cfg: MergeConfig, part: int, state: pd.DataFrame) -> s
     out_schema = _arrow_state_schema(cfg)
     tbl = pa.Table.from_pandas(state, preserve_index=False)
     tbl = tbl.select(out_schema.names).cast(out_schema)
-    from cassandra_data_migrator_ray.schema import sanitize_lists_for_parquet
+    from cassandra_data_migrator_ray.schema import write_parquet_atomic
 
-    tmp = path + ".tmp"
-    pq.write_table(sanitize_lists_for_parquet(tbl), tmp, compression="zstd")
-    os.replace(tmp, path)
+    write_parquet_atomic(tbl, path)
     return rel
 
 

@@ -333,11 +333,9 @@ def _merge_fine(
     path = os.path.join(cfg.lake_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     state = state.select(out_schema.names).cast(out_schema)
-    tmp = path + ".tmp"
-    from cassandra_data_migrator_ray.schema import sanitize_lists_for_parquet
+    from cassandra_data_migrator_ray.schema import write_parquet_atomic
 
-    pq.write_table(sanitize_lists_for_parquet(state), tmp, compression="zstd")
-    os.replace(tmp, path)
+    write_parquet_atomic(state, path)
 
     tombstones = int(pc.sum(pc.cast(state[DELETED], pa.int64())).as_py() or 0)
     rows = int(state.num_rows - tombstones)

@@ -93,9 +93,20 @@ def compare_group(
             a = a.fillna(0)
         if e.dtype == object or a.dtype == object:
             # list/vector cells (ndarray or list) break elementwise != with
-            # an ambiguous-truth error — compare as tuples
+            # an ambiguous-truth error — compare as tuples.  Element NaNs map
+            # to None so identical NaN-bearing vectors compare EQUAL, matching
+            # the Arrow FSL comparator (where element nulls surface as NaN
+            # and NaN==NaN is treated as equal) — tuple NaN compares by
+            # object identity and would otherwise oscillate autocorrect.
             def _tup(v):
-                return tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                if isinstance(v, (list, np.ndarray)):
+                    return tuple(
+                        None
+                        if (isinstance(x, (float, np.floating)) and x != x)
+                        else x
+                        for x in v
+                    )
+                return v
 
             if any(isinstance(v, (list, np.ndarray)) for v in e) or any(
                 isinstance(v, (list, np.ndarray)) for v in a

@@ -234,11 +234,13 @@ class TestRerunMultiplier:
             check_dtype=False,
         )
 
-    def test_auto_resume_latest_incomplete_run(self, tmp_path):
+    def test_auto_resume_latest_incomplete_run(self, tmp_path, monkeypatch):
         """reference auto-rerun (TargetUpsertRunDetailsStatement.java:87-130):
         a crashed unattended job resumes with run_id="auto" — no need to dig
         the run_id out of _staging/ by hand.  Crash = staged + partially
-        merged, never committed (one receipt deleted = one failed merge)."""
+        merged, never committed (one receipt deleted = one failed merge).
+        A run younger than the liveness grace is presumed IN FLIGHT and must
+        not be adopted."""
         import glob
         import os
 
@@ -250,6 +252,16 @@ class TestRerunMultiplier:
         )
         os.unlink(receipts[1])
 
+        # liveness guard: with the default grace the seconds-old run is
+        # treated as still running → auto starts a FRESH id
+        from cassandra_data_migrator_ray.pipelines.replay import (
+            latest_incomplete_run,
+        )
+
+        assert latest_incomplete_run(lake) is None
+        assert latest_incomplete_run(lake, grace_s=0.0) == crashed.run_id
+
+        monkeypatch.setenv("CDM_RAY_RESUME_GRACE_S", "0")
         res = replay(events, lake, num_parts=8, run_id="auto")
         assert res.run_id == crashed.run_id  # picked up the incomplete run
         statuses = res.metrics["status"].value_counts().to_dict()
