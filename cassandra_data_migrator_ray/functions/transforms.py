@@ -81,6 +81,7 @@ def _dtype(s: str | None):
         "timestamp[us]": pa.timestamp("us"),
         "binary": pa.binary(),
         "decimal": pa.decimal128(38, 9),
+        "varint": pa.decimal128(38, 0),
     }
     return m[s]
 
@@ -92,7 +93,9 @@ class CastColumns:
     (cql/codec/Codecset.java:33-35): plain arrow casts (int↔string,
     double↔string, bigint↔string, decimal↔string), timestamp↔epoch-millis
     string, timestamp↔formatted string (pattern via strftime/strptime),
-    text↔blob (utf8↔binary).
+    text↔blob / ascii↔blob (utf8↔binary), varint↔bigint
+    (cql/codec/BIGINT_BigIntegerCodec.java: decimal128(38,0)↔int64,
+    checked on the narrowing side).
     """
 
     def __init__(self, casts: Mapping[str, str]):
@@ -112,10 +115,19 @@ class CastColumns:
         if spec == "string_timestamp_millis":
             us = pc.multiply(pc.cast(col, pa.int64()), 1000)
             return pc.cast(us, pa.timestamp("us"))
-        if spec == "text_blob":
+        if spec in ("text_blob", "ascii_blob"):
             return pc.cast(col, pa.binary())
-        if spec == "blob_text":
+        if spec in ("blob_text", "blob_ascii"):
             return pc.cast(col, pa.string())
+        # VARINT (arbitrary-precision integer) ↔ BIGINT bridge
+        # (cql/codec/BIGINT_BigIntegerCodec.java): VARINT is stored as
+        # decimal128(38,0) — covers every int64 losslessly; the reverse cast
+        # is checked (Arrow safe cast ≈ BigInteger.longValueExact: a varint
+        # beyond int64 raises instead of wrapping).
+        if spec == "bigint_varint":
+            return pc.cast(col, pa.decimal128(38, 0))
+        if spec == "varint_bigint":
+            return pc.cast(col, pa.int64())
         if spec in _GEO_CODECS:
             return _GEO_CODECS[spec](col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
         return pc.cast(col, _dtype(spec))

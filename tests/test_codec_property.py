@@ -206,3 +206,39 @@ class TestDecimalCodec:
         t = pa.table({"v": pa.array(ints, pa.int64())})
         back = _cast(_cast(t, {"v": "decimal"}), {"v": "int64"})
         assert back["v"].to_pylist() == t["v"].to_pylist()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_varint_bigint_roundtrip(self, ints):
+        """Explicit VARINT↔BIGINT codec pair (reference
+        cql/codec/BIGINT_BigIntegerCodec.java): every int64 survives the
+        decimal128(38,0) varint bridge exactly, full int64 range."""
+        t = pa.table({"v": pa.array(ints, pa.int64())})
+        via = _cast(t, {"v": "bigint_varint"})
+        assert via["v"].type == pa.decimal128(38, 0)
+        back = _cast(via, {"v": "varint_bigint"})
+        assert back["v"].to_pylist() == t["v"].to_pylist()
+
+    def test_varint_bigint_overflow_raises(self):
+        """A varint beyond int64 must raise on the narrowing cast (the
+        reference's BigInteger.longValueExact throws), never wrap."""
+        import decimal
+
+        import pytest
+
+        t = pa.table({"v": pa.array([decimal.Decimal(2**64)], pa.decimal128(38, 0))})
+        with pytest.raises(Exception):
+            _cast(t, {"v": "varint_bigint"})
+
+    def test_ascii_blob_aliases(self):
+        t = pa.table({"v": pa.array(["abc", None], pa.string())})
+        via = _cast(t, {"v": "ascii_blob"})
+        assert via["v"].type == pa.binary()
+        back = _cast(via, {"v": "blob_ascii"})
+        assert back["v"].to_pylist() == ["abc", None]
