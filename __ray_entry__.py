@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_planted_twins": q.simhash_planted_twins,
         "fingerprint_dup_join": q.fingerprint_dup_join,
         "dedup_exact_hash_only": q.dedup_exact_hash_only,
+        "neardup_cluster_docs": q.neardup_cluster_docs,
+        "dedup_apply_docs": q.dedup_apply_docs,
         "vector_lake_roundtrip": q.vector_lake_roundtrip,
         # D. full-engine CDC over generated transcripts (not SQL-expressible)
         "cdc_replay": q.cdc_replay,
@@ -461,6 +463,21 @@ FROM documents GROUP BY text ORDER BY doc_id
         "dedup_exact_hash_only": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        # connected components over exact-dup CHAIN pairs: the transitive
+        # closure of identical text is exactly the text group, so cluster_id
+        # == min(doc_id) over the group; rows = docs in >=1 pair
+        "neardup_cluster_docs": """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
+FROM documents
+QUALIFY COUNT(*) OVER (PARTITION BY text) > 1
+ORDER BY doc_id
+""",
+        # corpus after dedup_apply: min-id keeper per text group + uniques
+        "dedup_apply_docs": """
+SELECT doc_id, text FROM documents
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+ORDER BY doc_id
 """,
         # VECTOR payload through the full lake engine: fixed_size_list fold,
         # parquet sanitize/restore codec; first element is exact under

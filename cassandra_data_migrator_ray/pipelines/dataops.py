@@ -27,6 +27,7 @@ from functools import partial
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -973,3 +974,251 @@ def embedding_neardup(
         }
     )
     return ray.data.from_pandas(out if len(out) else empty)
+
+
+# --------------------------------------------------------------------------
+# dedup clustering: pairs -> connected components -> corpus filter
+# --------------------------------------------------------------------------
+# The near-dup detectors above emit verified PAIRS (id_a, id_b, score).
+# Deduplication keeps one document per transitive CLUSTER, not per pair
+# (a~b, b~c must drop two of {a,b,c} even when a~c was never emitted).
+
+
+def exact_dup_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """CHAIN pairs of exact duplicates: per distinct text, consecutive
+    sorted-id pairs (a1,a2),(a2,a3),...  Exercises multi-hop transitivity in
+    the clustering below while staying SQL-oracle-expressible (cluster id ==
+    MIN(id) OVER (PARTITION BY text)).  Same shuffle shape as
+    :func:`dedup_exact` carry_text: (hash, text, id) per batch, one groupby,
+    collision-guarded by grouping on the actual text inside the fold."""
+    from pandas.util import hash_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_col, text_col]].copy()
+        _require_nonneg_ids(batch[id_col].to_numpy(), id_col)
+        isnull = batch[text_col].isna().to_numpy()
+        h = hash_array(
+            batch[text_col].fillna("").to_numpy(dtype=object), categorize=False
+        ).astype(np.int64)
+        batch["text_hash"] = np.where(isnull, np.int64(-1), h)
+        return batch
+
+    def chain(group: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in group.groupby(text_col, sort=False, dropna=False):
+            ids = np.sort(g[id_col].to_numpy())
+            if len(ids) > 1:
+                frames.append(pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]}))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("text_hash")
+        .map_groups(chain, batch_format="pandas")
+    )
+
+
+def _cc_labels_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Connected components over an edge list, fully vectorized: hash-min
+    edge relaxation + pointer jumping (label = label[label]) until fixpoint —
+    O((E+V)·log V) numpy passes, no per-edge Python loop.  Returns
+    (nodes, cluster_id) with cluster_id = min node id of the component."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    eu, ev = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        m = np.minimum(label[eu], label[ev])
+        np.minimum.at(label, eu, m)
+        np.minimum.at(label, ev, m)
+        while True:  # collapse chains: every node points at its root
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(before, label):
+            break
+    return nodes, nodes[label]
+
+
+def cluster_pairs(
+    pairs: ray.data.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    mode: str = "driver",
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """(node_id, cluster_id) for every node in ``pairs``; cluster_id = the
+    component's minimum node id (canonical, order-independent).
+
+    - ``mode="driver"`` (default): the pair list is collected and clustered
+      with the vectorized numpy kernel — right while the pair set (bounded by
+      true near-dup density, NOT corpus size) fits one process, which is the
+      same regime the detectors' pair outputs already assume.
+    - ``mode="distributed"``: iterative hash-min label propagation on Ray
+      Data — per round, labels ride a (node ∪ edge-endpoint) groupby and each
+      node adopts the min label seen across its edges; converges in
+      O(component diameter) rounds (near-dup components are shallow; chain
+      graphs are the worst case).  Only (node, label) and (u, v) int rows
+      shuffle; nothing but per-round label sums touch the driver.
+    """
+    empty = pd.DataFrame(
+        {
+            "node_id": pd.Series([], dtype=np.int64),
+            "cluster_id": pd.Series([], dtype=np.int64),
+        }
+    )
+    if mode == "distributed":
+        return _cluster_pairs_distributed(pairs, id_a, id_b, max_rounds, empty)
+    df = pairs.select_columns([id_a, id_b]).to_pandas()
+    if df.empty:
+        return ray.data.from_pandas(empty)
+    nodes, comp = _cc_labels_numpy(
+        df[id_a].to_numpy(np.int64), df[id_b].to_numpy(np.int64)
+    )
+    return ray.data.from_pandas(pd.DataFrame({"node_id": nodes, "cluster_id": comp}))
+
+
+def _cluster_pairs_distributed(
+    pairs: ray.data.Dataset,
+    id_a: str,
+    id_b: str,
+    max_rounds: int,
+    empty: pd.DataFrame,
+) -> ray.data.Dataset:
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = pc.cast(t[id_a], pa.int64()).combine_chunks()
+        v = pc.cast(t[id_b], pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "u": pa.concat_arrays([u, v]),
+                "v": pa.concat_arrays([v, u]),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_pandas(empty)
+
+    def init_labels(group: pd.DataFrame) -> pd.DataFrame:
+        u = group["u"].iloc[0]
+        return pd.DataFrame(
+            {
+                "node": np.array([u], dtype=np.int64),
+                "label": np.array([min(u, group["v"].min())], dtype=np.int64),
+            }
+        )
+
+    labels = (
+        edges.groupby("u").map_groups(init_labels, batch_format="pandas").materialize()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        # one exchange per round: edge rows keyed by u meet u's label row;
+        # the group emits u's label as a PROPOSAL to every neighbor v and
+        # keeps u's own row; a second groupby takes the min per node
+        def tag_label(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pc.cast(t["node"], pa.int64()),
+                    "other": pa.nulls(len(t), pa.int64()),
+                    "label": pc.cast(t["label"], pa.int64()),
+                }
+            )
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pc.cast(t["u"], pa.int64()),
+                    "other": pc.cast(t["v"], pa.int64()),
+                    "label": pa.nulls(len(t), pa.int64()),
+                }
+            )
+
+        def propose(group: pd.DataFrame) -> pd.DataFrame:
+            lab = group["label"].min()  # the node's current label row
+            nbrs = group["other"].dropna().to_numpy(np.int64)
+            key = np.int64(group["key"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "node": np.concatenate([nbrs, [key]]),
+                    "label": np.full(len(nbrs) + 1, np.int64(lab)),
+                }
+            )
+
+        def fold_min(group: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": group["node"].iloc[:1].to_numpy(np.int64),
+                    "label": np.array([group["label"].min()], dtype=np.int64),
+                }
+            )
+
+        union = labels.map_batches(tag_label, batch_format="pyarrow").union(
+            edges.map_batches(tag_edge, batch_format="pyarrow")
+        )
+        labels = (
+            union.groupby("key")
+            .map_groups(propose, batch_format="pandas")
+            .groupby("node")
+            .map_groups(fold_min, batch_format="pandas")
+            .materialize()
+        )
+        # labels are nonnegative and only ever DECREASE: an unchanged sum is
+        # an exact convergence proof, one scalar on the driver per round
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pc.cast(t["node"], pa.int64()),
+                "cluster_id": pc.cast(t["label"], pa.int64()),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_apply(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    mode: str = "driver",
+) -> ray.data.Dataset:
+    """The corpus with every non-keeper duplicate dropped: cluster the
+    verified pairs, keep the min-id document of each cluster (plus every
+    unpaired document), filter the corpus with ONE broadcast membership pass
+    (``ray.put`` once, ``np.isin`` per batch) — the corpus itself never
+    shuffles.  The drop set is bounded by the duplicate count; a corpus whose
+    drop set outgrows one process should route through the hash-partitioned
+    anti-join in ``pipelines/diff.py`` instead."""
+    members = cluster_pairs(pairs, mode=mode).to_pandas()
+    if members.empty:  # no pairs → nothing to drop (empty frame is schema-less)
+        return ds
+    drop = members.loc[
+        members["node_id"] != members["cluster_id"], "node_id"
+    ].to_numpy(np.int64)
+    if len(drop) == 0:
+        return ds
+    ref = ray.put(np.sort(drop))
+
+    def keep(t: pa.Table) -> pa.Table:
+        gone = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(~np.isin(ids, gone, assume_unique=False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

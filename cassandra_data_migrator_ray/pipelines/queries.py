@@ -405,6 +405,47 @@ def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "text", "n_dups"]].sort_values("doc_id", ignore_index=True)
 
 
+def neardup_cluster_docs(sf_dir: str) -> pd.DataFrame:
+    """Connected-components clustering of duplicate pairs, DISTRIBUTED
+    label-propagation path (driver kernel is equality-tested in pytest).
+    Pairs are exact-dup CHAINS — (a1,a2),(a2,a3) per identical-text group —
+    so multi-hop transitivity is what's being graded; cluster_id == the
+    group's min doc_id, which SQL can state directly."""
+    from cassandra_data_migrator_ray.pipelines.dataops import (
+        cluster_pairs,
+        exact_dup_pairs,
+    )
+
+    pairs = exact_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+    out = cluster_pairs(pairs, mode="distributed").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "cluster_id": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = out.rename(columns={"node_id": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def dedup_apply_docs(sf_dir: str) -> pd.DataFrame:
+    """The deduplicated corpus: cluster exact-dup chain pairs, keep the
+    min-id doc per cluster plus every unpaired doc, filter with one broadcast
+    membership pass (the corpus never shuffles)."""
+    from cassandra_data_migrator_ray.pipelines.dataops import (
+        dedup_apply,
+        exact_dup_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = dedup_apply(ds, exact_dup_pairs(ds)).to_pandas()
+    kept["doc_id"] = kept["doc_id"].astype(np.int64)
+    return kept[["doc_id", "text"]].sort_values("doc_id", ignore_index=True)
+
+
 def token_count_docs(sf_dir: str) -> pd.DataFrame:
     from cassandra_data_migrator_ray.functions.text import TokenCount
 

@@ -394,3 +394,156 @@ class TestIvfAnn:
         ds2 = ray.data.read_parquet(path).map_batches(lambda t: t, batch_format="pyarrow")
         ann_topk_ivf(ds2, q, k=5, n_centroids=4, nprobe=4)
         assert pinned, "transform lineage must be materialized once"
+
+
+class TestCcKernel:
+    """Driver connected-components kernel vs a brute-force BFS truth."""
+
+    @staticmethod
+    def _bfs_truth(a, b):
+        adj = {}
+        for u, v in zip(a, b):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        out = {}
+        for start in sorted(adj):
+            if start in out:
+                continue
+            seen, stack = {start}, [start]
+            while stack:
+                x = stack.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            root = min(seen)
+            for x in seen:
+                out[x] = root
+        return out
+
+    def test_chain_star_and_random(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import _cc_labels_numpy
+
+        rng = np.random.default_rng(7)
+        cases = [
+            # 1000-node chain: worst-case diameter for min propagation
+            (np.arange(999), np.arange(1, 1000)),
+            # star + separate triangle
+            (np.array([5, 5, 5, 10, 11]), np.array([1, 2, 3, 11, 12])),
+        ]
+        for _ in range(5):
+            n_edges = int(rng.integers(1, 400))
+            cases.append(
+                (
+                    rng.integers(0, 200, n_edges),
+                    rng.integers(0, 200, n_edges),
+                )
+            )
+        for a, b in cases:
+            a = a.astype(np.int64)
+            b = b.astype(np.int64)
+            nodes, comp = _cc_labels_numpy(a, b)
+            truth = self._bfs_truth(a.tolist(), b.tolist())
+            got = dict(zip(nodes.tolist(), comp.tolist()))
+            assert got == truth
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterPairs:
+    def _pairs_ds(self, a, b):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"id_a": np.asarray(a, np.int64), "id_b": np.asarray(b, np.int64)}
+            )
+        )
+
+    def test_driver_mode_chain(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import cluster_pairs
+
+        got = (
+            cluster_pairs(self._pairs_ds([1, 2, 7], [2, 3, 8]))
+            .to_pandas()
+            .sort_values("node_id", ignore_index=True)
+        )
+        assert got["node_id"].tolist() == [1, 2, 3, 7, 8]
+        assert got["cluster_id"].tolist() == [1, 1, 1, 7, 7]
+
+    def test_distributed_equals_driver(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import cluster_pairs
+
+        rng = np.random.default_rng(13)
+        a = rng.integers(0, 300, 500)
+        b = rng.integers(0, 300, 500)
+        ds = self._pairs_ds(a, b)
+        drv = (
+            cluster_pairs(ds, mode="driver")
+            .to_pandas()
+            .sort_values("node_id", ignore_index=True)
+        )
+        dist = (
+            cluster_pairs(ds, mode="distributed")
+            .to_pandas()
+            .sort_values("node_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
+
+    def test_empty_pairs(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import cluster_pairs
+
+        for mode in ("driver", "distributed"):
+            got = cluster_pairs(self._pairs_ds([], []), mode=mode).to_pandas()
+            # Ray drops the schema of a fully-empty block on to_pandas (same
+            # for every pairs pipeline here) — emptiness is the contract
+            assert len(got) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupApply:
+    def test_exact_chain_pairs_and_apply(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            cluster_pairs,
+            dedup_apply,
+            exact_dup_pairs,
+        )
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(10, dtype=np.int64),
+                "text": ["x", "y", "x", "z", "x", "y", None, None, "w", "z"],
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        pairs = exact_dup_pairs(ds)
+        got_pairs = pairs.to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+        # chains per text group: x:{0,2,4} y:{1,5} z:{3,9} null:{6,7}
+        assert got_pairs.values.tolist() == [
+            [0, 2],
+            [1, 5],
+            [2, 4],
+            [3, 9],
+            [6, 7],
+        ]
+        members = (
+            cluster_pairs(pairs).to_pandas().sort_values("node_id", ignore_index=True)
+        )
+        assert members["cluster_id"].tolist() == [0, 1, 0, 3, 0, 1, 6, 6, 3]
+        kept = dedup_apply(ds, pairs).to_pandas().sort_values("doc_id")
+        # keepers: 0 (x), 1 (y), 3 (z), 6 (null) plus unpaired 8 (w)
+        assert kept["doc_id"].tolist() == [0, 1, 3, 6, 8]
+
+    def test_apply_no_pairs_is_identity(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_apply
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(5, dtype=np.int64), "text": list("abcde")}
+        )
+        ds = ray.data.from_pandas(df)
+        empty = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+        assert dedup_apply(ds, empty).to_pandas()["doc_id"].tolist() == list(range(5))
