@@ -547,3 +547,34 @@ class TestDedupApply:
             )
         )
         assert dedup_apply(ds, empty).to_pandas()["doc_id"].tolist() == list(range(5))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNearDedupEndToEnd:
+    def test_minhash_pairs_cluster_apply(self):
+        """The full near-dedup flow a training-data pipeline runs: detect
+        (MinHash-LSH pairs) → cluster (connected components) → apply (drop
+        non-keepers).  Each dup family must collapse to its min-id doc;
+        unrelated docs survive untouched."""
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            cluster_pairs,
+            dedup_apply,
+            dedup_minhash_lsh,
+        )
+
+        ds = ray.data.from_pandas(docs_df())
+        pairs = dedup_minhash_lsh(ds, threshold=0.9)
+        members = cluster_pairs(pairs).to_pandas()
+        # exact families (jaccard 1.0): {1,4,...,25} and {2,5,...,26} chain
+        # through shared band buckets into single components rooted at min id
+        fam1 = {1, 4, 7, 10, 13, 16, 19, 22, 25}
+        got1 = set(
+            members.loc[members["cluster_id"] == 1, "node_id"].astype(int)
+        )
+        assert fam1 <= got1
+        kept = dedup_apply(ds, pairs).to_pandas()
+        kept_ids = set(kept["doc_id"].astype(int))
+        assert 1 in kept_ids and not (fam1 - {1}) & kept_ids
+        # total kept = corpus minus dropped members
+        dropped = (members["node_id"] != members["cluster_id"]).sum()
+        assert len(kept) == 30 - dropped
