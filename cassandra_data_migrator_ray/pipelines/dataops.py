@@ -1222,3 +1222,38 @@ def dedup_apply(
         return t.filter(pa.array(~np.isin(ids, gone, assume_unique=False)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dedup_near(
+    ds: ray.data.Dataset,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_mode: str = "driver",
+    **detector_kwargs,
+) -> ray.data.Dataset:
+    """Detect → cluster → apply in one call: the corpus with near-duplicates
+    collapsed to one min-id survivor per transitive cluster.
+
+    ``method``: "exact" (identical text), "minhash" (Jaccard, the default
+    for text), "simhash" (Hamming), or "embedding" (cosine; then
+    ``text_col``/``id_col`` default to the embeddings schema unless given).
+    Detector knobs (threshold, num_perm, max_hamming, n_bands, verify, ...)
+    pass through; ``cluster_mode`` picks the driver union-find or the
+    distributed label propagation.  Each stage keeps its own scale shape:
+    detection shuffles ids+hashes only, clustering shuffles int rows only,
+    and the final filter is one broadcast membership pass over the corpus.
+    """
+    if method == "exact":
+        pairs = exact_dup_pairs(ds, text_col=text_col, id_col=id_col)
+    elif method == "minhash":
+        pairs = dedup_minhash_lsh(
+            ds, text_col=text_col, id_col=id_col, **detector_kwargs
+        )
+    elif method == "simhash":
+        pairs = dedup_simhash(ds, text_col=text_col, id_col=id_col, **detector_kwargs)
+    elif method == "embedding":
+        pairs = embedding_neardup(ds, id_col=id_col, **detector_kwargs)
+    else:
+        raise ValueError(f"unknown dedup method: {method!r}")
+    return dedup_apply(ds, pairs, id_col=id_col, mode=cluster_mode)

@@ -578,3 +578,24 @@ class TestNearDedupEndToEnd:
         # total kept = corpus minus dropped members
         dropped = (members["node_id"] != members["cluster_id"]).sum()
         assert len(kept) == 30 - dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupNear:
+    def test_exact_and_minhash_methods(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_near
+
+        ds = ray.data.from_pandas(docs_df())
+        kept_exact = dedup_near(ds, method="exact").to_pandas()
+        # 3 exact families of 10/10/7 + 3 near-dup variants (27,28,29 unique)
+        assert set(kept_exact["doc_id"]) == {0, 1, 2, 27, 28, 29}
+        kept_nd = dedup_near(ds, method="minhash", threshold=0.9).to_pandas()
+        # near threshold 0.9 the one-word variants still cluster with doc 0
+        assert len(kept_nd) <= len(kept_exact)
+        assert {1, 2} <= set(kept_nd["doc_id"])
+
+    def test_unknown_method_raises(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_near
+
+        with pytest.raises(ValueError):
+            dedup_near(ray.data.from_pandas(docs_df()), method="nope")
