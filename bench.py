@@ -184,10 +184,13 @@ def run_scaling() -> dict:
     # PROTOCOL (round-2 verdict: one clean attempt of six is not evidence):
     # GRAFT_SCALING_REPS rounds (default 3), legs INTERLEAVED (2, 8, 32 per
     # round) so slow host phases hit all levels alike; per-level MEDIAN
-    # throughput feeds the efficiency ratios; per-leg walls + load averages
-    # are reported so a contended round is visible, and a leg that starts
-    # under heavy exogenous load (loadavg1 > 6 on this otherwise-idle VM)
-    # waits up to twice before running anyway (flagged in the output).
+    # throughput feeds the efficiency ratios; per-leg walls, load averages
+    # and a memory-copy-bandwidth probe are reported so a contended round is
+    # visible, and a leg that starts under exogenous contention (loadavg1 >
+    # 6, or copy bandwidth < 3 GB/s — this virtualized host's fresh-page
+    # copy throughput swings 0.9-8 GB/s with neighbors' activity) waits up
+    # to 100 s before running anyway (flagged in the output).  Clean-leg
+    # medians are reported alongside the all-legs ones.
     import statistics
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
@@ -196,12 +199,28 @@ def run_scaling() -> dict:
     )
     reps = max(1, int(os.environ.get("GRAFT_SCALING_REPS", "3")))
 
+    def bw_probe() -> float:
+        """Host-condition probe: GB/s of a fresh-page numpy copy.  On this
+        virtualized host the scaling bottleneck is page-fault/copy throughput
+        (measured: 0.9-8 GB/s for the SAME probe minutes apart), which no
+        in-VM loadavg or /proc/stat counter reflects — so measure it
+        directly and record it per leg."""
+        import numpy as _np
+
+        x = _np.ones(25_000_000)  # 200 MB
+        t0 = time.perf_counter()
+        for _ in range(3):
+            x.copy()
+        return 3 * x.nbytes * 2 / (time.perf_counter() - t0) / 1e9
+
     def one(ncpu: int) -> dict:
         contended = False
-        for attempt in range(3):
+        bw = 0.0
+        for attempt in range(6):
             la = os.getloadavg()[0]
-            if la <= 6.0 or attempt == 2:
-                contended = la > 6.0
+            bw = bw_probe()
+            if (la <= 6.0 and bw >= 3.0) or attempt == 5:
+                contended = la > 6.0 or bw < 3.0
                 break
             time.sleep(20)
         env = dict(
@@ -220,6 +239,7 @@ def run_scaling() -> dict:
         ).stdout
         r = json.loads(out.strip().splitlines()[-1])
         r["loadavg_at_start"] = round(la, 2)
+        r["bw_gbps_at_start"] = round(bw, 2)
         r["contended_start"] = contended
         return r
 
@@ -232,6 +252,19 @@ def run_scaling() -> dict:
         n: statistics.median(r["events_per_sec"] for r in rs)
         for n, rs in runs.items()
     }
+    # clean-leg medians: legs whose PRE-DECLARED start gate (loadavg ≤ 6 AND
+    # copy-bandwidth probe ≥ 3 GB/s) passed — not post-hoc selection on the
+    # result.  Reported alongside the all-legs medians so a contended round
+    # is visible rather than silently folded in.
+    clean = {
+        n: [r["events_per_sec"] for r in rs if not r["contended_start"]]
+        for n, rs in runs.items()
+    }
+    med_clean = (
+        {n: statistics.median(v) for n, v in clean.items()}
+        if all(clean.values())
+        else None
+    )
     # Two N→4N pairs over the same input: 2→8 (within this VM's memory-
     # bandwidth budget — the regime a real 4N-node cluster, with 4N memory
     # channels, corresponds to) and 8→32 (beyond it: per-task CPU time
@@ -251,6 +284,10 @@ def run_scaling() -> dict:
         "efficiency_8_32": round(eff_8_32, 3),
         "note": "8->32 is bandwidth-capped on this single VM; see BENCH/BASELINE.md",
     }
+    if med_clean is not None:
+        out["efficiency_2_8_clean"] = round((med_clean[8] / med_clean[2]) / 4, 3)
+        out["efficiency_8_32_clean"] = round((med_clean[32] / med_clean[8]) / 4, 3)
+        out["clean_legs"] = {str(n): len(v) for n, v in clean.items()}
     for n in levels:
         walls = [r["value"] for r in runs[n]]
         eps = [r["events_per_sec"] for r in runs[n]]
@@ -259,6 +296,7 @@ def run_scaling() -> dict:
         out[f"walls_{n}"] = walls
         out[f"eps_spread_{n}"] = [min(eps), max(eps)]
         out[f"loadavg_{n}"] = [r["loadavg_at_start"] for r in runs[n]]
+        out[f"bw_gbps_{n}"] = [r["bw_gbps_at_start"] for r in runs[n]]
         if any(r["contended_start"] for r in runs[n]):
             out[f"contended_{n}"] = True
     return out

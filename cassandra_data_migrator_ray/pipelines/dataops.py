@@ -223,6 +223,51 @@ def _collect_candidates(cand: ray.data.Dataset, stats_key: str) -> pd.DataFrame:
     return df
 
 
+def _dedup_pairs_distributed(
+    verified: ray.data.Dataset, stats_key: str, empty: pd.DataFrame
+) -> ray.data.Dataset:
+    """Distributed twin of the driver-side pair dedup: the same verified pair
+    can surface from several LSH bands; collapse duplicates with a second
+    pair-proportional ``groupby(id_a, id_b)`` and reduce the truncation
+    metric rows (id_a = -1, id_b = skipped-pair count) with a dataset sum.
+    The driver only ever sees two scalars (pair count, dropped count).
+    ``empty`` supplies the output schema for the no-pairs corner."""
+    cols = list(empty.columns)
+
+    def _metric_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["id_a"] < 0]
+        return pd.DataFrame({"dropped": np.array([m["id_b"].sum()], dtype=np.int64)})
+
+    def _first_pair(group: pd.DataFrame) -> pd.DataFrame:
+        return group[group["id_a"] >= 0].iloc[:1][cols]
+
+    verified = verified.materialize()  # pair-proportional — two passes below
+    if verified.count() == 0:
+        LAST_RUN_STATS[stats_key] = {"pairs_found": 0, "pairs_dropped": 0}
+        return ray.data.from_pandas(empty)
+    dropped = int(
+        verified.map_batches(_metric_partial, batch_format="pandas").sum("dropped")
+        or 0
+    )
+    out = (
+        verified.groupby(["id_a", "id_b"])
+        .map_groups(_first_pair, batch_format="pandas")
+        .materialize()
+    )
+    LAST_RUN_STATS[stats_key] = {
+        "pairs_found": int(out.count()),
+        "pairs_dropped": dropped,
+    }
+    if dropped:
+        _log.warning(
+            "%s: %d candidate pairs skipped in oversized buckets "
+            "(raise max_bucket to recover recall)",
+            stats_key,
+            dropped,
+        )
+    return out
+
+
 def _gather_column(
     ds: ray.data.Dataset, id_col: str, value_col: str, ids: np.ndarray
 ) -> pd.Series:
@@ -499,8 +544,18 @@ def dedup_simhash(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 256,
+    collect: str = "driver",
 ) -> ray.data.Dataset:
-    """Near-dup pairs by SimHash banding (4×16-bit bands) + Hamming verify."""
+    """Near-dup pairs by SimHash banding (4×16-bit bands) + Hamming verify.
+
+    ``collect``: the Hamming verify always runs inside the band ``groupby``;
+    what remains is deduping the SAME pair surfacing from multiple bands.
+    ``"driver"`` does that in one pandas pass (pair list is bounded by
+    near-dup density).  ``"distributed"`` dedups through a second
+    pair-proportional ``groupby(id_a, id_b)`` and reduces the truncation
+    metric with a dataset ``sum`` — the driver never holds the pair list;
+    the 100-TB path when near-dup density itself is large.
+    """
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
         _require_nonneg_ids(batch[id_col].to_numpy(), id_col)
@@ -573,12 +628,24 @@ def dedup_simhash(
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    pairs_df = (
+    verified = (
         ds.map_batches(bands, batch_format="pandas")
         .groupby(["band", "band_hash"])
         .map_groups(verify, batch_format="pandas")
-        .to_pandas()
     )
+    if collect == "distributed":
+        return _dedup_pairs_distributed(
+            verified,
+            "simhash",
+            pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            ),
+        )
+    pairs_df = verified.to_pandas()
     metrics = pairs_df[pairs_df["id_a"] < 0] if len(pairs_df) else pairs_df
     pairs_df = (
         pairs_df[pairs_df["id_a"] >= 0].drop_duplicates(

@@ -200,6 +200,49 @@ class TestDedupPipelines:
         assert len(pairs) >= 3 * 36  # three exact families of 9/10 docs
         assert (pairs["hamming"] == 0).all()
 
+    def test_dedup_simhash_distributed_collect_matches_driver(self):
+        """collect='distributed' (pair dedup via groupby, metric via dataset
+        sum — no pair list on the driver) must produce exactly the driver
+        pair set, including the truncation count from oversized buckets."""
+        from cassandra_data_migrator_ray.pipelines import dataops
+
+        df = docs_df()
+        ds = ray.data.from_pandas(df)
+        a = (
+            dataops.dedup_simhash(ds, max_hamming=0, collect="driver")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        stats_a = dict(dataops.LAST_RUN_STATS["simhash"])
+        b = (
+            dataops.dedup_simhash(ds, max_hamming=0, collect="distributed")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        stats_b = dict(dataops.LAST_RUN_STATS["simhash"])
+        pd.testing.assert_frame_equal(a, b)
+        assert stats_a == stats_b
+        # oversized bucket: identical docs flood one bucket past max_bucket;
+        # the distributed metric reduction must count the same drops
+        flood = pd.DataFrame(
+            {
+                "doc_id": np.arange(10, dtype=np.int64),
+                "text": ["the same exact document text here"] * 10,
+            }
+        )
+        fds = ray.data.from_pandas(flood)
+        da = dataops.dedup_simhash(fds, max_bucket=4, collect="driver").to_pandas()
+        drop_a = dataops.LAST_RUN_STATS["simhash"]["pairs_dropped"]
+        db = dataops.dedup_simhash(
+            fds, max_bucket=4, collect="distributed"
+        ).to_pandas()
+        drop_b = dataops.LAST_RUN_STATS["simhash"]["pairs_dropped"]
+        assert drop_a == drop_b > 0
+        pd.testing.assert_frame_equal(
+            da.sort_values(["id_a", "id_b"], ignore_index=True),
+            db.sort_values(["id_a", "id_b"], ignore_index=True),
+        )
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSimilarity:
