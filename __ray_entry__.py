@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": q.conversation_stats,
         # C. training-data ops
         "dedup_exact_docs": q.dedup_exact_docs,
+        "corpus_prep_docs": q.corpus_prep_docs,
         "token_count_docs": q.token_count_docs,
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "ann_topk_ivf": q.ann_topk_ivf_embeddings,
@@ -502,6 +503,89 @@ WITH planted AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM planted a JOIN planted b ON a.text = b.text AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
+""",
+        # composed prep pipeline: langid gate + quality gate + exact dedup +
+        # token counts — the per-stage CTEs are verbatim compositions of the
+        # individually-gated langid_docs / quality_docs / token_count_docs /
+        # dedup_exact_docs oracles above
+        "corpus_prep_docs": r"""
+WITH d AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         regexp_extract_all(lower(text), '[a-z]+') AS qws,
+         regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS lws,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[一-鿿]')) AS n_cjk,
+         greatest(length(text), 1) AS n_len,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+  FROM documents
+),
+qw AS (SELECT doc_id, u.w AS word FROM d, unnest(qws) AS u(w)),
+qagg AS (
+  SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_uniq,
+         count(*) FILTER (
+           WHERE word IN ('the','and','of','a','to','in','is','it','that','for')
+         ) AS n_stop
+  FROM qw GROUP BY doc_id
+),
+qual AS (
+  SELECT d.doc_id,
+    (CASE WHEN d.n_chars >= 64 AND d.n_chars <= 100000 THEN 1 ELSE 0 END
+     + CASE WHEN (CASE WHEN d.n_chars > 0
+                       THEN CAST(d.n_punct AS DOUBLE)/greatest(d.n_chars,1)
+                       ELSE 0 END) < 0.2 THEN 1 ELSE 0 END
+     + CASE WHEN (CASE WHEN coalesce(qagg.n_words,0) > 0
+                       THEN CAST(d.n_chars - qagg.n_words + 1 AS DOUBLE)/greatest(qagg.n_words,1)
+                       ELSE 0 END) > 2
+             AND (CASE WHEN coalesce(qagg.n_words,0) > 0
+                       THEN CAST(d.n_chars - qagg.n_words + 1 AS DOUBLE)/greatest(qagg.n_words,1)
+                       ELSE 0 END) < 12 THEN 1 ELSE 0 END
+     + CASE WHEN (CASE WHEN coalesce(qagg.n_words,0) > 0
+                       THEN CAST(qagg.n_uniq AS DOUBLE)/greatest(qagg.n_words,1)
+                       ELSE 0 END) > 0.2 THEN 1 ELSE 0 END
+     + CASE WHEN coalesce(qagg.n_words,0) >= 8 THEN 1 ELSE 0 END) / 5.0
+      AS quality_score
+  FROM d LEFT JOIN qagg USING (doc_id)
+),
+lw AS (SELECT doc_id, u.w AS word FROM d, unnest(lws) AS u(w)),
+lhits AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE word IN ('the','and','of','a','to','in','is','it','that','for')) AS h_en,
+    count(*) FILTER (WHERE word IN ('der','die','das','und','ist','ein','zu','den','nicht','mit')) AS h_de,
+    count(*) FILTER (WHERE word IN ('le','la','les','et','de','un','une','est','que','pour')) AS h_fr,
+    count(*) FILTER (WHERE word IN ('el','la','los','y','de','un','una','es','que','por')) AS h_es,
+    count(*) AS n_words
+  FROM lw GROUP BY doc_id
+),
+lr AS (
+  SELECT d.doc_id,
+    CAST(coalesce(h.h_en,0) AS DOUBLE)/greatest(coalesce(h.n_words,0),1) AS r_en,
+    CAST(coalesce(h.h_de,0) AS DOUBLE)/greatest(coalesce(h.n_words,0),1) AS r_de,
+    CAST(coalesce(h.h_fr,0) AS DOUBLE)/greatest(coalesce(h.n_words,0),1) AS r_fr,
+    CAST(coalesce(h.h_es,0) AS DOUBLE)/greatest(coalesce(h.n_words,0),1) AS r_es,
+    CAST(d.n_cjk AS DOUBLE)/d.n_len AS cjk_ratio
+  FROM d LEFT JOIN lhits h USING (doc_id)
+),
+lang AS (
+  SELECT doc_id,
+    CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+         WHEN greatest(r_en, r_de, r_fr, r_es) = 0.0 THEN 'unknown'
+         WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+         WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+         WHEN r_fr >= r_es THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM lr
+),
+kept AS (
+  SELECT d.doc_id, d.text, lang.pred_lang, qual.quality_score,
+         d.n_ws_tokens, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+  WHERE lang.pred_lang = 'en' AND qual.quality_score >= 0.6
+),
+ded AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM kept GROUP BY text)
+SELECT k.doc_id, k.pred_lang, k.quality_score, k.n_ws_tokens, k.n_chars,
+       CAST(ded.n_dups AS BIGINT) AS n_dups
+FROM ded JOIN kept k USING (doc_id) ORDER BY k.doc_id
 """,
         "token_count_docs": """
 SELECT doc_id,

@@ -1324,3 +1324,102 @@ def dedup_near(
     else:
         raise ValueError(f"unknown dedup method: {method!r}")
     return dedup_apply(ds, pairs, id_col=id_col, mode=cluster_mode)
+
+
+# --------------------------------------------------------------------------
+# composed corpus-preparation pipeline
+# --------------------------------------------------------------------------
+
+
+def prep_corpus(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.6,
+    token_sep: str | None = None,
+    concurrency: int | None = 2,
+) -> ray.data.Dataset:
+    """Flagship training-data prep: language-ID → quality gate → exact dedup
+    → token counts composed into ONE streaming pipeline.
+
+    Scale shape: all per-doc scoring (LangId, QualityScore, TokenCount — the
+    same kernels as the standalone operators) runs inside a single actor-pool
+    ``map_batches`` stage (regex state compiled once per actor); documents
+    failing the language/quality gate are dropped BEFORE the exchange; the
+    only shuffle ships a 128-bit content hash plus five small stat columns
+    per surviving doc (corpus text never crosses the exchange), pre-collapsed
+    by an in-batch combiner.  Returns one row per distinct surviving text:
+    (id, pred_lang, quality_score, n_ws_tokens, n_chars, n_dups) where id is
+    the min id of the duplicate group and n_dups its size.
+    """
+    from pandas.util import hash_array
+
+    from cassandra_data_migrator_ray.functions.text import (
+        LangId,
+        QualityScore,
+        TokenCount,
+    )
+
+    lang_set = tuple(langs)
+
+    class _ScoreGateCombine:
+        """Per-actor state: compiled regex kernels (T1 lazy-init pattern)."""
+
+        def __init__(self):
+            self.lang = LangId(text_col=text_col)
+            self.qual = QualityScore(text_col=text_col)
+            self.tok = TokenCount(text_col=text_col, sep=token_sep)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = self.tok(self.qual(self.lang(batch)))
+            keep = batch["pred_lang"].isin(lang_set) & (
+                batch["quality_score"] >= min_quality
+            )
+            batch = batch[keep]
+            cols = [id_col, "pred_lang", "quality_score", "n_ws_tokens", "n_chars"]
+            if batch.empty:
+                out = batch[cols].copy()
+                out["h1"] = pd.Series([], dtype=np.int64)
+                out["h2"] = pd.Series([], dtype=np.int64)
+                out["n_dups"] = pd.Series([], dtype=np.int64)
+                return out
+            # 128-bit content hash (two independent SipHash streams) — the
+            # exchange key; null text is its own group (sentinel pair)
+            isnull = batch[text_col].isna().to_numpy()
+            txt = batch[text_col].fillna("").to_numpy(dtype=object)
+            h1 = np.where(
+                isnull,
+                np.int64(-1),
+                hash_array(txt, categorize=False).astype(np.int64),
+            )
+            part = batch[cols].copy()
+            part["h1"] = h1
+            part["h2"] = np.where(
+                isnull,
+                np.int64(-2),
+                hash_array(
+                    txt, hash_key="b8f327e51b7bce40", categorize=False
+                ).astype(np.int64),
+            )
+            # in-batch combiner: collapse duplicate texts before the shuffle
+            part = part.sort_values(id_col, kind="mergesort")
+            g = part.groupby(["h1", "h2"], sort=False, as_index=False)
+            out = g.first()
+            out["n_dups"] = g.size()["size"].to_numpy().astype(np.int64)
+            return out
+
+    def final_fold(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(id_col, kind="mergesort")
+        out = group.iloc[:1].copy()
+        out["n_dups"] = np.int64(group["n_dups"].sum())
+        return out.drop(columns=["h1", "h2"])
+
+    kwargs = {"batch_format": "pandas"}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    return (
+        ds.map_batches(_ScoreGateCombine, **kwargs)
+        .groupby(["h1", "h2"])
+        .map_groups(final_fold, batch_format="pandas")
+    )

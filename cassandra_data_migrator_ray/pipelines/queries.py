@@ -446,6 +446,22 @@ def dedup_apply_docs(sf_dir: str) -> pd.DataFrame:
     return kept[["doc_id", "text"]].sort_values("doc_id", ignore_index=True)
 
 
+def corpus_prep_docs(sf_dir: str) -> pd.DataFrame:
+    """Composed training-data prep gate: language-ID → quality gate → exact
+    dedup → token counts in one streaming pipeline (pipelines.dataops.
+    prep_corpus); every stage's kernel is individually oracle-gated and the
+    composition is checked here against one composed DuckDB query."""
+    from cassandra_data_migrator_ray.pipelines.dataops import prep_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = prep_corpus(ds, langs=("en",), min_quality=0.6, token_sep=" ").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    cols = ["doc_id", "pred_lang", "quality_score", "n_ws_tokens", "n_chars", "n_dups"]
+    for c in ("n_ws_tokens", "n_chars", "n_dups"):
+        out[c] = out[c].astype(np.int64)
+    return out[cols].sort_values("doc_id", ignore_index=True)
+
+
 def token_count_docs(sf_dir: str) -> pd.DataFrame:
     from cassandra_data_migrator_ray.functions.text import TokenCount
 

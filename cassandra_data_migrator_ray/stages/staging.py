@@ -63,9 +63,32 @@ class StageWriter:
     (PART_COL kept) for stage 2 to split on.
     """
 
-    def __init__(self, staging_dir: str, coarse_factor: int = 1):
+    def __init__(
+        self,
+        staging_dir: str,
+        coarse_factor: int = 1,
+        compression: str | None = None,
+    ):
         self.staging_dir = staging_dir
         self.coarse_factor = max(1, int(coarse_factor))
+        # optional IPC buffer compression ("lz4" / "zstd") for staged slices:
+        # trades cheap per-core codec CPU for 2-4× fewer bytes through the
+        # exchange — the knob for deployments where staging-storage bandwidth
+        # (or a virtualized host's page-fault throughput) is the ceiling, at
+        # the cost of zero-copy mmap reads in stage 2.  Read side is
+        # codec-agnostic (Arrow IPC self-describes per-buffer compression).
+        if compression is None:
+            compression = os.environ.get("CDM_STAGED_COMPRESSION", "") or None
+        if compression not in (None, "lz4", "zstd"):
+            raise ValueError(f"unsupported staged compression: {compression!r}")
+        self.compression = compression
+
+    def _write_opts(self) -> "pa.ipc.IpcWriteOptions | None":
+        return (
+            pa.ipc.IpcWriteOptions(compression=self.compression)
+            if self.compression
+            else None
+        )
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         # one Ray task == one CPU: stop Arrow from spinning up a full-machine
@@ -132,12 +155,16 @@ class StageWriter:
                     digest_size=8,
                 ).hexdigest()
                 with pa.OSFile(tmp, "wb") as sink:
-                    with pa.ipc.new_file(sink, slice_tbl.schema) as writer:
+                    with pa.ipc.new_file(
+                        sink, slice_tbl.schema, options=self._write_opts()
+                    ) as writer:
                         writer.write_table(slice_tbl)
             else:
                 h = hashlib.blake2b(digest_size=8)
                 with pa.OSFile(tmp, "wb") as sink:
-                    with pa.ipc.new_file(sink, slice_tbl.schema) as writer:
+                    with pa.ipc.new_file(
+                        sink, slice_tbl.schema, options=self._write_opts()
+                    ) as writer:
                         writer.write_table(slice_tbl)
                 with open(tmp, "rb") as f:
                     while chunk := f.read(1 << 20):

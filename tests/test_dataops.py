@@ -642,3 +642,49 @@ class TestDedupNear:
 
         with pytest.raises(ValueError):
             dedup_near(ray.data.from_pandas(docs_df()), method="nope")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrepCorpus:
+    def test_prep_corpus_gates_dedups_and_counts(self):
+        """Composed prep pipeline: known lang/quality/dup structure in, the
+        gated + deduped survivor stats out."""
+        from cassandra_data_migrator_ray.pipelines.dataops import prep_corpus
+
+        good = (
+            "the cat sat on the mat and it was a good day for everyone "
+            "involved in that little story about the cat and the mat"
+        )
+        other = (
+            "der hund lief durch den park und das wetter war nicht gut "
+            "aber die leute waren mit dem tag zufrieden und das ist gut"
+        )
+        short = "too short"
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                # 0,2 duplicate English; 1 unique English; 3 German; 4 short;
+                # 5 another unique English
+                "text": [
+                    good,
+                    good + " with a different unique ending sentence here",
+                    good,
+                    other,
+                    short,
+                    "a completely different english document that talks about "
+                    "the weather and the sea and it is long enough to pass",
+                ],
+            }
+        )
+        out = (
+            prep_corpus(ray.data.from_pandas(df), token_sep=" ")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["doc_id"].tolist() == [0, 1, 5]
+        assert out["n_dups"].tolist() == [2, 1, 1]
+        assert (out["pred_lang"] == "en").all()
+        assert (out["quality_score"] >= 0.6).all()
+        row0 = out.iloc[0]
+        assert row0["n_chars"] == len(good)
+        assert row0["n_ws_tokens"] == good.count(" ") + 1

@@ -38,6 +38,24 @@ class TestReplayE2E:
         assert res.metrics["status"].eq("PASS").all()
         assert_matches_oracle(lake, events.to_pandas())
 
+    @pytest.mark.parametrize("codec", ["lz4", "zstd"])
+    def test_staged_compression_matches_oracle(self, tmp_path, codec):
+        """Compressed staged slices (bandwidth-ceiling knob) must be
+        semantically invisible: same final state, and incremental runs on a
+        lake whose first run staged uncompressed still converge."""
+        full = gen_change_stream(n_convs=60, n_events=4000, seed=33).to_pandas()
+        half = len(full) // 2
+        lake = str(tmp_path / f"lake_{codec}")
+        replay(full[full["event_seq"] < half], lake, num_parts=8)
+        res = replay(
+            full[full["event_seq"] >= half],
+            lake,
+            num_parts=8,
+            staged_compression=codec,
+        )
+        assert res.metrics["status"].eq("PASS").all()
+        assert_matches_oracle(lake, full)
+
     def test_incremental_two_runs(self, tmp_path):
         """Second batch of changes merges on top of committed state."""
         full = gen_change_stream(n_convs=50, n_events=4000, seed=9).to_pandas()
