@@ -196,6 +196,60 @@ class TestConcurrentWriterGuard:
         m = Manifest.load(lake)
         m.commit_run("after-race")  # lock released, sequential path intact
 
+    def test_stale_lock_is_broken(self, tmp_path):
+        """A crashed writer's lock (mtime > 10 min old) must not wedge the
+        lake: the next committer breaks it (via the serialized break-token
+        protocol) and proceeds; a stale break-token left by a crashed BREAKER
+        is likewise swept."""
+        import os
+        import time
+
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+
+        lake = str(tmp_path / "lake")
+        replay(gen_change_stream(n_convs=10, n_events=300, seed=23), lake, num_parts=2)
+        lock = os.path.join(lake, "manifest.lock")
+        token = lock + ".break"
+        old = time.time() - 1200
+        with open(lock, "w") as f:
+            f.write("crashed-writer")
+        os.utime(lock, (old, old))
+        with open(token, "w") as f:
+            f.write("crashed-breaker")
+        os.utime(token, (old, old))
+        m = Manifest.load(lake)
+        m.commit_run("after-crash")  # breaks both, commits
+        assert not os.path.exists(lock) and not os.path.exists(token)
+
+    def test_fresh_foreign_lock_refuses(self, tmp_path):
+        """A LIVE foreign lock (recent mtime) must NOT be broken - the
+        committer waits and then refuses loudly (no silent lost update)."""
+        import os
+
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+        from cassandra_data_migrator_ray.state import manifest as mmod
+
+        lake = str(tmp_path / "lake")
+        replay(gen_change_stream(n_convs=10, n_events=300, seed=29), lake, num_parts=2)
+        lock = os.path.join(lake, "manifest.lock")
+        with open(lock, "w") as f:
+            f.write("live-writer")
+        m = Manifest.load(lake)
+        # virtual clock: sleep() advances monotonic() so the 30 s wait is
+        # simulated, not spent
+        orig_mono, orig_sleep = mmod.time.monotonic, mmod.time.sleep
+        off = [0.0]
+        try:
+            mmod.time.monotonic = lambda: orig_mono() + off[0]
+            mmod.time.sleep = lambda s: off.__setitem__(0, off[0] + s)
+            with pytest.raises(RuntimeError, match="held by another writer"):
+                m.commit_run("should-refuse")
+        finally:
+            mmod.time.monotonic, mmod.time.sleep = orig_mono, orig_sleep
+        os.unlink(lock)
+        m2 = Manifest.load(lake)
+        m2.commit_run("after-release")
+
     def test_same_writer_recommit_ok(self, tmp_path):
         """The normal path (one writer, sequential runs) is unaffected."""
         from cassandra_data_migrator_ray.gen import gen_change_stream
