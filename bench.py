@@ -122,6 +122,7 @@ def run_bench() -> dict:
             "lww_latest_state",
             "dedup_exact_docs",
             "dedup_exact_hash_only",
+            "corpus_prep_docs",
             "minhash_neardup_docs",
             "simhash_docs",
             "ann_topk_embeddings",
