@@ -45,7 +45,8 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("migrate", help="replay a change stream into the lake")
     m.add_argument("--events", required=True, nargs="+")
     m.add_argument("--lake", required=True)
-    m.add_argument("--num-parts", type=int, default=64)
+    m.add_argument("--num-parts", default=64,
+                   type=lambda v: v if v == "auto" else int(v))
     m.add_argument("--salt", type=int, default=1)
     m.add_argument("--run-id", default=None)
     m.add_argument("--resume", action="store_true",
@@ -83,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--pattern", default="*.parquet")
     t.add_argument("--format", default="parquet", dest="file_format",
                    choices=["parquet", "csv", "json", "arrow"])
-    t.add_argument("--num-parts", type=int, default=64)
+    t.add_argument("--num-parts", default=64,
+                   type=lambda v: v if v == "auto" else int(v))
     t.add_argument("--salt", type=int, default=1)
     t.add_argument("--poll-interval", type=float, default=2.0)
     t.add_argument("--min-age-s", type=float, default=0.0)

@@ -117,7 +117,7 @@ def replay(
     lake_dir: str,
     *,
     payload_schema: pa.Schema | None = None,
-    num_parts: int = 32,
+    num_parts: int | str = 32,
     salt: int = 1,
     counter_cols: tuple[str, ...] = (),
     key_cols: tuple[str, ...] | None = None,
@@ -158,6 +158,11 @@ def replay(
     (a function-UDF stage has no per-executor identity to attach a bucket
     to — fresh worker processes would each grant a fresh burst).
 
+    ``num_parts="auto"`` sizes a FRESH lake's partition count from the
+    stream (one partition per ~250k events, floor 32, cap 4096 — data-
+    dependent, never CPU-dependent); an existing lake's manifest count
+    always wins (the route is sticky per lake).
+
     ``staged_compression``: ``"lz4"`` / ``"zstd"`` compresses staged-slice
     IPC buffers (default None, or env ``CDM_STAGED_COMPRESSION``) — 2-4×
     fewer bytes through the staging exchange for cheap per-core codec CPU;
@@ -184,6 +189,14 @@ def replay(
             est_rows = 0
     else:
         est_rows = 0
+
+    if num_parts == "auto":
+        # data-dependent, never CPU-dependent (the job must be identical
+        # across cluster sizes): one partition per ~250k events, floor 32 so
+        # small streams still spread over a worker pool, cap 4096 to bound
+        # per-partition fixed cost.  Only consulted for a FRESH lake — an
+        # existing lake's manifest partition count always wins below.
+        num_parts = int(min(4096, max(32, (est_rows or 8_000_000) // 250_000)))
 
     # establish/evolve the lake schema from the incoming event columns
     manifest = Manifest.load_or_create(

@@ -349,3 +349,31 @@ class TestRateLimiter:
 
         with _pytest.raises(ValueError):
             TokenBucket(rate=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAutoNumParts:
+    def test_auto_sizes_fresh_lake_and_sticks(self, tmp_path):
+        """num_parts='auto' sizes a fresh lake from the stream (floor 32) and
+        the count is sticky: a later run with a different request keeps the
+        manifest's routing."""
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        full = gen_change_stream(n_convs=60, n_events=4000, seed=55).to_pandas()
+        half = len(full) // 2
+        src = str(tmp_path / "ev.parquet")
+        pq.write_table(
+            __import__("pyarrow").Table.from_pandas(
+                full[full["event_seq"] < half], preserve_index=False
+            ),
+            src,
+        )
+        lake = str(tmp_path / "lake")
+        replay(src, lake, num_parts="auto")  # 2k events -> floor 32
+        m = Manifest.load(lake)
+        assert m.num_parts == 32
+        replay(full[full["event_seq"] >= half], lake, num_parts="auto")
+        assert Manifest.load(lake).num_parts == 32
+        assert_matches_oracle(lake, full)
