@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_purchase_delta": q.lag_purchase_delta,
         "collect_event_types": q.collect_event_types,
         "hll_distinct_users": q.hll_distinct_users,
+        "hll_distinct_users_by_type": q.hll_distinct_users_by_type,
         "conversation_stats": q.conversation_stats,
         # C. training-data ops
         "dedup_exact_docs": q.dedup_exact_docs,

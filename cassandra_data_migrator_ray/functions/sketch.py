@@ -99,3 +99,31 @@ def hll_estimate(regs: np.ndarray) -> float:
     if raw <= 2.5 * m and zeros > 0:
         return m * np.log(m / zeros)  # linear counting
     return raw
+
+
+def hll_partial_grouped(keys, values, p: int = DEFAULT_P) -> pd.DataFrame:
+    """One batch → one HLL register array PER GROUP KEY: (key, regs-bytes).
+
+    Fully vectorized: factorize keys once, then a single ``np.maximum.at``
+    over a flat (n_groups × 2**p) register block.  The grouped-aggregation
+    shape for approximate COUNT(DISTINCT v) GROUP BY k — the shuffle carries
+    one fixed-size sketch per (group, batch), independent of row count.
+    Registers are deterministic for a given value multiset, so any batch
+    split produces byte-identical merged sketches (exactly-once-safe).
+    """
+    s = pd.Series(keys)
+    codes, uniques = pd.factorize(s, use_na_sentinel=False)
+    m = 1 << p
+    regs = np.zeros(len(uniques) * m, dtype=np.uint8)
+    h = _hash_values(values)
+    if len(h):
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        rank = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+        np.maximum.at(regs, codes.astype(np.int64) * m + idx, rank)
+    return pd.DataFrame(
+        {
+            "key": uniques,
+            "regs": [regs[i * m : (i + 1) * m].tobytes() for i in range(len(uniques))],
+        }
+    )

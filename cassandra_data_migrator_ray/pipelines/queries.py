@@ -1875,6 +1875,52 @@ def hll_distinct_users(sf_dir: str, p: int = 14) -> pd.DataFrame:
     )
 
 
+def hll_distinct_users_by_type(sf_dir: str, p: int = 14) -> pd.DataFrame:
+    """GROUPED approximate COUNT(DISTINCT user_id) BY event_type via
+    mergeable per-group HLL sketches: each batch reduces to one fixed
+    2**p-byte register array per group present, the per-group fold happens
+    in a distributed ``groupby(key)`` (the driver sees one row per group).
+    Registers are deterministic per value multiset, so batch splits and
+    retries cannot change the estimate.
+
+    Not SQL-oracle-paired (different sketch than DuckDB); gated by pytest
+    accuracy (3σ per group vs exact) + register determinism, and the
+    rows-only driver check."""
+    from cassandra_data_migrator_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_partial_grouped,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return hll_partial_grouped(
+            t["event_type"].to_numpy(zero_copy_only=False),
+            t["user_id"].to_numpy(zero_copy_only=False),
+            p=p,
+        )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        merged = hll_merge(*(np.frombuffer(b, dtype=np.uint8) for b in group["regs"]))
+        return pd.DataFrame(
+            {
+                "event_type": group["key"].iloc[:1],
+                "n_users_approx": np.array(
+                    [round(hll_estimate(merged))], dtype=np.int64
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type", ignore_index=True)
+
+
 def conversation_stats(sf_dir: str) -> pd.DataFrame:
     """Lake → downstream-analytics integration: replay the change stream into
     a lake, then compute per-conversation transcript statistics from the

@@ -61,3 +61,72 @@ class TestHLLMergeAlgebra:
         whole = hll_partial(vals)
         halves = hll_merge(hll_partial(vals[:20_000]), hll_partial(vals[20_000:]))
         assert np.array_equal(whole, halves)
+
+
+class TestGroupedHll:
+    def test_grouped_accuracy_and_determinism(self):
+        """Per-group estimates within 3σ of exact; merged registers from any
+        batch split are byte-identical to the one-shot computation."""
+        import numpy as np
+        import pandas as pd
+
+        from cassandra_data_migrator_ray.functions.sketch import (
+            hll_estimate,
+            hll_merge,
+            hll_partial_grouped,
+        )
+
+        rng = np.random.default_rng(7)
+        p = 12
+        sigma = 1.04 / np.sqrt(1 << p)
+        truth = {"a": 5000, "b": 800, "c": 25}
+        keys, vals = [], []
+        for k, n in truth.items():
+            ids = rng.choice(np.arange(n, dtype=np.int64) + hash(k) % 10**6, size=n * 3)
+            keys.extend([k] * len(ids))
+            vals.extend(ids.tolist())
+        keys = np.array(keys)
+        vals = np.array(vals, dtype=np.int64)
+        perm = rng.permutation(len(keys))
+        keys, vals = keys[perm], vals[perm]
+
+        def run(splits):
+            regs = {}
+            for lo, hi in splits:
+                part = hll_partial_grouped(keys[lo:hi], vals[lo:hi], p=p)
+                for k, b in zip(part["key"], part["regs"]):
+                    r = np.frombuffer(b, dtype=np.uint8)
+                    regs[k] = hll_merge(regs[k], r) if k in regs else r
+            return regs
+
+        one = run([(0, len(keys))])
+        cuts = sorted(rng.integers(1, len(keys) - 1, size=5).tolist())
+        bounds = [0] + cuts + [len(keys)]
+        many = run(list(zip(bounds[:-1], bounds[1:])))
+        assert set(one) == set(truth) == set(many)
+        for k, n in truth.items():
+            assert bytes(one[k]) == bytes(many[k])  # split-invariant registers
+            est = hll_estimate(one[k])
+            # np.unique over the drawn ids = the real distinct count
+            exact = len(np.unique(vals[keys == k]))
+            assert abs(est - exact) <= max(3 * sigma * exact, 3), (k, est, exact)
+
+    def test_grouped_query_matches_exact_counts(self, ray_session):
+        """The distributed grouped-HLL query tracks the exact grouped
+        distinct counts on the shared events table (3σ at p=14)."""
+        import numpy as np
+
+        from cassandra_data_migrator_ray.pipelines.queries import (
+            distinct_users_by_type,
+            hll_distinct_users_by_type,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        approx = hll_distinct_users_by_type(sf).set_index("event_type")
+        exact = distinct_users_by_type(sf).set_index("event_type")
+        assert sorted(approx.index) == sorted(exact.index)
+        sigma = 1.04 / np.sqrt(1 << 14)
+        for k in exact.index:
+            e = int(exact.loc[k].iloc[0])
+            a = int(approx.loc[k, "n_users_approx"])
+            assert abs(a - e) <= max(3 * sigma * e, 3), (k, a, e)
