@@ -1,0 +1,141 @@
+"""cdm.properties compatibility layer: reference property names drive the
+same engine pipeline (reference src/resources/cdm.properties,
+properties/KnownProperties.java:60-210)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cassandra_data_migrator_ray.compat import (
+    Plan,
+    load_properties,
+    plan_from_properties,
+    replay_from_properties,
+)
+
+
+PROPS = """
+# comment line
+spark.cdm.connect.origin.host                     localhost
+spark.cdm.connect.origin.port                     9042
+spark.cdm.schema.origin.keyspaceTable             ks.tbl
+spark.cdm.schema.origin.column.names.to.target    msg:text,who:role
+spark.cdm.feature.constantColumns.names           tenant,flag
+spark.cdm.feature.constantColumns.values          'acme',42
+spark.cdm.filter.java.writetime.min               1000
+spark.cdm.filter.java.writetime.max               2000
+spark.cdm.filter.java.column.name                 role
+spark.cdm.filter.java.column.value                spam
+spark.cdm.trackRun                                true
+spark.cdm.trackRun.autoRerun                      true
+spark.cdm.trackRun.rerunMultiplier                4
+spark.cdm.perfops.numParts                        64
+spark.cdm.perfops.ratelimit.origin                20000
+spark.cdm.perfops.ratelimit.target                20000
+spark.cdm.autocorrect.missing                     true
+spark.cdm.autocorrect.mismatch                    false
+spark.cdm.feature.guardrail.colSizeInKB           10
+spark.cdm.made.up.key                             zzz
+"""
+
+
+def write_props(tmp_path):
+    f = tmp_path / "cdm.properties"
+    f.write_text(PROPS)
+    return str(f)
+
+
+class TestPlanFromProperties:
+    def test_full_plan(self, tmp_path):
+        plan = plan_from_properties(write_props(tmp_path))
+        from cassandra_data_migrator_ray.functions.transforms import (
+            Constant,
+            Rename,
+            ValueSkipFilter,
+            WritetimeWindow,
+        )
+
+        kinds = [type(t) for t in plan.transforms]
+        assert kinds == [Rename, Constant, WritetimeWindow, ValueSkipFilter]
+        assert plan.transforms[0].mapping == {"msg": "text", "who": "role"}
+        assert plan.transforms[1].values == {"tenant": "acme", "flag": 42}
+        assert plan.transforms[2].lo == 1000 and plan.transforms[2].hi == 2000
+        assert plan.replay_kwargs["num_parts"] == 64
+        assert plan.replay_kwargs["run_id"] == "auto"
+        assert plan.replay_kwargs["rerun_multiplier"] == 4
+        assert plan.replay_kwargs["rate_limit_rows_per_s"] == 20000.0
+        assert plan.autocorrect_missing and not plan.autocorrect_mismatch
+        assert plan.guardrail_kb == 10.0
+        # transport keys ignored WITH reasons; unknown keys flagged
+        assert "spark.cdm.connect.origin.host" in plan.ignored
+        assert "no Parquet analogue" in plan.ignored["spark.cdm.connect.origin.host"]
+        assert "spark.cdm.made.up.key" in plan.ignored
+        assert "unrecognized" in plan.ignored["spark.cdm.made.up.key"]
+
+    def test_explode_extract_custom_writetime(self):
+        plan = plan_from_properties(
+            {
+                "spark.cdm.feature.explodeMap.origin.name": "attrs",
+                "spark.cdm.feature.explodeMap.target.name.key": "k",
+                "spark.cdm.feature.explodeMap.target.name.value": "v",
+                "spark.cdm.feature.extractJson.originColumn": "blob",
+                "spark.cdm.feature.extractJson.propertyMapping": "age:age_col",
+                "spark.cdm.feature.extractJson.overwrite": "true",
+                "spark.cdm.transform.custom.writetime": "5000",
+                "spark.cdm.transform.custom.writetime.incrementBy": "1",
+            }
+        )
+        from cassandra_data_migrator_ray.compat import CustomWritetime
+        from cassandra_data_migrator_ray.functions.transforms import (
+            ExplodeMap,
+            ExtractJson,
+        )
+
+        em = next(t for t in plan.transforms if isinstance(t, ExplodeMap))
+        assert (em.map_col, em.key_col, em.value_col) == ("attrs", "k", "v")
+        ej = next(t for t in plan.transforms if isinstance(t, ExtractJson))
+        assert (ej.src_col, ej.field, ej.dst_col, ej.overwrite) == (
+            "blob", "age", "age_col", True,
+        )
+        cw = next(t for t in plan.transforms if isinstance(t, CustomWritetime))
+        assert (cw.value, cw.inc) == (5000, 1)
+
+    def test_constant_count_mismatch_raises(self):
+        with pytest.raises(ValueError, match="constantColumns"):
+            plan_from_properties(
+                {
+                    "spark.cdm.feature.constantColumns.names": "a,b",
+                    "spark.cdm.feature.constantColumns.values": "'x'",
+                }
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReplayFromProperties:
+    def test_properties_driven_replay(self, tmp_path):
+        """A properties file drives a real replay: writetime-window filter +
+        constant column applied, lake state matches the filtered oracle."""
+        from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        ev = gen_change_stream(n_convs=30, n_events=2000, seed=44)
+        df = ev.to_pandas()
+        cut = int(df["writetime"].quantile(0.3))
+        props = tmp_path / "cdm.properties"
+        props.write_text(
+            f"spark.cdm.filter.java.writetime.min  {cut}\n"
+            "spark.cdm.feature.constantColumns.names   source\n"
+            "spark.cdm.feature.constantColumns.values  'cdm'\n"
+            "spark.cdm.perfops.numParts  8\n"
+        )
+        lake = str(tmp_path / "lake")
+        replay_from_properties(ev, lake, str(props))
+        got = read_lake_pandas(lake)
+        assert (got["source"] == "cdm").all()
+        oracle = oracle_final_state(df[df["writetime"] >= cut])
+        oracle["source"] = "cdm"
+        pd.testing.assert_frame_equal(
+            got.sort_values(["conv_id", "turn_idx"], ignore_index=True),
+            oracle.sort_values(["conv_id", "turn_idx"], ignore_index=True)[got.columns],
+            check_dtype=False,
+        )
