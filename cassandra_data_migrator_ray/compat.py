@@ -306,3 +306,39 @@ def replay_from_properties(events, lake_dir: str, props, **overrides):
     plan = plan_from_properties(props)
     kwargs = {**plan.replay_kwargs, **overrides}
     return replay(events, lake_dir, transforms=plan.transforms or None, **kwargs)
+
+
+def validate_from_properties(expected, lake_dir: str, props, **overrides):
+    """Properties-driven DiffData analogue: applies the column skip-list
+    (validate(columns = payload minus skipped)) and, when
+    ``autocorrect.missing`` / ``autocorrect.mismatch`` are set, replays
+    corrective events for the enabled categories (reference
+    job/DiffJobSession.java autocorrect branches).  Returns
+    (ValidateResult, corrected_result_or_None)."""
+    from cassandra_data_migrator_ray.pipelines.diff import autocorrect, validate
+    from cassandra_data_migrator_ray.state.manifest import Manifest
+
+    plan = plan_from_properties(props)
+    kwargs = dict(plan.validate_kwargs)
+    skip = kwargs.pop("skip_columns", None)
+    if skip:
+        payload = Manifest.load(lake_dir).payload_cols()
+        kwargs["columns"] = [c for c in payload if c not in set(skip)]
+    kwargs.update(overrides)
+    result = validate(expected, lake_dir, **kwargs)
+    fixed = None
+    if not result.ok and (plan.autocorrect_missing or plan.autocorrect_mismatch):
+        rep = result.report
+        want = []
+        if plan.autocorrect_missing:
+            want += ["MISSING", "EXTRA"]
+        if plan.autocorrect_mismatch:
+            want += ["MISMATCH"]
+        sub = rep[rep["status"].isin(want)]
+        if len(sub):
+            import copy
+
+            partial = copy.copy(result)
+            partial.report = sub
+            fixed = autocorrect(partial, lake_dir)
+    return result, fixed

@@ -139,3 +139,39 @@ class TestReplayFromProperties:
             oracle.sort_values(["conv_id", "turn_idx"], ignore_index=True)[got.columns],
             check_dtype=False,
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValidateFromProperties:
+    def test_skip_columns_and_autocorrect(self, tmp_path):
+        """The diff-side properties: column skip-list hides a divergent
+        column; autocorrect.mismatch=true replays corrective events and a
+        re-validate comes back clean."""
+        from cassandra_data_migrator_ray.compat import validate_from_properties
+        from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+        from cassandra_data_migrator_ray.pipelines.replay import replay
+
+        ev = gen_change_stream(n_convs=20, n_events=1200, seed=66)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=4)
+        exp = oracle_final_state(ev.to_pandas())
+        exp = exp.copy()
+        exp.loc[exp.index[:3], "text"] = "divergent-expectation"
+
+        # 1. skip-list: hiding `text` makes the divergence invisible
+        res, fixed = validate_from_properties(
+            exp, lake, {"spark.cdm.schema.origin.column.skip": "text"}
+        )
+        assert res.ok and fixed is None
+
+        # 2. no skip, no autocorrect: mismatches reported, nothing replayed
+        res, fixed = validate_from_properties(exp, lake, {})
+        assert not res.ok and res.counts["MISMATCH"] == 3 and fixed is None
+
+        # 3. autocorrect.mismatch: corrective replay, then clean re-validate
+        res, fixed = validate_from_properties(
+            exp, lake, {"spark.cdm.autocorrect.mismatch": "true"}
+        )
+        assert not res.ok and fixed is not None
+        res2, _ = validate_from_properties(exp, lake, {})
+        assert res2.ok, res2.counts
