@@ -796,6 +796,106 @@ def _merge_topk(
     )
 
 
+def _train_ivf_centroids(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    train_sample: int,
+    refine_iters: int,
+) -> np.ndarray:
+    """Coarse-centroid training: unbiased hash-of-id sample → kmeans_lite →
+    optional distributed Lloyd refinement.  Returns L2-normalized (C, d)."""
+    from cassandra_data_migrator_ray.functions.similarity import (
+        kmeans_lite,
+        kmeans_refine_distributed,
+    )
+
+    total = max(1, ds.count())
+    frac = min(1.0, train_sample / total)
+
+    def hash_sample(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)  # top 24 bits
+        return batch[h < np.uint64(frac * (1 << 24))]
+
+    sample = ds.map_batches(hash_sample, batch_format="pandas").to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(min(train_sample, total)).to_pandas()
+    sv = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+    sv /= np.linalg.norm(sv, axis=1, keepdims=True).clip(min=1e-12)
+    cents = kmeans_lite(sv, n_centroids)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
+    if refine_iters > 0:
+        # refined centroids stay un-normalized (cluster means), matching the
+        # inline-training behavior — cosine assignment is scale-sensitive
+        # only through argmax ties, and probe/assign must agree between the
+        # index-building and index-loading paths (load re-normalizes both)
+        cents = kmeans_refine_distributed(
+            ds, cents, vec_col=vec_col, iters=refine_iters
+        )
+    return cents
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 32,
+    train_sample: int = 4096,
+    refine_iters: int = 2,
+    materialize: "str | bool" = "auto",
+) -> np.ndarray:
+    """Train the IVF coarse-centroid index ONCE and persist it (a single
+    parquet file: one row per centroid, params in the file metadata) — the
+    train-once / query-many shape.  ``ann_topk_ivf(..., index=path)`` then
+    scans the corpus exactly once per query set.  Returns the centroids."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    if materialize == "auto":
+        ds = _ensure_multipass(ds)
+    elif materialize:
+        ds = ds.materialize()
+    cents = _train_ivf_centroids(
+        ds, vec_col, id_col, n_centroids, train_sample, refine_iters
+    )
+    meta = {
+        "n_centroids": int(cents.shape[0]),
+        "dim": int(cents.shape[1]),
+        "vec_col": vec_col,
+        "refine_iters": int(refine_iters),
+        "train_sample": int(train_sample),
+        "metric": "cosine",
+    }
+    tbl = pa.table(
+        {
+            "centroid_id": pa.array(np.arange(len(cents), dtype=np.int64)),
+            "vector": pa.array(list(cents), pa.list_(pa.float64())),
+        }
+    ).replace_schema_metadata({b"ivf_index_meta": json.dumps(meta).encode()})
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    import os
+
+    os.replace(tmp, path)
+    return cents
+
+
+def load_ivf_index(path: str) -> np.ndarray:
+    """Centroid matrix from a :func:`build_ivf_index` file (row order =
+    centroid_id)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    order = np.argsort(tbl["centroid_id"].to_numpy())
+    return np.vstack(tbl["vector"].to_numpy(zero_copy_only=False)[order]).astype(
+        np.float64
+    )
+
+
 def ann_topk_ivf(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -809,6 +909,7 @@ def ann_topk_ivf(
     refine_iters: int = 0,
     merge: str = "auto",
     materialize: "str | bool" = "auto",
+    index: "str | np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """IVF (inverted-file) cosine top-k — the bucketed scale path.
 
@@ -828,45 +929,37 @@ def ann_topk_ivf(
     (groupby(qi), driver sees only the final q × k rows) or ``"auto"``
     (distributed from 256 queries).  ``materialize``: ``"auto"`` pins only
     transform-bearing lineages, never plain source reads (see body).
-    """
-    from cassandra_data_migrator_ray.functions.similarity import (
-        kmeans_lite,
-        kmeans_refine_distributed,
-    )
 
+    ``index``: a prebuilt coarse-centroid index (path from
+    :func:`build_ivf_index`, or the centroid matrix itself) — the
+    train-once / query-many shape.  With an index, training is skipped
+    entirely and the corpus gets exactly ONE pass (no count, no sample, no
+    multi-pass pinning).
+    """
     queries = np.asarray(queries, dtype=np.float64)
     if queries.ndim == 1:
         queries = queries[None, :]
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
 
-    # IVF is a multi-pass algorithm (count+sample, refine × k, score).
-    # ``materialize="auto"``: a SOURCE dataset (plain read_parquet /
-    # from_arrow, no transform lineage) is NOT pinned — re-scans are cheap
-    # and pinning a 100-TB corpus in the object store is exactly the wrong
-    # move at scale; a transform-bearing lineage IS materialized once so the
-    # chain isn't re-executed per pass.  Pass True/False to override.
-    if materialize == "auto":
-        ds = _ensure_multipass(ds)
-    elif materialize:
-        ds = ds.materialize()
-    total = max(1, ds.count())
-    frac = min(1.0, train_sample / total)
-
-    def hash_sample(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy().astype(np.uint64)
-        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)  # top 24 bits
-        return batch[h < np.uint64(frac * (1 << 24))]
-
-    sample = ds.map_batches(hash_sample, batch_format="pandas").to_pandas()
-    if len(sample) == 0:
-        sample = ds.limit(min(train_sample, total)).to_pandas()
-    sv = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
-    sv /= np.linalg.norm(sv, axis=1, keepdims=True).clip(min=1e-12)
-    cents = kmeans_lite(sv, n_centroids)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
-    if refine_iters > 0:
-        cents = kmeans_refine_distributed(
-            ds, cents, vec_col=vec_col, iters=refine_iters
+    if index is not None:
+        cents = load_ivf_index(index) if isinstance(index, str) else np.asarray(
+            index, dtype=np.float64
+        )
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
+    else:
+        # IVF is then a multi-pass algorithm (count+sample, refine × k,
+        # score).  ``materialize="auto"``: a SOURCE dataset (plain
+        # read_parquet / from_arrow, no transform lineage) is NOT pinned —
+        # re-scans are cheap and pinning a 100-TB corpus in the object store
+        # is exactly the wrong move at scale; a transform-bearing lineage IS
+        # materialized once so the chain isn't re-executed per pass.  Pass
+        # True/False to override.
+        if materialize == "auto":
+            ds = _ensure_multipass(ds)
+        elif materialize:
+            ds = ds.materialize()
+        cents = _train_ivf_centroids(
+            ds, vec_col, id_col, n_centroids, train_sample, refine_iters
         )
 
     # probe list per query: nprobe nearest centroids by cosine

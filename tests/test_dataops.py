@@ -688,3 +688,104 @@ class TestPrepCorpus:
         row0 = out.iloc[0]
         assert row0["n_chars"] == len(good)
         assert row0["n_ws_tokens"] == good.count(" ") + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfIndexPersistence:
+    def test_build_load_query_parity(self, tmp_path):
+        """Train-once/query-many: a persisted index reproduces the inline-
+        trained result exactly (refine=0 → identical centroids), and the
+        indexed query path touches the corpus in a single pass (no count/
+        sample/materialize)."""
+        import pyarrow.parquet as pq
+
+        import ray as _ray
+
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            ann_topk_ivf,
+            build_ivf_index,
+            load_ivf_index,
+        )
+
+        rng = np.random.default_rng(9)
+        centers = rng.standard_normal((6, 16)) * 4
+        vecs = np.vstack([c + rng.standard_normal((60, 16)) * 0.1 for c in centers])
+        path = str(tmp_path / "emb.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+                }
+            ),
+            path,
+        )
+        idx_path = str(tmp_path / "ivf.index.parquet")
+        ds = _ray.data.read_parquet(path)
+        cents = build_ivf_index(ds, idx_path, n_centroids=6, refine_iters=0)
+        loaded = load_ivf_index(idx_path)
+        np.testing.assert_allclose(loaded, cents, rtol=0, atol=0)
+
+        q = vecs[5]
+        inline = ann_topk_ivf(
+            _ray.data.read_parquet(path), q, k=5, n_centroids=6, nprobe=3,
+            refine_iters=0,
+        )
+        # fresh dataset each time — the index path must not need multipass
+        indexed = ann_topk_ivf(
+            _ray.data.read_parquet(path), q, k=5, nprobe=3, index=idx_path
+        )
+        pd.testing.assert_frame_equal(inline, indexed)
+
+        # no count/materialize on the indexed path: it works on a dataset
+        # whose count would execute a transform chain exactly once
+        calls = {"n": 0}
+
+        def counting(batch):
+            calls["n"] += 1
+            return batch
+
+        chained = _ray.data.read_parquet(path).map_batches(
+            counting, batch_format="pandas"
+        )
+        out = ann_topk_ivf(chained, q, k=5, nprobe=3, index=idx_path)
+        assert list(out["vec_id"]) == list(indexed["vec_id"])
+
+    def test_refined_index_keeps_recall(self, tmp_path):
+        """A refined persisted index still finds the planted nearest set
+        (recall@k == 1.0 vs brute force on well-separated clusters)."""
+        import pyarrow.parquet as pq
+
+        import ray as _ray
+
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            ann_topk,
+            ann_topk_ivf,
+            build_ivf_index,
+        )
+
+        rng = np.random.default_rng(31)
+        centers = rng.standard_normal((8, 12)) * 5
+        vecs = np.vstack([c + rng.standard_normal((50, 12)) * 0.1 for c in centers])
+        path = str(tmp_path / "emb.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+                }
+            ),
+            path,
+        )
+        idx_path = str(tmp_path / "ivf.idx")
+        build_ivf_index(
+            _ray.data.read_parquet(path), idx_path, n_centroids=8, refine_iters=2
+        )
+        q = vecs[125]
+        bf = set(ann_topk(_ray.data.read_parquet(path), q, k=10)["vec_id"])
+        got = set(
+            ann_topk_ivf(_ray.data.read_parquet(path), q, k=10, nprobe=2, index=idx_path)[
+                "vec_id"
+            ]
+        )
+        assert got == bf
