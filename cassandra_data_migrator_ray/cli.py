@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="change-batch file format (csv/json coerce to the transcripts event schema)")
     m.add_argument("--emit-changes", action="store_true",
                    help="write a per-run change-data-feed (readable with `changes`)")
+    m.add_argument("--properties", default=None,
+                   help="reference cdm.properties file: spark.cdm.* keys drive "
+                        "the transform chain and run/perf knobs (explicit CLI "
+                        "flags win; transport-only keys reported as ignored)")
 
     v = sub.add_parser("validate", help="diff the lake against an expected table")
     v.add_argument("--expected", required=True)
@@ -148,15 +152,44 @@ def main(argv: list[str] | None = None) -> int:
                 events_in = read_change_batches(
                     args.events, file_format=fmt, schema=EVENTS_SCHEMA
                 )
-            res = replay(
-                events_in,
-                args.lake,
+            kwargs = dict(
                 num_parts=args.num_parts,
                 salt=args.salt,
                 run_id="auto" if args.resume else args.run_id,
                 compact=args.compact,
                 emit_changes=args.emit_changes,
             )
+            transforms = None
+            if args.properties:
+                import sys as _sys
+
+                from cassandra_data_migrator_ray.compat import plan_from_properties
+
+                plan = plan_from_properties(args.properties)
+                transforms = plan.transforms or None
+                # properties fill gaps; explicit CLI flags keep their values
+                # (argparse defaults count as "not explicitly set" only for
+                # the knobs properties can own)
+                if args.num_parts == 64 and "num_parts" in plan.replay_kwargs:
+                    kwargs["num_parts"] = plan.replay_kwargs["num_parts"]
+                if args.run_id is None and not args.resume:
+                    kwargs["run_id"] = plan.replay_kwargs.get("run_id")
+                for k in ("rerun_multiplier", "rate_limit_rows_per_s", "ttl"):
+                    if k in plan.replay_kwargs:
+                        kwargs[k] = plan.replay_kwargs[k]
+                if kwargs.get("rate_limit_rows_per_s"):
+                    # the throttle is per-actor and needs an actor pool
+                    kwargs["normalize_concurrency"] = 4
+                    print(
+                        "note: ratelimit → normalize_concurrency=4 actors "
+                        f"(total ≈ {4 * kwargs['rate_limit_rows_per_s']:.0f} rows/s)",
+                        file=_sys.stderr,
+                    )
+                for key, why in plan.ignored.items():
+                    print(f"ignored {key}: {why}", file=_sys.stderr)
+                for note in plan.notes:
+                    print(f"note: {note}", file=_sys.stderr)
+            res = replay(events_in, args.lake, transforms=transforms, **kwargs)
             print(
                 json.dumps(
                     {

@@ -175,3 +175,49 @@ class TestValidateFromProperties:
         assert not res.ok and fixed is not None
         res2, _ = validate_from_properties(exp, lake, {})
         assert res2.ok, res2.counts
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCliProperties:
+    def test_migrate_with_properties_file(self, tmp_path, capsys):
+        """CLI: --properties applies the transform chain and perf knobs from
+        a reference cdm.properties file (transport keys reported on stderr)."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.cli import main
+        from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        ev = gen_change_stream(n_convs=15, n_events=800, seed=88)
+        src = str(tmp_path / "ev.parquet")
+        pq.write_table(ev, src)
+        props = tmp_path / "cdm.properties"
+        props.write_text(
+            "spark.cdm.connect.origin.host localhost\n"
+            "spark.cdm.feature.constantColumns.names   origin_dc\n"
+            "spark.cdm.feature.constantColumns.values  'dc1'\n"
+            "spark.cdm.perfops.numParts 8\n"
+        )
+        lake = str(tmp_path / "lake")
+        rc = main(
+            ["migrate", "--events", src, "--lake", lake, "--properties", str(props)]
+        )
+        assert rc in (0, None)
+        captured = capsys.readouterr()
+        assert json.loads(captured.out.strip().splitlines()[-1])["partitions"] > 0
+        assert "spark.cdm.connect.origin.host" in captured.err
+        got = read_lake_pandas(lake)
+        assert (got["origin_dc"] == "dc1").all()
+        oracle = oracle_final_state(ev.to_pandas())
+        oracle["origin_dc"] = "dc1"
+        pd.testing.assert_frame_equal(
+            got.sort_values(["conv_id", "turn_idx"], ignore_index=True),
+            oracle.sort_values(["conv_id", "turn_idx"], ignore_index=True)[got.columns],
+            check_dtype=False,
+        )
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        assert Manifest.load(lake).num_parts == 8
