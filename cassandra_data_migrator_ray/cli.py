@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--grace-wt", type=int, default=None)
 
+    rs = sub.add_parser("reshard", help="re-key a committed lake to a new (num_parts, salt) layout")
+    rs.add_argument("--lake", required=True)
+    rs.add_argument("--num-parts", type=int, required=True)
+    rs.add_argument("--salt", type=int, default=None)
+
     t = sub.add_parser("tail", help="WAL-tail loop: ingest new change files as they appear")
     t.add_argument("--source", required=True, help="directory of change-batch parquet files")
     t.add_argument("--lake", required=True)
@@ -129,7 +134,8 @@ def main(argv: list[str] | None = None) -> int:
     # the read-side metadata commands (lookup/changes/snapshots/vacuum) are
     # driver-side pyarrow/os work — skip the multi-second Ray startup
     needs_ray = args.cmd in {
-        "migrate", "validate", "guardrail", "compact", "tail", "metrics",
+        "migrate", "validate", "guardrail", "compact", "reshard", "tail",
+        "metrics",
     }  # lineage/lookup/changes/snapshots/vacuum are driver-side metadata
     ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
@@ -233,6 +239,23 @@ def main(argv: list[str] | None = None) -> int:
                         "run_id": res.run_id,
                         "partitions": int(len(res.metrics)),
                         "tombstones_left": int(res.metrics["tombstones"].sum())
+                        if len(res.metrics)
+                        else 0,
+                        "seconds": round(res.seconds, 3),
+                    }
+                )
+            )
+        elif args.cmd == "reshard":
+            from cassandra_data_migrator_ray.pipelines.maintenance import reshard_lake
+
+            res = reshard_lake(args.lake, args.num_parts, args.salt)
+            print(
+                json.dumps(
+                    {
+                        "run_id": res.run_id,
+                        "num_parts": args.num_parts,
+                        "partitions_written": int(len(res.metrics)),
+                        "rows": int(res.metrics["rows"].sum())
                         if len(res.metrics)
                         else 0,
                         "seconds": round(res.seconds, 3),

@@ -11,6 +11,7 @@ as replay, so a crashed compaction never loses or duplicates state.
 
 from __future__ import annotations
 
+import os
 import uuid
 from dataclasses import dataclass
 from functools import partial
@@ -121,4 +122,207 @@ def compact_lake(
         partial(_compact_part, cfg, ttl_as_of), batch_format="pandas", batch_size=None
     ).to_pandas()
     manifest.commit_run(run_id, extra={"type": "compact", "grace_wt": grace_wt})
+    return CompactResult(run_id, metrics, time.perf_counter() - t0)
+
+
+# ---- reshard: change the lake's (num_parts, salt) layout ---------------------
+# The reference fixes its parallelism unit at job-submit time (numParts,
+# job/SplitPartitions.java:32-76) — a lake sized for its initial stream has no
+# way to grow with the data.  reshard_lake() re-keys a COMMITTED lake to a new
+# hash layout in two map-only Ray stages (the same staged-exchange shape as
+# replay, stages/staging.py): each old partition's state routes to new
+# partitions (only state rows move — never the event history), then one task
+# per new partition concatenates, sorts and writes its state file.  The commit
+# atomically replaces the partition map AND the layout, so readers never see
+# files placed under one layout described by another; time-travel snapshots
+# pin the old files + old layout and remain readable until vacuum().
+
+
+def _reshard_stage_part(
+    cfg: MergeConfig,
+    num_parts: int,
+    salt: int,
+    staging_dir: str,
+    batch: pd.DataFrame,
+) -> pd.DataFrame:
+    """Phase 1 body: route one old partition's state rows to their new
+    partitions and write staged Arrow-IPC slices (content-addressed, so a
+    retried task overwrites byte-identically instead of duplicating rows)."""
+    import pyarrow as pa
+
+    from cassandra_data_migrator_ray.stages.merge import read_partition_state_arrow
+    from cassandra_data_migrator_ray.stages.normalize import PART_COL
+    from cassandra_data_migrator_ray.stages.staging import StageWriter
+    from cassandra_data_migrator_ray.state.partitioning import assign_partition_keys
+
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    writer = StageWriter(staging_dir, bytes_fingerprint=True)
+    out = []
+    for part in batch["part"]:
+        state = read_partition_state_arrow(cfg, int(part))
+        if state is None or state.num_rows == 0:
+            continue
+        route = assign_partition_keys(
+            [state.column(c) for c in cfg.key_cols], num_parts, salt
+        )
+        staged = writer(state.append_column(PART_COL, pa.array(route)))
+        if len(staged):
+            out.append(staged)
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(
+            {"part": pd.Series([], dtype="int32"), "rows": pd.Series([], dtype="int64")}
+        )
+    )
+
+
+def _reshard_write_part(
+    cfg: MergeConfig, staging_dir: str, watermark: int, batch: pd.DataFrame
+) -> pd.DataFrame:
+    """Phase 2 body: concat one NEW partition's staged slices, sort by key,
+    write its state file + receipt (resume-safe via the receipt protocol)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cassandra_data_migrator_ray.schema import DELETED, write_parquet_atomic
+    from cassandra_data_migrator_ray.state.manifest import atomic_write_json
+
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    out = []
+    for part in batch["part"]:
+        t0 = time.perf_counter()
+        part = int(part)
+        pdir = os.path.join(staging_dir, f"part={part:05d}")
+        files = sorted(
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.startswith("blk-") and f.endswith(".arrow")
+        )
+        if not files:
+            continue
+
+        def _read_ipc(path: str) -> pa.Table:
+            with pa.memory_map(path) as src:
+                return pa.ipc.open_file(src).read_all()
+
+        state = pa.concat_tables([_read_ipc(f) for f in files])
+        order = pc.sort_indices(
+            state, sort_keys=[(c, "ascending") for c in cfg.key_cols]
+        )
+        state = state.take(order)
+        rel = os.path.join("data", f"part-{part:05d}-{cfg.run_id}.parquet")
+        write_parquet_atomic(state, os.path.join(cfg.lake_dir, rel))
+        tombstones = int(
+            pc.sum(pc.cast(state.column(DELETED), pa.int64())).as_py() or 0
+        )
+        receipt = {
+            "part": part,
+            "run_id": cfg.run_id,
+            "files": [rel],
+            "watermark": watermark,
+            "rows": int(state.num_rows - tombstones),
+            "tombstones": tombstones,
+            "status": "PASS",
+            "metrics": {"resharded": True},
+        }
+        atomic_write_json(
+            f"{cfg.lake_dir}/_staging/{cfg.run_id}/part-{part:05d}.json", receipt
+        )
+        out.append(
+            {
+                "part": part,
+                "rows": receipt["rows"],
+                "tombstones": tombstones,
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def reshard_lake(
+    lake_dir: str, num_parts: int, salt: int | None = None
+) -> CompactResult:
+    """Re-key a committed lake to ``(num_parts, salt)`` new hash partitions.
+
+    Requires every partition PASS/DIFF_CORRECTED (a partially-replayed lake
+    has per-partition watermarks that cannot be transplanted to a new
+    layout).  New partitions carry the GLOBAL max watermark: the old stream
+    was fully committed, so every event at or below it was merged somewhere
+    — and empty new partitions (absent from the manifest, watermark −1) can
+    only receive events for keys whose state was tombstone-compacted, which
+    compaction already preconditions on no-redelivery."""
+    import time
+
+    t0 = time.perf_counter()
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    salt = manifest.salt if salt is None else int(salt)
+    num_parts = int(num_parts)
+    if num_parts < 1 or salt < 1:
+        raise ValueError("num_parts and salt must be >= 1")
+    bad = {
+        k: v.status
+        for k, v in manifest.partitions.items()
+        if v.status not in ("PASS", "DIFF_CORRECTED")
+    }
+    if bad:
+        raise RuntimeError(
+            f"reshard requires a fully committed lake; partitions not PASS: {bad}"
+        )
+    if num_parts == manifest.num_parts and salt == manifest.salt:
+        return CompactResult("noop", pd.DataFrame(), time.perf_counter() - t0)
+    run_id = "reshard-" + uuid.uuid4().hex[:8]
+    cfg = MergeConfig(
+        lake_dir=lake_dir,
+        run_id=run_id,
+        payload_cols=manifest.payload_cols(),
+        payload_schema_json=schema_to_json(manifest.schema),
+        counter_cols=tuple(manifest.counter_cols),
+        key_cols=tuple(manifest.key_cols),
+        ttl_enabled=manifest.ttl_enabled,
+        prior_files={k: v.files for k, v in manifest.partitions.items()},
+        prior_watermarks=manifest.watermarks(),
+    )
+    staging_dir = os.path.join(manifest.staging_dir(run_id), "exchange")
+    os.makedirs(staging_dir, exist_ok=True)
+    old_parts = sorted(manifest.partitions)
+    watermark = max(
+        [v.watermark for v in manifest.partitions.values()], default=-1
+    )
+    metrics = pd.DataFrame()
+    if old_parts:
+        ds = ray.data.from_items(
+            [{"part": int(k)} for k in old_parts], override_num_blocks=len(old_parts)
+        )
+        ds.map_batches(
+            partial(_reshard_stage_part, cfg, num_parts, salt, staging_dir),
+            batch_format="pandas",
+            batch_size=None,
+        ).materialize()  # barrier: every slice staged before any new partition folds
+        new_parts = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(staging_dir)
+            if d.startswith("part=")
+        )
+        if new_parts:
+            ds2 = ray.data.from_items(
+                [{"part": p} for p in new_parts], override_num_blocks=len(new_parts)
+            )
+            metrics = ds2.map_batches(
+                partial(_reshard_write_part, cfg, staging_dir, watermark),
+                batch_format="pandas",
+                batch_size=None,
+            ).to_pandas()
+    manifest.commit_run(
+        run_id,
+        extra={"type": "reshard", "num_parts": num_parts, "salt": salt},
+        replace_partitions=True,
+        new_layout=(num_parts, salt),
+    )
     return CompactResult(run_id, metrics, time.perf_counter() - t0)

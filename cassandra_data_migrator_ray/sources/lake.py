@@ -463,10 +463,18 @@ def lookup(
     ]
     tuples = [_coerce_key_tuple(manifest, t) for t in tuples]
     firsts = [t[0] for t in tuples]
-    cand = candidate_partitions(firsts, manifest.num_parts, manifest.salt)
+    # prune with the LAYOUT OF THE VIEW being read: a reshard changes
+    # (num_parts, salt), so a time-travel lookup must route with the layout
+    # recorded in that version's snapshot, not the live manifest's.
+    # Pre-reshard-era snapshots lack the layout keys — the layout cannot
+    # have changed before then, so the live layout is exact for them.
+    np_, salt_ = manifest.num_parts, manifest.salt
+    if version is not None:
+        snap = manifest.snapshot(version)
+        if snap is not None and "num_parts" in snap:
+            np_, salt_ = int(snap["num_parts"]), int(snap.get("salt", 1))
+    cand = candidate_partitions(firsts, np_, salt_)
     parts = sorted({p for ps in cand.values() for p in ps})
-    # route against the live manifest (num_parts/salt are fixed per lake),
-    # then resolve files from either the live view or a time-travel snapshot
     files, v_key_cols, v_payload_cols, v_ttl = _resolve_view(
         manifest, version, parts
     )

@@ -68,9 +68,16 @@ class StageWriter:
         staging_dir: str,
         coarse_factor: int = 1,
         compression: str | None = None,
+        bytes_fingerprint: bool = False,
     ):
         self.staging_dir = staging_dir
         self.coarse_factor = max(1, int(coarse_factor))
+        # force the IPC-bytes fingerprint even when a seq column is present:
+        # required when the staged rows are STATE rows (reshard) — their
+        # __max_seq values are per-key watermarks, NOT globally unique, so
+        # two different slices routed to one partition could share a seq
+        # multiset and silently overwrite each other under the seq-set name
+        self.bytes_fingerprint = bool(bytes_fingerprint)
         # optional IPC buffer compression ("lz4" / "zstd") for staged slices:
         # trades cheap per-core codec CPU for 2-4× fewer bytes through the
         # exchange — the knob for deployments where staging-storage bandwidth
@@ -118,6 +125,8 @@ class StageWriter:
         seq_name = next(
             (c for c in ("event_seq", MAX_SEQ) if c in batch.column_names), None
         )
+        if self.bytes_fingerprint:
+            seq_name = None
         seq_all = (
             batch.column(seq_name).to_numpy(zero_copy_only=False).astype(np.int64)[order]
             if seq_name is not None

@@ -350,8 +350,21 @@ class Manifest:
                 out[int(r["part"])] = r
         return out
 
-    def commit_run(self, run_id: str, extra: dict | None = None) -> None:
+    def commit_run(
+        self,
+        run_id: str,
+        extra: dict | None = None,
+        replace_partitions: bool = False,
+        new_layout: "tuple[int, int] | None" = None,
+    ) -> None:
         """Phase 2: fold staged receipts into the manifest and swap atomically.
+
+        ``replace_partitions``: drop every existing partition entry before
+        folding this run's receipts in — for whole-lake rewrites (reshard)
+        where partitions absent from the receipts are now genuinely empty,
+        not merely untouched.  ``new_layout``: atomically switch the lake's
+        ``(num_parts, salt)`` with the same commit, so readers never observe
+        data placed under one layout described by another.
 
         Optimistic single-writer enforcement: the version check + manifest
         swap happen under an O_EXCL lock file (so two near-simultaneous
@@ -427,15 +440,25 @@ class Manifest:
                     "this job (its staged work is intact and will resume "
                     "from receipts)"
                 )
-            self._commit_locked(run_id, extra)
+            self._commit_locked(run_id, extra, replace_partitions, new_layout)
         finally:
             try:
                 os.unlink(lock)
             except OSError:
                 pass
 
-    def _commit_locked(self, run_id: str, extra: dict | None = None) -> None:
+    def _commit_locked(
+        self,
+        run_id: str,
+        extra: dict | None = None,
+        replace_partitions: bool = False,
+        new_layout: "tuple[int, int] | None" = None,
+    ) -> None:
         receipts = self.staged_receipts(run_id)
+        if replace_partitions:
+            self.partitions = {}
+        if new_layout is not None:
+            self.num_parts, self.salt = int(new_layout[0]), int(new_layout[1])
         for part, r in receipts.items():
             self.partitions[part] = PartitionState(
                 files=r["files"],
@@ -474,6 +497,13 @@ class Manifest:
                 "schema": schema_to_json(self.schema),
                 "key_cols": self.key_cols,
                 "ttl_enabled": self.ttl_enabled,
+                # layout AT this version: versioned point lookups must prune
+                # with the layout the files were placed under, which a later
+                # reshard may have changed (snapshots written before reshard
+                # existed lack these keys — readers fall back to scanning
+                # every snapshot partition)
+                "num_parts": self.num_parts,
+                "salt": self.salt,
                 "partitions": {
                     str(k): v.files for k, v in self.partitions.items()
                 },
