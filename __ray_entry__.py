@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_lake_roundtrip": q.vector_lake_roundtrip,
         # D. full-engine CDC over generated transcripts (not SQL-expressible)
         "cdc_replay": q.cdc_replay,
+        "cdc_reshard": q.cdc_reshard,
         "cdc_validate": q.cdc_validate,
         "cdc_changes": q.cdc_changes,
     }
@@ -202,6 +203,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_changes": _cdc_changes_sql(glob_, half),
         "cdc_replay": f"""
+{cdc}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx
+""",
+        # reshard changes placement, never content — the oracle is the same
+        # full-stream LWW fold as cdc_replay
+        "cdc_reshard": f"""
 {cdc}
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx

@@ -1028,6 +1028,50 @@ def cdc_changes(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def cdc_reshard(sf_dir: str) -> pd.DataFrame:
+    """Reshard gate: replay the first half of the change stream into a COARSE
+    lake (num_parts/4), re-key it to the standard layout with
+    ``reshard_lake`` (the reference fixes numParts at job submit,
+    job/SplitPartitions.java:32-76 — this is the growth path it lacks), then
+    replay the second half against the new layout.  The final public table
+    must equal cdc_replay's oracle exactly: resharding changes placement,
+    never content, and incremental replay keeps working across it."""
+    import shutil
+
+    from cassandra_data_migrator_ray.pipelines.maintenance import reshard_lake
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+    cache = _gen_cached_events(sf_dir)
+    h = _cache_event_count(cache) // 2
+
+    def first_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["event_seq"], h))
+
+    def second_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["event_seq"], h))
+
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    try:
+        replay(
+            ray.data.read_parquet(cache).map_batches(
+                first_half, batch_format="pyarrow"
+            ),
+            lake,
+            num_parts=max(4, NUM_PARTS // 4),
+        )
+        reshard_lake(lake, NUM_PARTS, salt=2)
+        replay(
+            ray.data.read_parquet(cache).map_batches(
+                second_half, batch_format="pyarrow"
+            ),
+            lake,
+        )
+        return read_lake_pandas(lake)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def cdc_validate(sf_dir: str) -> pd.DataFrame:
     """Replay + DiffData validation vs the independent oracle; returns the
     status counts (all-VALID on a correct engine)."""
