@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q.quality_docs,
         "pii_scrub_docs": q.pii_scrub_docs,
         "text_normalize_docs": q.text_normalize_docs,
+        "decontaminate_docs": q.decontaminate_docs,
         "multimodal_bmp_features": q.multimodal_bmp_features,
         "simhash_planted_twins": q.simhash_planted_twins,
         "fingerprint_dup_join": q.fingerprint_dup_join,
@@ -464,6 +465,31 @@ WITH n AS (
 )
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
 FROM n ORDER BY doc_id
+""",
+        # benchmark decontamination: every 100th doc is the "benchmark"; a doc
+        # is contaminated iff it shares a 13-token gram with any benchmark
+        # doc.  Windows are enumerated over whitespace-normalized tokens and
+        # joined on the gram STRING — the engine's hash prefilter verifies
+        # matches by gram string too, so counts are exact both sides.
+        "decontaminate_docs": r"""
+WITH nrm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT array_to_string(toks[i:i+12], ' ') AS gram
+  FROM nrm, LATERAL (SELECT unnest(range(1, len(toks) - 11)) AS i) r
+  WHERE doc_id % 100 = 0 AND len(toks) >= 13
+),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+  FROM nrm, LATERAL (SELECT unnest(range(1, len(toks) - 11)) AS i) r
+  WHERE len(toks) >= 13
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_grams
+FROM dg JOIN bg USING (gram)
+GROUP BY doc_id ORDER BY doc_id
 """,
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups

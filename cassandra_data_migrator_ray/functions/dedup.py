@@ -93,6 +93,54 @@ def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     return out, offsets
 
 
+def gram_hashes_strict(
+    texts: pd.Series, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """uint64 polynomial hashes of every n-token gram, STRICT semantics:
+    docs with fewer than ``n`` whitespace tokens contribute ZERO grams (no
+    full-text fallback — decontamination needs gram-count parity with a SQL
+    oracle that enumerates token windows, see pipelines/dataops.decontaminate).
+
+    Returns (hashes, gram_offsets[len+1], flat_words, word_counts) — the word
+    arrays let callers reconstruct matched gram strings to reject the ~2⁻⁶⁴
+    hash collisions, keeping the operator exact."""
+    s = texts.fillna("").astype(str)
+    ndocs = len(s)
+    flat_words, counts = split_words(s)
+    n_gr = np.maximum(counts - n + 1, 0)
+    offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(n_gr, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=np.uint64)
+    if ndocs == 0 or offsets[-1] == 0:
+        return out, offsets, flat_words, counts
+    big = counts >= n
+    woff_all = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(counts, out=woff_all[1:])
+    big_idx = np.flatnonzero(big)
+    take = np.concatenate(
+        [np.arange(woff_all[i], woff_all[i + 1]) for i in big_idx]
+    )
+    wh = hash_array(flat_words[take], categorize=False)
+    # rolling polynomial over every window of n consecutive word hashes
+    # (windows crossing doc boundaries are computed but never selected)
+    m = len(wh) - n + 1
+    A = np.uint64(1099511628211)
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        acc = acc * A + wh[j : j + m]
+    nw = n_gr[big]
+    woff = np.zeros(len(big_idx) + 1, dtype=np.int64)
+    np.cumsum(counts[big], out=woff[1:])
+    total_w = int(nw.sum())
+    within = np.arange(total_w, dtype=np.int64) - np.repeat(
+        np.cumsum(np.r_[np.int64(0), nw[:-1]]), nw
+    )
+    out[np.repeat(offsets[:-1][big], nw) + within] = acc[
+        np.repeat(woff[:-1], nw) + within
+    ]
+    return out, offsets, flat_words, counts
+
+
 def minhash_signatures(
     texts: pd.Series, num_perm: int = 64, k: int = 3, seed: int = 7
 ) -> np.ndarray:

@@ -1420,6 +1420,101 @@ def dedup_near(
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_texts,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "flag",
+) -> ray.data.Dataset:
+    """Flag (or drop) every document sharing an ``n``-token gram with any
+    benchmark text — the test-set contamination scrub every training-corpus
+    pipeline runs before release.
+
+    Scale shape: benchmark sets are small by nature (they are evaluation
+    suites), so the driver tokenizes them once and broadcasts (sorted gram
+    hashes, gram-string set) via ``ray.put``; the corpus streams through ONE
+    ``map_batches`` pass — per batch a single rolling-hash kernel
+    (functions/dedup.gram_hashes_strict) + ``np.isin`` against the broadcast
+    hashes.  The corpus never shuffles and never lands on the driver.  Hash
+    hits are then verified by gram-STRING equality (Python loop over flagged
+    docs only — bounded by contamination density), so the operator is exact,
+    not probabilistic.  Docs with fewer than ``n`` tokens have no grams and
+    are never flagged.
+
+    ``mode="flag"``: Dataset of (id_col, n_matched_grams) for contaminated
+    docs.  ``mode="drop"``: the corpus with contaminated docs removed (one
+    broadcast membership pass, same shape as :func:`dedup_apply`)."""
+    from cassandra_data_migrator_ray.functions.dedup import gram_hashes_strict
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    bench = pd.Series(list(bench_texts), dtype=object)
+    bh, boff, bwords, bcounts = gram_hashes_strict(bench, n)
+    bwoff = np.r_[np.int64(0), np.cumsum(bcounts)]
+    grams: set[str] = set()
+    for d in range(len(bench)):  # benchmark side: small by design
+        for g in range(boff[d], boff[d + 1]):
+            start = bwoff[d] + (g - boff[d])
+            grams.add(" ".join(bwords[start : start + n]))
+    ref = ray.put((np.unique(bh), frozenset(grams)))
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_matched_grams": pa.array([], pa.int64()),
+        }
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        hashes, gram_set = ray.get(ref)
+        texts = t[text_col].to_pandas()
+        h, off, words, counts = gram_hashes_strict(texts, n)
+        hit = np.isin(h, hashes)
+        if not hit.any():
+            return empty
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(off))
+        woff = np.r_[np.int64(0), np.cumsum(counts)]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_ids, out_counts = [], []
+        for d in np.unique(doc_of[hit]):
+            matched: set[str] = set()
+            for g in np.flatnonzero(hit[off[d] : off[d + 1]]) + off[d]:
+                start = woff[d] + (g - off[d])
+                gram = " ".join(words[start : start + n])
+                if gram in gram_set:  # reject ~2^-64 hash collisions
+                    matched.add(gram)
+            if matched:
+                out_ids.append(int(ids[d]))
+                out_counts.append(len(matched))
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "n_matched_grams": pa.array(out_counts, pa.int64()),
+            }
+        )
+
+    flags = ds.map_batches(flag, batch_format="pyarrow")
+    if mode == "flag":
+        return flags
+    bad = flags.to_pandas()  # bounded by contamination density
+    if bad.empty:
+        return ds
+    drop_ref = ray.put(np.sort(bad[id_col].to_numpy(np.int64)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        gone = ray.get(drop_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(~np.isin(ids, gone)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # composed corpus-preparation pipeline
 # --------------------------------------------------------------------------
 

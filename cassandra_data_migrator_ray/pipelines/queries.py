@@ -545,6 +545,30 @@ def text_normalize_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination gate: treat every 100th document's text as a
+    held-out evaluation set and flag each corpus document sharing any
+    13-token gram with it (the pre-release contamination scrub; exact, not
+    probabilistic — hash prefilter + gram-string verify).  The oracle
+    enumerates token windows in SQL and joins on the gram string, so counts
+    match bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from cassandra_data_migrator_ray.pipelines.dataops import decontaminate
+
+    bench = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = bench["doc_id"].to_numpy(zero_copy_only=False)
+    bench_texts = bench.filter(pa.array(ids % 100 == 0))["text"].to_pylist()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        decontaminate(ds, bench_texts, n=13)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for query vec_id=0 (ranks only — float scores
     are excluded from the comparison surface)."""

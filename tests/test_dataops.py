@@ -789,3 +789,82 @@ class TestIvfIndexPersistence:
             ]
         )
         assert got == bf
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecontaminate:
+    """Benchmark decontamination: exact n-gram contamination flag/drop."""
+
+    def _corpus(self):
+        bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        clean = "one two three four five six seven eight nine ten eleven twelve"
+        rows = [
+            # doc 0 embeds the full benchmark sentence mid-text → contaminated
+            {"doc_id": 0, "text": f"prefix words here {bench} suffix tail"},
+            # doc 1 shares only 9 of the 10 benchmark tokens → clean at n=10
+            {"doc_id": 1, "text": "alpha bravo charlie delta echo foxtrot golf hotel india kilo"},
+            {"doc_id": 2, "text": clean},
+            # doc 3: shorter than n tokens → never flagged even if identical prefix
+            {"doc_id": 3, "text": "alpha bravo charlie"},
+            # doc 4 contains the benchmark twice (two distinct positions, one gram)
+            {"doc_id": 4, "text": f"{bench} and again {bench}"},
+        ]
+        return pd.DataFrame(rows), [bench]
+
+    def test_flag_exact_semantics(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import decontaminate
+
+        df, bench = self._corpus()
+        got = (
+            decontaminate(ray.data.from_pandas(df), bench, n=10)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert got["doc_id"].tolist() == [0, 4]
+        # the 10-token benchmark has exactly one 10-gram
+        assert got["n_matched_grams"].tolist() == [1, 1]
+
+    def test_drop_mode_filters_corpus(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import decontaminate
+
+        df, bench = self._corpus()
+        kept = (
+            decontaminate(ray.data.from_pandas(df), bench, n=10, mode="drop")
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .tolist()
+        )
+        assert kept == [1, 2, 3]
+
+    def test_empty_benchmark_and_no_hits(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import decontaminate
+
+        df, _ = self._corpus()
+        got = decontaminate(ray.data.from_pandas(df), [], n=10).to_pandas()
+        assert len(got) == 0
+        got2 = decontaminate(
+            ray.data.from_pandas(df), ["totally unrelated benchmark text here ok"], n=5
+        ).to_pandas()
+        assert len(got2) == 0
+
+    def test_strict_gram_kernel_short_docs(self):
+        from cassandra_data_migrator_ray.functions.dedup import gram_hashes_strict
+
+        h, off, words, counts = gram_hashes_strict(
+            pd.Series(["a b c", "", "a b c d e"]), 4
+        )
+        assert np.diff(off).tolist() == [0, 0, 2]
+        # same window → same hash regardless of batch composition
+        h2, off2, _, _ = gram_hashes_strict(pd.Series(["x a b c d e"]), 4)
+        assert h[0] == h2[1] and h[1] == h2[2]
+
+    def test_whitespace_normalization_parity(self):
+        """Tabs/newlines/multi-space tokenize identically to single spaces."""
+        from cassandra_data_migrator_ray.pipelines.dataops import decontaminate
+
+        bench = ["alpha bravo charlie delta echo"]
+        df = pd.DataFrame(
+            {"doc_id": [0], "text": ["pre  alpha\tbravo \n charlie  delta\techo post"]}
+        )
+        got = decontaminate(ray.data.from_pandas(df), bench, n=5).to_pandas()
+        assert got["doc_id"].tolist() == [0]
