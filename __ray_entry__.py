@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": q.pii_scrub_docs,
         "text_normalize_docs": q.text_normalize_docs,
         "decontaminate_docs": q.decontaminate_docs,
+        "stratified_sample_docs": q.stratified_sample_docs,
         "multimodal_bmp_features": q.multimodal_bmp_features,
         "simhash_planted_twins": q.simhash_planted_twins,
         "fingerprint_dup_join": q.fingerprint_dup_join,
@@ -490,6 +491,17 @@ dg AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_grams
 FROM dg JOIN bg USING (gram)
 GROUP BY doc_id ORDER BY doc_id
+""",
+        # deterministic stratified sampling: keep iff
+        # (doc_id * 2654435761) mod 2^32 < floor(frac * 2^32).  HUGEINT keeps
+        # the product exact; the engine's uint64 wraparound agrees because
+        # (x mod 2^64) mod 2^32 == x mod 2^32.
+        "stratified_sample_docs": """
+SELECT doc_id, lang FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 <
+      CASE lang WHEN 'en' THEN 2147483648 WHEN 'fr' THEN 1073741824
+                WHEN 'zh' THEN 4294967296 ELSE 0 END
+ORDER BY doc_id
 """,
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups

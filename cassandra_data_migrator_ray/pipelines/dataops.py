@@ -1515,6 +1515,63 @@ def decontaminate(
 
 
 # --------------------------------------------------------------------------
+# deterministic stratified sampling (training-mix construction)
+# --------------------------------------------------------------------------
+
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative constant (odd → bijective mod 2^32)
+_SAMPLE_MOD = 1 << 32
+
+
+def sample_threshold(fraction: float) -> int:
+    """Integer keep-threshold for :func:`sample_stratified` — computed once in
+    exact integer arithmetic so an external oracle (SQL) using the same
+    literal selects the identical row set (no float-rounding drift)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return min(_SAMPLE_MOD, int(fraction * _SAMPLE_MOD))
+
+
+def sample_stratified(
+    ds: ray.data.Dataset,
+    fractions: dict,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    seed_mult: int = _SAMPLE_MULT,
+) -> ray.data.Dataset:
+    """Deterministic per-stratum subsampling — the mixture-weights step of a
+    training-data pipeline ("keep 50% of en, 10% of fr, drop the rest").
+
+    Keep rule: ``(id * seed_mult) mod 2^32 < threshold(fraction[stratum])``.
+    A multiplicative Weyl map, not a PRNG: the choice is a pure function of
+    the row id, so reruns, retries and resumed jobs select byte-identical
+    samples, and the rule is exactly expressible in SQL (HUGEINT arithmetic)
+    for oracle verification.  numpy uint64 wraparound is exact here because
+    (x mod 2^64) mod 2^32 == x mod 2^32.  One streaming map_batches pass:
+    no shuffle, no driver materialization; the per-stratum thresholds are
+    closure-captured (dict is tiny).  ``seed_mult`` must be odd (bijective
+    mod 2^32) — vary it to draw an independent sample."""
+    if seed_mult % 2 == 0:
+        raise ValueError("seed_mult must be odd")
+    thresholds = {k: sample_threshold(v) for k, v in fractions.items()}
+    dflt = sample_threshold(default)
+    mult = np.uint64(seed_mult % (1 << 64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        raw = t[id_col].to_numpy(zero_copy_only=False)
+        if len(raw) and raw.min() < 0:
+            # a negative id would wrap differently in uint64 vs SQL HUGEINT
+            raise ValueError(f"{id_col} must be non-negative for sampling")
+        ids = raw.astype(np.uint64)
+        ticket = (ids * mult) % np.uint64(_SAMPLE_MOD)
+        strata = t[by].to_pandas()
+        thr = strata.map(thresholds).fillna(dflt).to_numpy(dtype=np.uint64)
+        return t.filter(pa.array(ticket < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # composed corpus-preparation pipeline
 # --------------------------------------------------------------------------
 

@@ -569,6 +569,21 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-mix sampling gate: keep 50% of en, 25% of fr,
+    100% of zh, 0% of everything else — the mixture-weights step of corpus
+    construction.  The keep rule is a pure integer function of doc_id
+    (multiplicative Weyl map), so the SQL oracle selects the byte-identical
+    row set with HUGEINT arithmetic."""
+    from cassandra_data_migrator_ray.pipelines.dataops import sample_stratified
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = sample_stratified(
+        ds, {"en": 0.5, "fr": 0.25, "zh": 1.0}, by="lang", id_col="doc_id"
+    )
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for query vec_id=0 (ranks only — float scores
     are excluded from the comparison surface)."""

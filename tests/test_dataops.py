@@ -868,3 +868,77 @@ class TestDecontaminate:
         )
         got = decontaminate(ray.data.from_pandas(df), bench, n=5).to_pandas()
         assert got["doc_id"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampleStratified:
+    def _ds(self, n=4000):
+        rng = np.random.default_rng(5)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": rng.choice(["en", "fr", "de"], size=n),
+            }
+        )
+
+    def test_fractions_and_determinism(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import sample_stratified
+
+        df = self._ds()
+        fr = {"en": 0.5, "fr": 0.1}
+        a = sample_stratified(ray.data.from_pandas(df), fr).to_pandas()
+        b = sample_stratified(ray.data.from_pandas(df), fr).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id", ignore_index=True),
+            b.sort_values("doc_id", ignore_index=True),
+        )
+        got = a.lang.value_counts()
+        n = df.lang.value_counts()
+        assert abs(got.get("en", 0) / n["en"] - 0.5) < 0.05
+        assert abs(got.get("fr", 0) / n["fr"] - 0.1) < 0.05
+        assert got.get("de", 0) == 0  # default fraction drops unlisted strata
+
+    def test_batch_composition_invariance(self):
+        """The keep decision is per-row: repartitioning cannot change it."""
+        from cassandra_data_migrator_ray.pipelines.dataops import sample_stratified
+
+        df = self._ds(1000)
+        fr = {"en": 0.3, "fr": 0.7, "de": 1.0}
+        a = sample_stratified(
+            ray.data.from_pandas(df).repartition(1), fr
+        ).to_pandas()
+        b = sample_stratified(
+            ray.data.from_pandas(df).repartition(13), fr
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id", ignore_index=True),
+            b.sort_values("doc_id", ignore_index=True),
+        )
+
+    def test_seed_mult_draws_different_sample(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import sample_stratified
+
+        df = self._ds(2000)
+        a = sample_stratified(ray.data.from_pandas(df), {"en": 0.5}).to_pandas()
+        b = sample_stratified(
+            ray.data.from_pandas(df), {"en": 0.5}, seed_mult=2654435761 * 3
+        ).to_pandas()
+        assert set(a.doc_id) != set(b.doc_id)
+
+    def test_validation(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            sample_stratified,
+            sample_threshold,
+        )
+
+        with pytest.raises(ValueError, match="odd"):
+            sample_stratified(
+                ray.data.from_pandas(self._ds(10)), {"en": 0.5}, seed_mult=4
+            )
+        with pytest.raises(ValueError, match="fraction"):
+            sample_threshold(1.5)
+        neg = pd.DataFrame({"doc_id": [-1, 2], "lang": ["en", "en"]})
+        with pytest.raises(Exception, match="non-negative"):
+            sample_stratified(
+                ray.data.from_pandas(neg), {"en": 1.0}
+            ).to_pandas()
