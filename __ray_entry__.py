@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_clicks": q.range_join_clicks,
         "topk_orders_per_customer": q.topk_orders_per_customer,
         "quantile_quantity_by_flag": q.quantile_quantity_by_flag,
+        "price_quantiles_lineitem": q.price_quantiles_lineitem,
         "revenue_by_nation": q.revenue_by_nation,
         "pivot_event_counts": q.pivot_event_counts,
         "lag_purchase_delta": q.lag_purchase_delta,
@@ -727,6 +728,15 @@ SELECT l_returnflag,
        quantile_disc(l_quantity, 0.9) AS p90
 FROM lineitem WHERE l_quantity IS NOT NULL
 GROUP BY 1 ORDER BY 1
+""",
+        # exact quantiles over a high-cardinality float column (histogram
+        # bisection engine-side; quantile_disc selection rule both sides)
+        "price_quantiles_lineitem": """
+SELECT quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.9) AS p90,
+       quantile_disc(l_extendedprice, 0.99) AS p99
+FROM lineitem WHERE l_extendedprice IS NOT NULL
 """,
         # star join in integer cents (round_even == numpy banker's rounding;
         # CAST sum AS BIGINT — duckdb sum(BIGINT) is HUGEINT → float64 in pandas)

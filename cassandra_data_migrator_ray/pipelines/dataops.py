@@ -1572,6 +1572,173 @@ def sample_stratified(
 
 
 # --------------------------------------------------------------------------
+# exact distributed quantiles over high-cardinality float columns
+# --------------------------------------------------------------------------
+
+
+def quantile_exact(
+    ds: ray.data.Dataset,
+    col: str,
+    qs=(0.5,),
+    bins: int = 4096,
+    distinct_cap: int = 65536,
+    max_passes: int = 24,
+) -> dict:
+    """EXACT quantiles (DuckDB ``quantile_disc`` selection rule — an actual
+    element of the column, no interpolation) over a column whose value domain
+    is too large for the counts-table method of
+    ``queries.quantile_quantity_by_flag``.
+
+    Iterative histogram bisection: each pass is ONE streaming `map_batches`
+    over the (column-pruned) dataset producing per-batch bucket counts for
+    every still-active rank's value range; the driver reduces bins-sized
+    arrays only and narrows each rank's range to the bucket containing it.
+    When a rank's range holds ≤ ``distinct_cap`` rows, a final pass gathers
+    the distinct (value, count) pairs in range and selects exactly.  Typical
+    cost: 2-3 passes; the dataset never shuffles and the driver never holds
+    row data.  Transform-bearing inputs are materialized once for the
+    multi-pass scan (plain parquet reads re-scan, see
+    :func:`_ensure_multipass`).  Nulls and NaNs are excluded (SQL
+    semantics).  Returns {q: value}."""
+    ds = _ensure_multipass(ds.select_columns([col]))
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pd.DataFrame({"n": [0], "lo": [np.inf], "hi": [-np.inf]})
+        return pd.DataFrame(
+            {"n": [len(v)], "lo": [float(v.min())], "hi": [float(v.max())]}
+        )
+
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    # a zero-block dataset yields a schema-less empty frame — treat as n=0
+    n = int(st["n"].sum()) if "n" in st.columns else 0
+    if n == 0:
+        return {float(q): float("nan") for q in qs}
+    glo, ghi = float(st["lo"].min()), float(st["hi"].max())
+
+    def disc_rank(q: float) -> int:
+        h = q * float(n)  # duckdb computes the position in float64 too
+        idx = int(np.floor(h))
+        if float(idx) == h:
+            idx -= 1
+        return max(idx, 0)
+
+    # state per rank: [lo, hi] (hi inclusive only while it is the global max),
+    # below = exact #{values < lo}, count = #{values in range}
+    active = {
+        disc_rank(float(q)): {"lo": glo, "hi": ghi, "below": 0, "count": n}
+        for q in qs
+    }
+    results: dict[int, float] = {}
+
+    def hist_pass(ranges: list, t: pa.Table) -> pd.DataFrame:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        out = {}
+        for i, (lo, hi, edges) in enumerate(ranges):
+            sel = v[(v >= lo) & (v <= hi)]
+            # bucket j = [edges[j], edges[j+1]), last bucket closed at hi
+            idx = np.clip(
+                np.searchsorted(edges, sel, side="right") - 1, 0, len(edges) - 2
+            )
+            out[f"h{i}"] = np.bincount(idx, minlength=len(edges) - 1).astype(
+                np.int64
+            )
+        return pd.DataFrame(out)
+
+    def collect_pass(ranges: list, t: pa.Table) -> pd.DataFrame:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        frames = []
+        for i, (lo, hi) in enumerate(ranges):
+            u, c = np.unique(v[(v >= lo) & (v <= hi)], return_counts=True)
+            frames.append(
+                pd.DataFrame({"ri": np.int64(i), "val": u, "cnt": c.astype(np.int64)})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    for _ in range(max_passes):
+        # resolve ranks whose range collapsed or is small enough to gather
+        gather = {
+            r: s
+            for r, s in active.items()
+            if s["count"] <= distinct_cap or s["lo"] == s["hi"]
+        }
+        if gather:
+            ranges = [(s["lo"], s["hi"]) for s in gather.values()]
+            got = (
+                ds.map_batches(partial(collect_pass, ranges), batch_format="pyarrow")
+                .to_pandas()
+                .groupby(["ri", "val"], sort=True)["cnt"]
+                .sum()
+                .reset_index()
+            )
+            for i, (r, s) in enumerate(gather.items()):
+                g = got[got["ri"] == i]
+                cum = np.cumsum(g["cnt"].to_numpy(np.int64))
+                results[r] = float(
+                    g["val"].to_numpy()[np.searchsorted(cum, r - s["below"] + 1)]
+                )
+                del active[r]
+        if not active:
+            break
+        ranges = []
+        for s in active.values():
+            edges = np.linspace(s["lo"], s["hi"], bins + 1)
+            ranges.append((s["lo"], s["hi"], edges))
+        arr = (
+            ds.map_batches(partial(hist_pass, ranges), batch_format="pyarrow")
+            .to_pandas()
+            .to_numpy()
+        )  # (n_batches * bins, n_active) — each batch emits `bins` rows
+        hist = arr.reshape(-1, bins, len(active)).sum(axis=0)  # (bins, n_active)
+        for i, (r, s) in enumerate(list(active.items())):
+            counts = hist[:, i]
+            cum = np.cumsum(counts)
+            j = int(np.searchsorted(cum, r - s["below"] + 1))
+            edges = ranges[i][2]
+            new_below = s["below"] + (int(cum[j - 1]) if j > 0 else 0)
+            s["below"] = new_below
+            s["lo"] = float(edges[j])
+            # half-open bucket except the last (which owns the closed max)
+            s["hi"] = float(edges[j + 1]) if j < bins - 1 else s["hi"]
+            s["count"] = int(counts[j])
+            if j < bins - 1:
+                # exclude the open upper edge exactly: largest float < edge
+                s["hi"] = float(np.nextafter(edges[j + 1], -np.inf))
+    else:
+        raise RuntimeError(
+            f"quantile_exact did not converge in {max_passes} passes "
+            f"(pathological value distribution in {col}?)"
+        )
+    return {float(q): results[disc_rank(float(q))] for q in qs}
+
+
+def quantile_filter(
+    ds: ray.data.Dataset,
+    col: str,
+    q: float,
+    keep: str = "ge",
+) -> tuple[float, ray.data.Dataset]:
+    """(threshold, filtered dataset): keep rows whose ``col`` is >= (``keep=
+    "ge"``, e.g. top-(1-q) quality gate) or <= ("le") the exact q-th
+    quantile.  Threshold computation is :func:`quantile_exact`; the filter is
+    one more streaming pass."""
+    if keep not in ("ge", "le"):
+        raise ValueError("keep must be 'ge' or 'le'")
+    thr = quantile_exact(ds, col, (q,))[float(q)]
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = v >= thr if keep == "ge" else v <= thr
+        return t.filter(pa.array(m & ~np.isnan(v)))
+
+    return thr, ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # composed corpus-preparation pipeline
 # --------------------------------------------------------------------------
 

@@ -1665,6 +1665,30 @@ def quantile_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def price_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Exact quantiles over a HIGH-cardinality float column
+    (l_extendedprice: ~every value distinct), where the counts-table method
+    of quantile_quantity_by_flag would ship the whole domain to the driver.
+    dataops.quantile_exact narrows each rank by iterative histogram
+    bisection — one streaming pass per iteration, driver reduces bins-sized
+    arrays — then selects the exact element; bit-equal to DuckDB
+    quantile_disc."""
+    from cassandra_data_migrator_ray.pipelines.dataops import quantile_exact
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    got = quantile_exact(ds, "l_extendedprice", (0.25, 0.5, 0.9, 0.99))
+    return pd.DataFrame(
+        [
+            {
+                "p25": got[0.25],
+                "p50": got[0.5],
+                "p90": got[0.9],
+                "p99": got[0.99],
+            }
+        ]
+    )
+
+
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """Multi-table star join (TPC-H Q5 shape): revenue per nation through
     lineitem ⨝ orders ⨝ customer ⨝ nation.

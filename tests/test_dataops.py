@@ -942,3 +942,68 @@ class TestSampleStratified:
             sample_stratified(
                 ray.data.from_pandas(neg), {"en": 1.0}
             ).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantileExact:
+    def _duck_disc(self, vals, q):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": vals}))
+        return con.execute(
+            f"SELECT quantile_disc(v, {q}) FROM t WHERE v IS NOT NULL"
+        ).fetchone()[0]
+
+    def test_high_cardinality_matches_duckdb(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import quantile_exact
+
+        rng = np.random.default_rng(11)
+        vals = rng.standard_normal(50_000) * 1000.0  # ~every value distinct
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+        got = quantile_exact(ds, "v", (0.01, 0.25, 0.5, 0.9, 0.999),
+                             distinct_cap=512)
+        for q, v in got.items():
+            assert v == self._duck_disc(vals, q), q
+
+    def test_heavy_duplicates_and_nulls(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import quantile_exact
+
+        rng = np.random.default_rng(13)
+        vals = np.concatenate(
+            [np.full(10_000, 7.5), rng.integers(0, 20, 5000).astype(float)]
+        )
+        with_nulls = pd.Series(vals)
+        with_nulls.iloc[::97] = np.nan
+        ds = ray.data.from_pandas(pd.DataFrame({"v": with_nulls})).repartition(5)
+        got = quantile_exact(ds, "v", (0.5, 0.9), distinct_cap=64)
+        clean = with_nulls.dropna().to_numpy()
+        for q, v in got.items():
+            assert v == self._duck_disc(clean, q), q
+
+    def test_small_input_single_pass(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import quantile_exact
+
+        vals = [3.0, 1.0, 2.0, 5.0, 4.0]
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals}))
+        got = quantile_exact(ds, "v", (0.5,))
+        assert got[0.5] == self._duck_disc(vals, 0.5) == 3.0
+
+    def test_empty_returns_nan(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import quantile_exact
+
+        ds = ray.data.from_pandas(pd.DataFrame({"v": pd.Series([], dtype=float)}))
+        got = quantile_exact(ds, "v", (0.5,))
+        assert np.isnan(got[0.5])
+
+    def test_quantile_filter(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import quantile_filter
+
+        rng = np.random.default_rng(17)
+        vals = rng.standard_normal(10_000)
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+        thr, kept = quantile_filter(ds, "v", 0.7, keep="ge")
+        got = kept.to_pandas()["v"].to_numpy()
+        assert thr == self._duck_disc(vals, 0.7)
+        assert (got >= thr).all()
+        assert len(got) == int((vals >= thr).sum())

@@ -100,6 +100,17 @@ class TestReshard:
         exp = pre[pre["conv_id"] == conv].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
+    def test_validate_after_reshard(self, tmp_path):
+        """DiffData-style validation routes with the post-reshard layout."""
+        from cassandra_data_migrator_ray.pipelines.diff import validate
+
+        ev = gen_change_stream(n_convs=30, n_events=2000, seed=29)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=4)
+        reshard_lake(lake, 11, salt=2)
+        res = validate(oracle_final_state(ev.to_pandas()), lake)
+        assert res.ok and res.counts.get("MISSING", 0) == 0
+
     def test_counter_lake_reshards_and_keeps_folding(self, tmp_path):
         def ev(seq, conv, d):
             return dict(
