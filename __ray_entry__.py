@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_customer": q.topk_orders_per_customer,
         "quantile_quantity_by_flag": q.quantile_quantity_by_flag,
         "price_quantiles_lineitem": q.price_quantiles_lineitem,
+        "orders_by_nation_priority": q.orders_by_nation_priority,
         "revenue_by_nation": q.revenue_by_nation,
         "pivot_event_counts": q.pivot_event_counts,
         "lag_purchase_delta": q.lag_purchase_delta,
@@ -737,6 +738,17 @@ SELECT quantile_disc(l_extendedprice, 0.25) AS p25,
        quantile_disc(l_extendedprice, 0.9) AS p90,
        quantile_disc(l_extendedprice, 0.99) AS p99
 FROM lineitem WHERE l_extendedprice IS NOT NULL
+""",
+        # broadcast-join gate: same integer-cents discipline as revenue_by_nation
+        "orders_by_nation_priority": """
+SELECT n_name, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # star join in integer cents (round_even == numpy banker's rounding;
         # CAST sum AS BIGINT — duckdb sum(BIGINT) is HUGEINT → float64 in pandas)

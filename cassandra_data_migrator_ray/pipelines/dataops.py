@@ -1572,6 +1572,45 @@ def sample_stratified(
 
 
 # --------------------------------------------------------------------------
+# broadcast (map-side) join
+# --------------------------------------------------------------------------
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Join a streaming Dataset against a DRIVER-SIZED table with zero
+    shuffle: the small side is ``ray.put`` once and every batch merges
+    against it in place (the map-side join every star-schema query in
+    pipelines/queries.py uses inline, as a reusable operator).  The big side
+    streams; only dimension-table bytes replicate (once per node via the
+    object store, not per batch).  ``how``: "inner" or "left".  Overlapping
+    non-key columns from the small side get ``suffix``.
+
+    This is deliberately NOT a general shuffle join: if the small side does
+    not comfortably fit one process, co-partition both sides on the join key
+    through one `groupby` exchange instead (the shape
+    `queries.revenue_by_nation` uses for its two big sides)."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    on = [on] if isinstance(on, str) else list(on)
+    for c in on:
+        if c not in small.columns:
+            raise ValueError(f"join key {c!r} missing from small side")
+    ref = ray.put(small.reset_index(drop=True))
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return batch.merge(rhs, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # exact distributed quantiles over high-cardinality float columns
 # --------------------------------------------------------------------------
 

@@ -1689,6 +1689,54 @@ def price_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def orders_by_nation_priority(sf_dir: str) -> pd.DataFrame:
+    """Map-side broadcast join as a first-class operator
+    (dataops.broadcast_join): orders stream against a ray.put customer
+    dimension — zero shuffle — then per-batch partial aggregation on
+    (nationkey, priority) so the driver reduces ≤ 125 rows.  Money sums in
+    integer cents (round_even ≡ np.round banker's rounding, verified on
+    data) so the reduction is order-independent and bit-equal to SQL."""
+    import pyarrow.parquet as pq_
+
+    from cassandra_data_migrator_ray.pipelines.dataops import broadcast_join
+
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).to_pandas()
+    nation = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    joined = broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+
+    def partial_agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            cents=np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        )
+        g = b.groupby(["c_nationkey", "o_orderpriority"], sort=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        )
+        return g.reset_index()
+
+    part = joined.map_batches(partial_agg, batch_format="pandas").to_pandas()
+    fin = (
+        part.groupby(["c_nationkey", "o_orderpriority"], sort=False)
+        .agg(n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+        .reset_index()
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    fin["n_orders"] = fin["n_orders"].astype(np.int64)
+    return fin[["n_name", "o_orderpriority", "n_orders", "total_cents"]].sort_values(
+        ["n_name", "o_orderpriority"], ignore_index=True
+    )
+
+
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """Multi-table star join (TPC-H Q5 shape): revenue per nation through
     lineitem ⨝ orders ⨝ customer ⨝ nation.

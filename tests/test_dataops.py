@@ -1007,3 +1007,38 @@ class TestQuantileExact:
         assert thr == self._duck_disc(vals, 0.7)
         assert (got >= thr).all()
         assert len(got) == int((vals >= thr).sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBroadcastJoin:
+    def test_inner_and_left(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import broadcast_join
+
+        big = pd.DataFrame({"k": [1, 2, 3, 2, 9], "v": list("abcde")})
+        dim = pd.DataFrame({"k": [1, 2, 3], "name": ["x", "y", "z"]})
+        inner = (
+            broadcast_join(ray.data.from_pandas(big).repartition(3), dim, on="k")
+            .to_pandas()
+            .sort_values(["k", "v"], ignore_index=True)
+        )
+        assert inner["name"].tolist() == ["x", "y", "y", "z"]
+        left = (
+            broadcast_join(
+                ray.data.from_pandas(big), dim, on="k", how="left"
+            )
+            .to_pandas()
+            .sort_values(["k", "v"], ignore_index=True)
+        )
+        assert len(left) == 5 and left["name"].isna().sum() == 1
+
+    def test_suffix_and_validation(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import broadcast_join
+
+        big = pd.DataFrame({"k": [1], "v": [10]})
+        dim = pd.DataFrame({"k": [1], "v": [20]})
+        out = broadcast_join(ray.data.from_pandas(big), dim, on="k").to_pandas()
+        assert out["v"].tolist() == [10] and out["v_r"].tolist() == [20]
+        with pytest.raises(ValueError, match="how"):
+            broadcast_join(ray.data.from_pandas(big), dim, on="k", how="outer")
+        with pytest.raises(ValueError, match="missing"):
+            broadcast_join(ray.data.from_pandas(big), dim, on="zz")
