@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_quantity_by_flag": q.quantile_quantity_by_flag,
         "price_quantiles_lineitem": q.price_quantiles_lineitem,
         "orders_by_nation_priority": q.orders_by_nation_priority,
+        "pricing_summary_lineitem": q.pricing_summary_lineitem,
         "revenue_by_nation": q.revenue_by_nation,
         "pivot_event_counts": q.pivot_event_counts,
         "lag_purchase_delta": q.lag_purchase_delta,
@@ -738,6 +739,20 @@ SELECT quantile_disc(l_extendedprice, 0.25) AS p25,
        quantile_disc(l_extendedprice, 0.9) AS p90,
        quantile_disc(l_extendedprice, 0.99) AS p99
 FROM lineitem WHERE l_extendedprice IS NOT NULL
+""",
+        # generic agg_by_key gate (TPC-H Q1 shape, scaled-integer sums)
+        "pricing_summary_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round_even(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(sum(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_c,
+       CAST(min(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS min_price_c,
+       CAST(max(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS max_price_c,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # broadcast-join gate: same integer-cents discipline as revenue_by_nation
         "orders_by_nation_priority": """

@@ -1572,6 +1572,77 @@ def sample_stratified(
 
 
 # --------------------------------------------------------------------------
+# generic distributed aggregate with map-side combining
+# --------------------------------------------------------------------------
+
+
+def agg_by_key(
+    ds: ray.data.Dataset,
+    keys,
+    aggs: dict,
+) -> ray.data.Dataset:
+    """Generic distributed GROUP BY with MAP-SIDE PARTIAL COMBINING — the
+    aggregation shape the bespoke queries in pipelines/queries.py use,
+    lifted into one reusable operator.  ``aggs`` maps output column ->
+    (input column, fn) with fn in {"sum", "count", "min", "max", "mean"};
+    ``(None, "count")`` counts rows (COUNT(*)).
+
+    Per-batch pandas groupby first reduces each batch to one row per key,
+    so the shuffle carries ~distinct-keys-per-batch rows independent of
+    input row count; one groupby exchange over those partials; a final
+    combine per key.  Integer sums are exact and order-independent; float
+    sums/means are subject to float addition order like any distributed
+    engine — use scaled-integer columns (cents) where bit-stable results
+    matter (the discipline queries.revenue_by_nation documents).  Rows with
+    a null key are dropped (pandas groupby semantics), unlike SQL's
+    NULL-is-a-group."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ok = {"sum", "count", "min", "max", "mean"}
+    for out, (col, fn) in aggs.items():
+        if fn not in ok:
+            raise ValueError(f"unsupported agg fn {fn!r} for {out!r}")
+        if col is None and fn != "count":
+            raise ValueError(f"{out!r}: only 'count' accepts column=None")
+
+    def partial_agg(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, sort=False)
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                cols[f"{out}__n"] = g[col].count() if col else g.size()
+            elif fn == "mean":
+                cols[f"{out}__s"] = g[col].sum()
+                cols[f"{out}__n"] = g[col].count()
+            elif fn == "sum":
+                cols[f"{out}__s"] = g[col].sum()
+            else:
+                cols[f"{out}__m"] = g[col].agg(fn)
+        return pd.DataFrame(cols).reset_index()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for out, (col, fn) in aggs.items():
+            if fn == "sum":
+                row[out] = [g[f"{out}__s"].sum()]
+            elif fn == "count":
+                row[out] = [np.int64(g[f"{out}__n"].sum())]
+            elif fn == "mean":
+                n = g[f"{out}__n"].sum()
+                row[out] = [g[f"{out}__s"].sum() / n if n else np.nan]
+            elif fn == "min":
+                row[out] = [g[f"{out}__m"].min()]
+            else:
+                row[out] = [g[f"{out}__m"].max()]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial_agg, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
 # broadcast (map-side) join
 # --------------------------------------------------------------------------
 

@@ -1689,6 +1689,47 @@ def price_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pricing_summary_lineitem(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary through the generic
+    dataops.agg_by_key operator (map-side partial combine → one tiny
+    exchange).  Quantities and prices aggregate as scaled integers
+    (round_even ≡ np.round) so the distributed sums are order-independent
+    and bit-equal to SQL; min/max exercise the non-additive combiners."""
+    from cassandra_data_migrator_ray.pipelines.dataops import agg_by_key
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def cents(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["qty_c"] = np.round(df.pop("l_quantity").to_numpy() * 100).astype(
+            np.int64
+        )
+        df["price_c"] = np.round(
+            df.pop("l_extendedprice").to_numpy() * 100
+        ).astype(np.int64)
+        return df
+
+    out = agg_by_key(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty_c": ("qty_c", "sum"),
+            "sum_price_c": ("price_c", "sum"),
+            "min_price_c": ("price_c", "min"),
+            "max_price_c": ("price_c", "max"),
+            "count_order": (None, "count"),
+        },
+    ).to_pandas()
+    for c in out.columns:
+        if c.endswith("_c") or c == "count_order":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+
+
 def orders_by_nation_priority(sf_dir: str) -> pd.DataFrame:
     """Map-side broadcast join as a first-class operator
     (dataops.broadcast_join): orders stream against a ray.put customer

@@ -1042,3 +1042,58 @@ class TestBroadcastJoin:
             broadcast_join(ray.data.from_pandas(big), dim, on="k", how="outer")
         with pytest.raises(ValueError, match="missing"):
             broadcast_join(ray.data.from_pandas(big), dim, on="zz")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAggByKey:
+    def test_all_fns_match_pandas(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import agg_by_key
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(list("abcd"), 5000),
+                "v": rng.integers(-100, 100, 5000),
+            }
+        )
+        got = (
+            agg_by_key(
+                ray.data.from_pandas(df).repartition(7),
+                "k",
+                {
+                    "s": ("v", "sum"),
+                    "n": (None, "count"),
+                    "mn": ("v", "min"),
+                    "mx": ("v", "max"),
+                    "avg": ("v", "mean"),
+                },
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = (
+            df.groupby("k")
+            .agg(s=("v", "sum"), n=("v", "size"), mn=("v", "min"),
+                 mx=("v", "max"), avg=("v", "mean"))
+            .reset_index()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_count_skips_nulls_with_column(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import agg_by_key
+
+        df = pd.DataFrame({"k": ["a"] * 4, "v": [1.0, None, 3.0, None]})
+        got = agg_by_key(
+            ray.data.from_pandas(df), "k",
+            {"n_rows": (None, "count"), "n_vals": ("v", "count")},
+        ).to_pandas()
+        assert int(got["n_rows"].iloc[0]) == 4 and int(got["n_vals"].iloc[0]) == 2
+
+    def test_validation(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import agg_by_key
+
+        ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [1]}))
+        with pytest.raises(ValueError, match="unsupported"):
+            agg_by_key(ds, "k", {"x": ("v", "median")})
+        with pytest.raises(ValueError, match="count"):
+            agg_by_key(ds, "k", {"x": (None, "sum")})
