@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # D. full-engine CDC over generated transcripts (not SQL-expressible)
         "cdc_replay": q.cdc_replay,
         "cdc_reshard": q.cdc_reshard,
+        "sorted_export_transcripts": q.sorted_export_transcripts,
         "cdc_validate": q.cdc_validate,
         "cdc_changes": q.cdc_changes,
     }
@@ -215,6 +216,13 @@ FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx
         # reshard changes placement, never content — the oracle is the same
         # full-stream LWW fold as cdc_replay
         "cdc_reshard": f"""
+{cdc}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx
+""",
+        # sorted export: content equals the fold (the global-order proof is an
+        # assert inside the query — the driver's hash compare ignores order)
+        "sorted_export_transcripts": f"""
 {cdc}
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx

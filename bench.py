@@ -114,6 +114,12 @@ def run_bench() -> dict:
         v = validate(expected, small_lake)
         timings["cdc_validate"] = round(time.perf_counter() - t0, 3)
         assert v.ok, v.counts
+        # re-key the validated lake to a finer layout (state-only rewrite)
+        from cassandra_data_migrator_ray.pipelines.maintenance import reshard_lake
+
+        t0 = time.perf_counter()
+        reshard_lake(small_lake, 256, salt=32)
+        timings["cdc_reshard"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(small_lake, ignore_errors=True)
         os.environ.update(small_env)
 
@@ -140,6 +146,11 @@ def run_bench() -> dict:
             "hll_distinct_users",
             "pii_scrub_docs",
             "text_normalize_docs",
+            "decontaminate_docs",
+            "stratified_sample_docs",
+            "price_quantiles_lineitem",
+            "orders_by_nation_priority",
+            "pricing_summary_lineitem",
             "cdc_changes",
         ):
             fn = getattr(q, name)

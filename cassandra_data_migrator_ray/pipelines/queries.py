@@ -1111,6 +1111,37 @@ def cdc_reshard(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def sorted_export_transcripts(sf_dir: str) -> pd.DataFrame:
+    """Global ORDER BY export gate: replay into a lake, export through the
+    distributed range-partitioned sort (sources/lake.export_sorted), read
+    the output files back IN FILENAME ORDER and assert the concatenation is
+    globally key-ordered — the ordering proof lives in this assert (the
+    driver's hash compare is order-insensitive); content must equal the
+    cdc_replay oracle."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import export_sorted
+
+    cache = _gen_cached_events(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    out = tempfile.mkdtemp(prefix="cdm_ray_sorted_")
+    try:
+        replay(cache, lake, num_parts=NUM_PARTS, salt=2)
+        files = export_sorted(lake, out, by=["conv_id", "turn_idx"])
+        df = pd.concat(
+            [pq_.read_table(f).to_pandas() for f in files], ignore_index=True
+        )
+        key = pd.MultiIndex.from_frame(df[["conv_id", "turn_idx"]])
+        assert key.is_monotonic_increasing, "export is not globally sorted"
+        return df
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def cdc_validate(sf_dir: str) -> pd.DataFrame:
     """Replay + DiffData validation vs the independent oracle; returns the
     status counts (all-VALID on a correct engine)."""

@@ -542,6 +542,51 @@ def lookup(
     )
 
 
+class _OrderedFilenames:
+    """Filenames whose lexicographic order equals the dataset's block order,
+    so a globally sorted dataset written through this provider reads back in
+    global order by sorting the file list."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+        # write_uuid is constant within one export, so lexicographic order is
+        # still (task, block); Ray requires it in the name to prevent a
+        # concurrent write from overwriting these files
+        return f"sorted-{write_uuid}-{task_index:06d}-{block_index:06d}.parquet"
+
+    def get_filename_for_row(self, row, write_uuid, task_index, block_index, row_index):
+        raise NotImplementedError
+
+
+def export_sorted(
+    lake_dir: str,
+    out_dir: str,
+    by: list[str] | None = None,
+    descending: bool = False,
+    columns: list[str] | None = None,
+    version: int | None = None,
+) -> list[str]:
+    """Globally ORDER-BY-sorted export of the lake's public view — the
+    handoff format for order-sensitive consumers (sequential training-data
+    readers, merge-join inputs).  The reference has no data sorts at all
+    (SURVEY §2.7); here Ray Data's distributed range-partitioned sort does
+    the exchange and each output file is written by the task that owns its
+    key range, so no single node ever holds the table.  Output filenames
+    encode (task, block) order: reading the returned file list in order
+    yields the exact global ORDER BY ``by`` sequence.  Returns the ordered
+    file list."""
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    by = list(by) if by else list(manifest.key_cols)
+    ds = read_lake(lake_dir, columns=columns, version=version)
+    ds.sort(by, descending=descending).write_parquet(
+        out_dir, filename_provider=_OrderedFilenames()
+    )
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(out_dir, "sorted-*.parquet")))
+
+
 def read_lake_pandas(
     lake_dir: str,
     include_tombstones: bool = False,

@@ -849,3 +849,48 @@ class TestRangedFeedSafety:
             read_lake(lake, as_of=base + 1, filter=pads.field("text") == "x")
         # filter without as_of stays fine
         assert read_lake(lake, filter=pads.field("text") == "x").count() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExportSorted:
+    def test_global_order_and_content(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.gen import gen_change_stream, oracle_final_state
+        from cassandra_data_migrator_ray.pipelines.replay import replay
+        from cassandra_data_migrator_ray.sources.lake import export_sorted
+
+        ev = gen_change_stream(n_convs=40, n_events=3000, seed=33)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=8, salt=2)
+        out = str(tmp_path / "sorted")
+        files = export_sorted(lake, out)  # default: manifest key_cols asc
+        df = pd.concat(
+            [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+        )
+        key = pd.MultiIndex.from_frame(df[KEY])
+        assert key.is_monotonic_increasing
+        want = oracle_final_state(ev.to_pandas()).sort_values(KEY, ignore_index=True)
+        pd.testing.assert_frame_equal(df.reset_index(drop=True), want, check_dtype=False)
+
+    def test_descending_and_columns(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+        from cassandra_data_migrator_ray.pipelines.replay import replay
+        from cassandra_data_migrator_ray.sources.lake import export_sorted
+
+        ev = gen_change_stream(n_convs=15, n_events=800, seed=35)
+        lake = _lake(tmp_path)
+        replay(ev, lake, num_parts=4)
+        out = str(tmp_path / "sorted_desc")
+        files = export_sorted(
+            lake, out, by=["conv_id", "turn_idx"], descending=True,
+            columns=["conv_id", "turn_idx", "text"],
+        )
+        df = pd.concat(
+            [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+        )
+        assert list(df.columns) == ["conv_id", "turn_idx", "text"]
+        key = pd.MultiIndex.from_frame(df[KEY])
+        assert key.is_monotonic_decreasing
