@@ -47,7 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--lake", required=True)
     m.add_argument("--num-parts", default=64,
                    type=lambda v: v if v == "auto" else int(v))
-    m.add_argument("--salt", type=int, default=1)
+    m.add_argument("--salt", default=1,
+                   type=lambda v: v if v == "auto" else int(v))
     m.add_argument("--run-id", default=None)
     m.add_argument("--resume", action="store_true",
                    help="resume the latest incomplete run (auto-detects its "

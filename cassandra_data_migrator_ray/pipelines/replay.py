@@ -15,6 +15,7 @@ one row per partition (never row-level data on the driver).
 
 from __future__ import annotations
 
+import math
 import time
 import uuid
 from dataclasses import dataclass
@@ -118,7 +119,7 @@ def replay(
     *,
     payload_schema: pa.Schema | None = None,
     num_parts: int | str = 32,
-    salt: int = 1,
+    salt: int | str = 1,
     counter_cols: tuple[str, ...] = (),
     key_cols: tuple[str, ...] | None = None,
     compact: bool = False,
@@ -161,7 +162,10 @@ def replay(
     ``num_parts="auto"`` sizes a FRESH lake's partition count from the
     stream (one partition per ~250k events, floor 32, cap 4096 — data-
     dependent, never CPU-dependent); an existing lake's manifest count
-    always wins (the route is sticky per lake).
+    always wins (the route is sticky per lake).  ``salt="auto"`` estimates
+    the hottest conversation's row share from a 200k-event stream prefix
+    and picks the salt that caps its partition overload at ~2× average
+    (1 when no key is hot; ≤32; manifest salt wins on an existing lake).
 
     ``staged_compression``: ``"lz4"`` / ``"zstd"`` compresses staged-slice
     IPC buffers (default None, or env ``CDM_STAGED_COMPRESSION``) — 2-4×
@@ -197,6 +201,40 @@ def replay(
         # per-partition fixed cost.  Only consulted for a FRESH lake — an
         # existing lake's manifest partition count always wins below.
         num_parts = int(min(4096, max(32, (est_rows or 8_000_000) // 250_000)))
+
+    if salt == "auto":
+        # hot-key salting without a manual knob: estimate the hottest first-
+        # key-component's row share from a bounded PREFIX of the stream (the
+        # generator's hot conversations are hot throughout; a prefix is a
+        # cheap, documented-biased estimator) and size salt so that key's
+        # partition overload factor share×num_parts drops to ~2.  Only
+        # consulted for a FRESH lake — an existing lake's manifest salt
+        # always wins (the route is sticky per lake).  Data-dependent,
+        # never CPU-dependent, like num_parts="auto".
+        existing = Manifest.load(lake_dir)
+        if existing is not None:
+            salt = existing.salt
+        else:
+            sample_ds = ds
+            for t in transforms or []:
+                sample_ds = sample_ds.map_batches(
+                    t, batch_format="pyarrow", batch_size=batch_size
+                )
+            key0 = (list(key_cols) if key_cols else ["conv_id", "turn_idx"])[0]
+            head = (
+                sample_ds.limit(200_000).select_columns([key0]).to_pandas()
+            )
+            share = (
+                float(head[key0].value_counts(normalize=True).iloc[0])
+                if len(head)
+                else 0.0
+            )
+            overload = share * num_parts  # hottest partition vs average
+            salt = (
+                1
+                if overload <= 2.0
+                else int(min(32, num_parts, math.ceil(overload / 2.0)))
+            )
 
     # establish/evolve the lake schema from the incoming event columns
     manifest = Manifest.load_or_create(

@@ -377,3 +377,56 @@ class TestAutoNumParts:
         replay(full[full["event_seq"] >= half], lake, num_parts="auto")
         assert Manifest.load(lake).num_parts == 32
         assert_matches_oracle(lake, full)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAutoSalt:
+    def test_hot_stream_gets_salt_and_stays_correct(self, tmp_path):
+        """A stream with one dominant conversation auto-picks salt > 1; the
+        result still matches the oracle and the salt sticks in the manifest."""
+        import numpy as np
+
+        from cassandra_data_migrator_ray.gen import oracle_final_state
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        n = 6000
+        rng = np.random.default_rng(41)
+        conv = np.where(
+            rng.random(n) < 0.4, "conv-hot",
+            np.array([f"conv-{i % 50:03d}" for i in range(n)], dtype=object),
+        )
+        ev = pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": rng.integers(0, 32, n).astype(np.int32),
+                "op": "U",
+                "role": "user",
+                "text": [f"t{i}" for i in range(n)],
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01"),
+                "writetime": np.arange(n, dtype=np.int64),
+                "event_seq": np.arange(n, dtype=np.int64),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=16, salt="auto")
+        m = Manifest.load(lake)
+        assert m.salt > 1  # 40% share × 16 parts = overload ~6.4 → salted
+        pd.testing.assert_frame_equal(
+            read_lake_pandas(lake).sort_values(["conv_id", "turn_idx"], ignore_index=True),
+            oracle_final_state(ev).sort_values(["conv_id", "turn_idx"], ignore_index=True),
+            check_dtype=False,
+        )
+        # second increment reuses the manifest salt (sticky route)
+        ev2 = ev.assign(event_seq=ev.event_seq + n, writetime=ev.writetime + n)
+        replay(ev2, lake, salt="auto")
+        assert Manifest.load(lake).salt == m.salt
+
+    def test_uniform_stream_stays_unsalted(self, tmp_path):
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        ev = gen_change_stream(n_convs=200, n_events=3000, seed=43, hot_frac=0.0)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=16, salt="auto")
+        assert Manifest.load(lake).salt == 1
