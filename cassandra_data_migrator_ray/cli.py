@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--grace-wt", type=int, default=None)
 
+    an = sub.add_parser("analyze", help="compute per-partition column stats for scan pruning")
+    an.add_argument("--lake", required=True)
+    an.add_argument("--columns", nargs="*", default=None)
+
     rs = sub.add_parser("reshard", help="re-key a committed lake to a new (num_parts, salt) layout")
     rs.add_argument("--lake", required=True)
     rs.add_argument("--num-parts", type=int, required=True)
@@ -135,8 +139,8 @@ def main(argv: list[str] | None = None) -> int:
     # the read-side metadata commands (lookup/changes/snapshots/vacuum) are
     # driver-side pyarrow/os work — skip the multi-second Ray startup
     needs_ray = args.cmd in {
-        "migrate", "validate", "guardrail", "compact", "reshard", "tail",
-        "metrics",
+        "migrate", "validate", "guardrail", "compact", "reshard", "analyze",
+        "tail", "metrics",
     }  # lineage/lookup/changes/snapshots/vacuum are driver-side metadata
     ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
@@ -243,6 +247,20 @@ def main(argv: list[str] | None = None) -> int:
                         if len(res.metrics)
                         else 0,
                         "seconds": round(res.seconds, 3),
+                    }
+                )
+            )
+        elif args.cmd == "analyze":
+            from cassandra_data_migrator_ray.pipelines.maintenance import analyze_lake
+
+            st = analyze_lake(args.lake, args.columns)
+            print(
+                json.dumps(
+                    {
+                        "version": st["version"],
+                        "partitions": len(st["partitions"]),
+                        "columns": st["columns"],
+                        "seconds": st["seconds"],
                     }
                 )
             )

@@ -125,6 +125,145 @@ def compact_lake(
     return CompactResult(run_id, metrics, time.perf_counter() - t0)
 
 
+# ---- analyze: per-partition column statistics for scan pruning ---------------
+
+
+def _analyze_part(
+    lake_dir: str, prior_files: dict, cols: list[str], batch: pd.DataFrame
+) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    out = []
+    for part in batch["part"]:
+        part = int(part)
+        files = prior_files.get(part) or []
+        if not files:
+            continue
+        tables = []
+        for f in files:
+            schema = pq.read_schema(os.path.join(lake_dir, f))
+            want = [c for c in cols if c in schema.names]
+            tables.append(
+                pq.read_table(os.path.join(lake_dir, f), columns=want)
+            )
+        tbl = pa.concat_tables(tables, promote_options="default")
+        for c in cols:
+            if c not in tbl.column_names:
+                # schema-evolved column absent from every file: all-null
+                out.append(
+                    {"part": part, "col": c, "lo": None, "hi": None,
+                     "nulls": tbl.num_rows, "rows": tbl.num_rows}
+                )
+                continue
+            arr = tbl[c]
+            nulls = arr.null_count
+            lo = hi = None
+            try:
+                mm = pc.min_max(arr)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            except pa.ArrowNotImplementedError:
+                pass  # nested/binary types: no range stat, never pruned
+            # huge string bounds would bloat the stats file; a truncated
+            # bound is NOT safe for pruning, so store none instead
+            if isinstance(lo, str) and (len(lo) > 256 or len(str(hi)) > 256):
+                lo = hi = None
+            out.append(
+                {"part": part, "col": c, "lo": lo, "hi": hi,
+                 "nulls": nulls, "rows": tbl.num_rows}
+            )
+    return pd.DataFrame(out)
+
+
+def analyze_lake(lake_dir: str, columns: list[str] | None = None) -> dict:
+    """Compute per-partition column statistics (min/max/null count/rows) and
+    store them version-stamped at ``_stats/v{version}.json`` — the ANALYZE
+    step that lets :func:`sources.lake.read_lake` prune partitions by a
+    value-range predicate without touching their files (the engine-level
+    analogue of parquet row-group statistics, one level up).  One Ray task
+    per partition; the driver holds only the stats dict.  Stats are valid
+    for exactly the manifest version they were computed at — a later commit
+    invalidates them (readers check the stamp)."""
+    import json as _json
+    import time
+
+    from functools import partial as _partial
+
+    t0 = time.perf_counter()
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    cols = list(columns) if columns else list(manifest.schema.names)
+    parts = sorted(manifest.partitions)
+    stats: dict = {
+        "version": manifest.version,
+        "computed_at": time.time(),
+        "columns": cols,
+        "partitions": {},
+    }
+    if parts:
+        prior = {k: v.files for k, v in manifest.partitions.items()}
+        ds = ray.data.from_items(
+            [{"part": int(p)} for p in parts], override_num_blocks=len(parts)
+        )
+        rows = ds.map_batches(
+            _partial(_analyze_part, lake_dir, prior, cols),
+            batch_format="pandas",
+            batch_size=None,
+        ).to_pandas()
+        for part, g in rows.groupby("part"):
+            stats["partitions"][str(int(part))] = {
+                r["col"]: {
+                    "lo": None if pd.isna(r["lo"]) else r["lo"],
+                    "hi": None if pd.isna(r["hi"]) else r["hi"],
+                    "nulls": int(r["nulls"]),
+                    "rows": int(r["rows"]),
+                }
+                for _, r in g.iterrows()
+            }
+    sdir = os.path.join(lake_dir, "_stats")
+    os.makedirs(sdir, exist_ok=True)
+    from cassandra_data_migrator_ray.state.manifest import atomic_write_json
+
+    # timestamps are not JSON-roundtrip-safe; store the ISO string (which
+    # compares lexicographically == chronologically at a fixed format)
+    import datetime as _dt
+
+    def _enc(v):
+        return (
+            str(v)
+            if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date))
+            else v
+        )
+
+    for p in stats["partitions"].values():
+        for c in p.values():
+            c["lo"], c["hi"] = _enc(c["lo"]), _enc(c["hi"])
+    atomic_write_json(
+        os.path.join(sdir, f"v{manifest.version:06d}.json"), stats
+    )
+    stats["seconds"] = round(time.perf_counter() - t0, 3)
+    return stats
+
+
+def load_stats(lake_dir: str) -> dict | None:
+    """The stats for the lake's CURRENT manifest version, or None if absent
+    or stale (computed at an older version)."""
+    import json as _json
+
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        return None
+    p = os.path.join(lake_dir, "_stats", f"v{manifest.version:06d}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
 # ---- reshard: change the lake's (num_parts, salt) layout ---------------------
 # The reference fixes its parallelism unit at job-submit time (numParts,
 # job/SplitPartitions.java:32-76) — a lake sized for its initial stream has no

@@ -68,6 +68,41 @@ def _resolve_view(
     )
 
 
+def stats_prune_partitions(
+    manifest: Manifest, stats: dict | None, prune: dict
+) -> list[int] | None:
+    """Partitions that MAY hold rows matching ``prune`` ({col: (lo, hi)};
+    None bound = unbounded) according to ANALYZE stats
+    (pipelines/maintenance.analyze_lake).  Returns None when stats are
+    absent or computed at a different manifest version — the caller then
+    scans everything (stale stats must never drop live data).  A partition
+    is dropped only when a column's recorded [min, max] provably excludes
+    the queried range; columns without a range stat (nested types, huge
+    strings, incomparable bounds) never prune."""
+    if stats is None or stats.get("version") != manifest.version:
+        return None
+    keep: list[int] = []
+    for p in sorted(manifest.partitions):
+        ps = stats.get("partitions", {}).get(str(p), {})
+        drop = False
+        for col, (qlo, qhi) in prune.items():
+            cs = ps.get(col)
+            if not cs or cs.get("lo") is None:
+                continue
+            lo, hi = cs["lo"], cs["hi"]
+            try:
+                if (qlo is not None and hi < qlo) or (
+                    qhi is not None and lo > qhi
+                ):
+                    drop = True
+                    break
+            except TypeError:  # incomparable bound types: never prune
+                continue
+        if not drop:
+            keep.append(p)
+    return keep
+
+
 def read_lake(
     lake_dir: str,
     columns: list[str] | None = None,
@@ -76,6 +111,7 @@ def read_lake(
     as_of: int | None = None,
     version: int | None = None,
     filter: "object | None" = None,
+    prune: dict | None = None,
 ) -> ray.data.Dataset:
     """Public view of the lake as a streaming Dataset (column-pruned read).
 
@@ -91,10 +127,28 @@ def read_lake(
 
     ``version``: time travel — read the lake exactly as of that committed
     manifest version (snapshot-pinned files and schema; copy-on-write keeps
-    the old partition files until :meth:`Manifest.vacuum`)."""
+    the old partition files until :meth:`Manifest.vacuum`).
+
+    ``prune``: {col: (lo, hi)} — a PARTITION-level pre-filter using ANALYZE
+    statistics (run ``analyze_lake`` first): partitions whose recorded
+    column range provably excludes the bounds are never read.  This prunes
+    whole partitions only — combine with ``filter=`` for exact row
+    semantics.  Live view only; silently scans everything when stats are
+    absent or stale."""
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
+    if prune:
+        if version is not None:
+            raise ValueError(
+                "prune= applies to the live view only (stats are stamped "
+                "to the current manifest version)"
+            )
+        from cassandra_data_migrator_ray.pipelines.maintenance import load_stats
+
+        kept = stats_prune_partitions(manifest, load_stats(lake_dir), prune)
+        if kept is not None:
+            parts = kept if parts is None else sorted(set(parts) & set(kept))
     files, v_key_cols, v_payload_cols, v_ttl = _resolve_view(
         manifest, version, parts
     )

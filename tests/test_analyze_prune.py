@@ -1,0 +1,96 @@
+"""ANALYZE column statistics + stats-based partition pruning.
+
+The engine-level analogue of parquet row-group statistics, one level up:
+`analyze_lake` records per-partition column ranges version-stamped to the
+manifest; `read_lake(prune={col: (lo, hi)})` skips partitions whose range
+provably excludes the predicate.  Pruning must NEVER change results — only
+the number of files read — and stale stats must disable themselves."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from cassandra_data_migrator_ray.gen import gen_change_stream
+from cassandra_data_migrator_ray.pipelines.maintenance import analyze_lake, load_stats
+from cassandra_data_migrator_ray.pipelines.replay import replay
+from cassandra_data_migrator_ray.sources.lake import (
+    read_lake,
+    read_lake_pandas,
+    stats_prune_partitions,
+)
+from cassandra_data_migrator_ray.state.manifest import Manifest
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _sorted(df):
+    return df.sort_values(KEY, ignore_index=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnalyzePrune:
+    def _lake(self, tmp_path, n_convs=40, n_events=2500, seed=47):
+        ev = gen_change_stream(n_convs=n_convs, n_events=n_events, seed=seed)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=12)
+        return lake
+
+    def test_analyze_writes_versioned_stats(self, tmp_path):
+        lake = self._lake(tmp_path)
+        st = analyze_lake(lake)
+        m = Manifest.load(lake)
+        assert st["version"] == m.version
+        assert load_stats(lake)["version"] == m.version
+        some = next(iter(st["partitions"].values()))
+        assert {"lo", "hi", "nulls", "rows"} <= set(some["turn_idx"])
+
+    def test_prune_preserves_results_and_skips_partitions(self, tmp_path):
+        lake = self._lake(tmp_path)
+        analyze_lake(lake)
+        m = Manifest.load(lake)
+        stats = load_stats(lake)
+        # pick one conversation's exact conv_id range: only the partitions
+        # whose string range covers it survive
+        full = read_lake_pandas(lake)
+        conv = full["conv_id"].iloc[0]
+        kept = stats_prune_partitions(m, stats, {"conv_id": (conv, conv)})
+        assert kept is not None and 0 < len(kept) < len(m.partitions)
+        pruned = _sorted(read_lake(lake, prune={"conv_id": (conv, conv)}).to_pandas())
+        unpruned = _sorted(read_lake(lake).to_pandas())
+        # pruning drops whole partitions only; rows for conv must survive
+        want = _sorted(unpruned[unpruned["conv_id"] == conv])
+        got = _sorted(pruned[pruned["conv_id"] == conv])
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_numeric_range_prune_never_loses_rows(self, tmp_path):
+        lake = self._lake(tmp_path)
+        analyze_lake(lake)
+        full = read_lake_pandas(lake)
+        hi = int(full["turn_idx"].median())
+        pruned = read_lake(lake, prune={"turn_idx": (None, hi)}).to_pandas()
+        want = full[full["turn_idx"] <= hi]
+        # every matching row is present (partition-level prune keeps extras)
+        merged = want.merge(pruned, on=KEY, how="left", indicator=True)
+        assert (merged["_merge"] == "both").all()
+
+    def test_stale_stats_disable_pruning(self, tmp_path):
+        lake = self._lake(tmp_path)
+        analyze_lake(lake)
+        ev2 = gen_change_stream(n_convs=10, n_events=400, seed=53)
+        replay(ev2, lake)  # bumps manifest version → stats stale
+        assert load_stats(lake) is None
+        m = Manifest.load(lake)
+        assert stats_prune_partitions(m, None, {"turn_idx": (0, 1)}) is None
+        # read_lake silently scans everything (a prune that would exclude all
+        # partitions under fresh stats must return the full view when stale)
+        a = _sorted(read_lake(lake, prune={"turn_idx": (10**9, 10**9)}).to_pandas())
+        b = _sorted(read_lake_pandas(lake))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_prune_rejects_time_travel(self, tmp_path):
+        lake = self._lake(tmp_path)
+        analyze_lake(lake)
+        with pytest.raises(ValueError, match="live view"):
+            read_lake(lake, prune={"turn_idx": (0, 1)}, version=1)
