@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--lake", required=True)
     an.add_argument("--columns", nargs="*", default=None)
 
+    fs = sub.add_parser("fsck", help="integrity audit: files vs manifest, recomputed counts")
+    fs.add_argument("--lake", required=True)
+    fs.add_argument("--shallow", action="store_true",
+                    help="skip the parallel partition re-read (file existence only)")
+
     rs = sub.add_parser("reshard", help="re-key a committed lake to a new (num_parts, salt) layout")
     rs.add_argument("--lake", required=True)
     rs.add_argument("--num-parts", type=int, required=True)
@@ -140,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
     # driver-side pyarrow/os work — skip the multi-second Ray startup
     needs_ray = args.cmd in {
         "migrate", "validate", "guardrail", "compact", "reshard", "analyze",
-        "tail", "metrics",
+        "fsck", "tail", "metrics",
     }  # lineage/lookup/changes/snapshots/vacuum are driver-side metadata
     ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
@@ -264,6 +269,30 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "fsck":
+            from cassandra_data_migrator_ray.pipelines.maintenance import fsck_lake
+
+            res = fsck_lake(args.lake, deep=not args.shallow)
+            bad = (
+                res["partitions"][~res["partitions"]["ok"]]
+                if len(res["partitions"])
+                else res["partitions"]
+            )
+            print(
+                json.dumps(
+                    {
+                        "ok": res["ok"],
+                        "missing": res["missing"],
+                        "orphans": len(res["orphans"]),
+                        "bad_partitions": {
+                            int(r["part"]): r["issues"]
+                            for _, r in bad.iterrows()
+                        },
+                        "seconds": res["seconds"],
+                    }
+                )
+            )
+            return 0 if res["ok"] else 1
         elif args.cmd == "reshard":
             from cassandra_data_migrator_ray.pipelines.maintenance import reshard_lake
 

@@ -125,6 +125,124 @@ def compact_lake(
     return CompactResult(run_id, metrics, time.perf_counter() - t0)
 
 
+# ---- fsck: lake integrity audit ----------------------------------------------
+
+
+def _fsck_part(
+    lake_dir: str, prior: dict, expect: dict, batch: pd.DataFrame
+) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cassandra_data_migrator_ray.schema import DELETED, MAX_SEQ
+
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    out = []
+    for part in batch["part"]:
+        part = int(part)
+        issues = []
+        tables = []
+        for f in prior.get(part) or []:
+            path = os.path.join(lake_dir, f)
+            try:
+                tables.append(pq.read_table(path, columns=[DELETED, MAX_SEQ]))
+            except Exception as e:  # unreadable = corrupt
+                issues.append(f"unreadable file {f}: {type(e).__name__}")
+        if tables and not issues:
+            tbl = pa.concat_tables(tables, promote_options="default")
+            tombstones = int(
+                pc.sum(pc.cast(tbl[DELETED], pa.int64())).as_py() or 0
+            )
+            rows = int(tbl.num_rows - tombstones)
+            state_wm = (
+                int(pc.max(tbl[MAX_SEQ]).as_py() or -1) if tbl.num_rows else -1
+            )
+            e = expect[part]
+            if rows != e["rows"]:
+                issues.append(f"rows {rows} != manifest {e['rows']}")
+            if tombstones != e["tombstones"]:
+                issues.append(
+                    f"tombstones {tombstones} != manifest {e['tombstones']}"
+                )
+            if state_wm > e["watermark"]:
+                issues.append(
+                    f"state max seq {state_wm} beyond manifest watermark "
+                    f"{e['watermark']}"
+                )
+        out.append(
+            {"part": part, "ok": not issues, "issues": "; ".join(issues)}
+        )
+    return pd.DataFrame(out)
+
+
+def fsck_lake(lake_dir: str, deep: bool = True) -> dict:
+    """Integrity audit of a committed lake against its own manifest — the
+    operational check a fleet runs before trusting a lake that storage may
+    have bit-rotted, a partial copy truncated, or a human touched.
+
+    Driver-side (always): every manifest- and snapshot-referenced file
+    exists; data files referenced by nothing are reported as orphans (gc's
+    candidates, not corruption).  ``deep=True`` additionally re-reads every
+    partition in parallel (one Ray task each, bookkeeping columns only) and
+    recomputes row/tombstone counts and the max folded seq against the
+    manifest's committed values.  Returns {ok, missing, orphans, partitions
+    (DataFrame), seconds}; never mutates anything."""
+    import time
+
+    from functools import partial as _partial
+
+    t0 = time.perf_counter()
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    referenced: set[str] = set()
+    for st in manifest.partitions.values():
+        referenced.update(st.files)
+    snap_refs = manifest._snapshot_referenced_files()
+    missing = sorted(
+        f
+        for f in referenced | snap_refs
+        if not os.path.exists(os.path.join(lake_dir, f))
+    )
+    ddir = os.path.join(lake_dir, "data")
+    on_disk = (
+        {os.path.join("data", f) for f in os.listdir(ddir)}
+        if os.path.isdir(ddir)
+        else set()
+    )
+    orphans = sorted(on_disk - referenced - snap_refs)
+    parts_df = pd.DataFrame(columns=["part", "ok", "issues"])
+    if deep and manifest.partitions:
+        prior = {k: v.files for k, v in manifest.partitions.items()}
+        expect = {
+            k: {
+                "rows": v.rows,
+                "tombstones": v.tombstones,
+                "watermark": v.watermark,
+            }
+            for k, v in manifest.partitions.items()
+        }
+        ds = ray.data.from_items(
+            [{"part": int(k)} for k in sorted(manifest.partitions)],
+            override_num_blocks=len(manifest.partitions),
+        )
+        parts_df = ds.map_batches(
+            _partial(_fsck_part, lake_dir, prior, expect),
+            batch_format="pandas",
+            batch_size=None,
+        ).to_pandas()
+    ok = not missing and (parts_df.empty or bool(parts_df["ok"].all()))
+    return {
+        "ok": ok,
+        "missing": missing,
+        "orphans": orphans,
+        "partitions": parts_df,
+        "seconds": round(time.perf_counter() - t0, 3),
+    }
+
+
 # ---- analyze: per-partition column statistics for scan pruning ---------------
 
 

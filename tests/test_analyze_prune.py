@@ -94,3 +94,56 @@ class TestAnalyzePrune:
         analyze_lake(lake)
         with pytest.raises(ValueError, match="live view"):
             read_lake(lake, prune={"turn_idx": (0, 1)}, version=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFsck:
+    def _lake(self, tmp_path):
+        ev = gen_change_stream(n_convs=20, n_events=1200, seed=59)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=6)
+        return lake
+
+    def test_clean_lake_passes(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.maintenance import fsck_lake
+
+        lake = self._lake(tmp_path)
+        res = fsck_lake(lake)
+        assert res["ok"] and not res["missing"]
+        assert res["partitions"]["ok"].all()
+
+    def test_missing_file_detected(self, tmp_path):
+        import os
+
+        from cassandra_data_migrator_ray.pipelines.maintenance import fsck_lake
+
+        lake = self._lake(tmp_path)
+        m = Manifest.load(lake)
+        victim = next(iter(m.partitions.values())).files[0]
+        os.unlink(os.path.join(lake, victim))
+        res = fsck_lake(lake)
+        assert not res["ok"] and victim in res["missing"]
+
+    def test_tampered_partition_detected(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.pipelines.maintenance import fsck_lake
+
+        lake = self._lake(tmp_path)
+        m = Manifest.load(lake)
+        part, st = next((k, v) for k, v in m.partitions.items() if v.rows > 1)
+        path = os.path.join(lake, st.files[0])
+        tbl = pq.read_table(path)
+        pq.write_table(tbl.slice(0, tbl.num_rows - 1), path)  # drop one row
+        res = fsck_lake(lake)
+        row = res["partitions"].set_index("part").loc[part]
+        assert not res["ok"] and not row["ok"] and "rows" in row["issues"]
+
+    def test_shallow_skips_reread(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.maintenance import fsck_lake
+
+        lake = self._lake(tmp_path)
+        res = fsck_lake(lake, deep=False)
+        assert res["ok"] and len(res["partitions"]) == 0
