@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": q.cdc_replay,
         "cdc_reshard": q.cdc_reshard,
         "sorted_export_transcripts": q.sorted_export_transcripts,
+        "cdf_conv_stats_maintained": q.cdf_conv_stats_maintained,
         "cdc_validate": q.cdc_validate,
         "cdc_changes": q.cdc_changes,
     }
@@ -226,6 +227,16 @@ FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx
 {cdc}
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx
+""",
+        # incrementally maintained per-conversation aggregate == full
+        # recompute from the final folded state
+        "cdf_conv_stats_maintained": f"""
+{cdc}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS text_chars
+FROM fin WHERE rn = 1
+GROUP BY conv_id ORDER BY conv_id
 """,
         "cdc_validate": f"""
 {cdc},

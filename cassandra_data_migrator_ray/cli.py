@@ -82,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="rewrite partitions dropping tombstones")
     c.add_argument("--lake", required=True)
     c.add_argument("--grace-wt", type=int, default=None)
+    c.add_argument("--only-tombstoned", action="store_true",
+                   help="rewrite only partitions recording tombstones (cost ∝ deletes)")
 
     an = sub.add_parser("analyze", help="compute per-partition column stats for scan pruning")
     an.add_argument("--lake", required=True)
@@ -242,7 +244,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
 
-            res = compact_lake(args.lake, args.grace_wt)
+            res = compact_lake(
+                args.lake, args.grace_wt, only_tombstoned=args.only_tombstoned
+            )
             print(
                 json.dumps(
                     {

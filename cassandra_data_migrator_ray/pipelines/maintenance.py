@@ -90,9 +90,24 @@ def _compact_part(cfg: MergeConfig, ttl_as_of: int | None, batch: pd.DataFrame) 
 
 
 def compact_lake(
-    lake_dir: str, grace_wt: int | None = None, ttl_as_of: int | None = None
+    lake_dir: str,
+    grace_wt: int | None = None,
+    ttl_as_of: int | None = None,
+    only_tombstoned: bool = False,
 ) -> CompactResult:
-    """Rewrite every partition dropping eligible tombstones (2-phase commit)."""
+    """Rewrite partitions dropping eligible tombstones (2-phase commit).
+
+    ``only_tombstoned=True`` rewrites just the partitions whose manifest
+    entry records tombstones > 0 — the cheap steady-state sweep for
+    delete-light lakes (every merge already leaves one file per partition,
+    so tombstone GC is the only work compaction has; skipping clean
+    partitions makes its cost proportional to deletes, not lake size).
+    Untouched partitions keep their files and manifest entries (the commit
+    folds receipts over the existing map).  Not valid with ``ttl_as_of``:
+    TTL expiry must examine every partition's cells, not just tombstoned
+    ones."""
+    if only_tombstoned and ttl_as_of is not None:
+        raise ValueError("only_tombstoned cannot combine with ttl_as_of")
     import time
 
     t0 = time.perf_counter()
@@ -112,7 +127,11 @@ def compact_lake(
         prior_files={k: v.files for k, v in manifest.partitions.items()},
         prior_watermarks=manifest.watermarks(),
     )
-    parts = sorted(manifest.partitions)
+    parts = sorted(
+        k
+        for k, v in manifest.partitions.items()
+        if not only_tombstoned or v.tombstones > 0
+    )
     if not parts:
         return CompactResult(run_id, pd.DataFrame(), time.perf_counter() - t0)
     ds = ray.data.from_items(

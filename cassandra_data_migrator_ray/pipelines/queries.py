@@ -1142,6 +1142,69 @@ def sorted_export_transcripts(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def cdf_conv_stats_maintained(sf_dir: str) -> pd.DataFrame:
+    """Materialized-view maintenance gate: per-conversation (n_turns,
+    text_chars) is maintained INCREMENTALLY from the second run's change
+    feed — cost proportional to the changes, never re-reading the lake —
+    and must equal a full recompute of the same aggregate from the final
+    folded state (the SQL oracle)."""
+    import shutil
+
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import (
+        apply_changes_aggregate,
+        read_changes_pandas,
+        read_lake_pandas,
+    )
+
+    cache = _gen_cached_events(sf_dir)
+    h = _cache_event_count(cache) // 2
+
+    def first_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["event_seq"], h))
+
+    def second_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["event_seq"], h))
+
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    try:
+        replay(
+            ray.data.read_parquet(cache).map_batches(
+                first_half, batch_format="pyarrow"
+            ),
+            lake,
+            num_parts=NUM_PARTS,
+            salt=2,
+        )
+        base = read_lake_pandas(lake)
+        agg0 = (
+            base.assign(text_chars=base["text"].str.len())
+            .groupby("conv_id", sort=False)
+            .agg(n_turns=("turn_idx", "size"), text_chars=("text_chars", "sum"))
+            .reset_index()
+        )
+        r2 = replay(
+            ray.data.read_parquet(cache).map_batches(
+                second_half, batch_format="pyarrow"
+            ),
+            lake,
+            emit_changes=True,
+        )
+        feed = read_changes_pandas(lake, run_id=r2.run_id)
+        feed = feed.assign(text_chars=feed["text"].str.len())
+        out = apply_changes_aggregate(
+            agg0,
+            feed,
+            ["conv_id"],
+            count_col="n_turns",
+            sums={"text_chars": "text_chars"},
+        )
+        out["text_chars"] = out["text_chars"].astype(np.int64)
+        return out.sort_values("conv_id", ignore_index=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def cdc_validate(sf_dir: str) -> pd.DataFrame:
     """Replay + DiffData validation vs the independent oracle; returns the
     status counts (all-VALID on a correct engine)."""

@@ -459,6 +459,83 @@ def apply_changes(
     return out.sort_values(key_cols, kind="mergesort", ignore_index=True)
 
 
+def apply_changes_aggregate(
+    agg: pd.DataFrame,
+    feed: pd.DataFrame,
+    group_cols: list[str],
+    count_col: str = "n_rows",
+    sums: dict | None = None,
+) -> pd.DataFrame:
+    """Incrementally maintain a grouped aggregate (materialized view) from a
+    change feed, without touching base data: inserts add, deletes subtract
+    preimage values, updates contribute postimage − preimage — so
+    ``apply_changes_aggregate(agg@v_{n-1}, feed(run_n)) == agg@v_n``
+    recomputed from scratch, at cost proportional to the CHANGES, not the
+    lake (the whole point of pre/post image pairs in the feed).
+
+    ``agg`` holds one row per ``group_cols`` value with ``count_col``
+    (COUNT(*)) and each ``sums`` output column ({out: feed column}; derive
+    computed measures onto the feed first — it is changes-sized).  Null
+    measure values contribute 0 (SQL SUM-ignores-nulls semantics, with
+    empty-group sums reading 0, not NULL).  Groups whose count reaches 0
+    disappear.  Ranged feeds apply per commit in version order."""
+    import numpy as np
+
+    from cassandra_data_migrator_ray.stages.merge import CHANGE_COL
+
+    sums = dict(sums or {})
+    if "_commit_version" in feed.columns:
+        out = agg
+        for v in sorted(feed["_commit_version"].unique()):
+            out = apply_changes_aggregate(
+                out,
+                feed[feed["_commit_version"] == v].drop(
+                    columns="_commit_version"
+                ),
+                group_cols,
+                count_col,
+                sums,
+            )
+        return out
+    if not len(feed):
+        return agg.copy()
+    sign = feed[CHANGE_COL].map(
+        {
+            "insert": 1,
+            "delete": -1,
+            "update_postimage": 1,
+            "update_preimage": -1,
+        }
+    ).astype(np.int64)
+    d = feed[group_cols].copy()
+    d["__cnt"] = np.where(
+        feed[CHANGE_COL].isin(["insert", "delete"]), sign, 0
+    )
+    for out_col, src in sums.items():
+        d[out_col] = sign * feed[src].fillna(0).to_numpy()
+    deltas = d.groupby(group_cols, sort=False).sum().reset_index()
+    cols = [count_col, *sums]
+    base = (
+        agg.set_index(group_cols)
+        if len(agg)
+        else pd.DataFrame(columns=cols, index=pd.MultiIndex.from_arrays(
+            [[] for _ in group_cols], names=group_cols
+        ) if len(group_cols) > 1 else pd.Index([], name=group_cols[0]))
+    )
+    deltas = deltas.rename(columns={"__cnt": count_col}).set_index(group_cols)
+    merged = base.reindex(columns=cols).add(
+        deltas.reindex(columns=cols), fill_value=0
+    )
+    merged[count_col] = merged[count_col].astype(np.int64)
+    if (merged[count_col] < 0).any():
+        raise ValueError(
+            "negative group count after applying feed — feed applied out of "
+            "order or against the wrong base aggregate"
+        )
+    merged = merged[merged[count_col] > 0].reset_index()
+    return merged.sort_values(group_cols, kind="mergesort", ignore_index=True)
+
+
 def _coerce_key_tuple(manifest: Manifest, t: tuple) -> tuple:
     """Cast lookup key components to the manifest's declared key types so
     string-sourced keys (CLI args, JSON) match integer columns and digit-like

@@ -147,3 +147,39 @@ class TestFsck:
         lake = self._lake(tmp_path)
         res = fsck_lake(lake, deep=False)
         assert res["ok"] and len(res["partitions"]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSelectiveCompaction:
+    def test_only_tombstoned_partitions_rewritten(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+
+        ev = gen_change_stream(n_convs=40, n_events=1200, seed=67)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=48)  # ~1 conv/partition → some delete-free
+        m0 = Manifest.load(lake)
+        dirty = {k for k, v in m0.partitions.items() if v.tombstones > 0}
+        clean = set(m0.partitions) - dirty
+        assert dirty and clean  # generator produces deletes; both sets real
+        before = read_lake_pandas(lake)
+        res = compact_lake(lake, only_tombstoned=True)
+        assert set(res.metrics["part"]) == dirty
+        m1 = Manifest.load(lake)
+        # clean partitions keep their exact files; dirty ones were rewritten
+        for p in clean:
+            assert m1.partitions[p].files == m0.partitions[p].files
+        for p in dirty:
+            assert m1.partitions[p].files != m0.partitions[p].files
+            assert m1.partitions[p].tombstones == 0
+        pd.testing.assert_frame_equal(
+            _sorted(read_lake_pandas(lake)), _sorted(before)
+        )
+
+    def test_ttl_combination_rejected(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+
+        ev = gen_change_stream(n_convs=5, n_events=200, seed=69)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=2)
+        with pytest.raises(ValueError, match="ttl_as_of"):
+            compact_lake(lake, only_tombstoned=True, ttl_as_of=123)

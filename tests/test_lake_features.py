@@ -894,3 +894,85 @@ class TestExportSorted:
         assert list(df.columns) == ["conv_id", "turn_idx", "text"]
         key = pd.MultiIndex.from_frame(df[KEY])
         assert key.is_monotonic_decreasing
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestApplyChangesAggregate:
+    def _maintained_equals_recompute(self, lake, agg0, r2_run):
+        from cassandra_data_migrator_ray.sources.lake import (
+            apply_changes_aggregate,
+            read_changes_pandas,
+            read_lake_pandas,
+        )
+
+        feed = read_changes_pandas(lake, run_id=r2_run)
+        feed = feed.assign(chars=feed["text"].str.len())
+        got = apply_changes_aggregate(
+            agg0, feed, ["conv_id"], count_col="n", sums={"chars": "chars"}
+        )
+        final = read_lake_pandas(lake)
+        want = (
+            final.assign(chars=final["text"].str.len())
+            .groupby("conv_id", sort=True)
+            .agg(n=("turn_idx", "size"), chars=("chars", "sum"))
+            .reset_index()
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"chars": "float64"}),
+            want.astype({"chars": "float64"}),
+            check_dtype=False,
+        )
+
+    def test_maintained_equals_recompute_with_deletes(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.replay import replay
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        full = gen_change_stream(n_convs=30, n_events=2500, seed=73).to_pandas()
+        half = int(full.event_seq.median())
+        lake = _lake(tmp_path)
+        replay(full[full.event_seq < half], lake, num_parts=6)
+        base = read_lake_pandas(lake)
+        agg0 = (
+            base.assign(chars=base["text"].str.len())
+            .groupby("conv_id", sort=False)
+            .agg(n=("turn_idx", "size"), chars=("chars", "sum"))
+            .reset_index()
+        )
+        r2 = replay(full[full.event_seq >= half], lake, emit_changes=True)
+        self._maintained_equals_recompute(lake, agg0, r2.run_id)
+
+    def test_empty_base_and_group_disappearance(self):
+        from cassandra_data_migrator_ray.sources.lake import apply_changes_aggregate
+
+        feed = pd.DataFrame(
+            {
+                "conv_id": ["a", "a", "b"],
+                "v": [3.0, 4.0, 5.0],
+                "_change_type": ["insert", "insert", "insert"],
+            }
+        )
+        agg = apply_changes_aggregate(
+            pd.DataFrame(columns=["conv_id", "n", "v"]),
+            feed, ["conv_id"], count_col="n", sums={"v": "v"},
+        )
+        assert agg.set_index("conv_id")["n"].to_dict() == {"a": 2, "b": 1}
+        # delete b's only row: the group disappears
+        feed2 = pd.DataFrame(
+            {"conv_id": ["b"], "v": [5.0], "_change_type": ["delete"]}
+        )
+        agg2 = apply_changes_aggregate(
+            agg, feed2, ["conv_id"], count_col="n", sums={"v": "v"}
+        )
+        assert agg2["conv_id"].tolist() == ["a"]
+
+    def test_out_of_order_feed_raises(self):
+        from cassandra_data_migrator_ray.sources.lake import apply_changes_aggregate
+
+        feed = pd.DataFrame(
+            {"conv_id": ["x"], "v": [1.0], "_change_type": ["delete"]}
+        )
+        with pytest.raises(ValueError, match="negative"):
+            apply_changes_aggregate(
+                pd.DataFrame(columns=["conv_id", "n", "v"]),
+                feed, ["conv_id"], count_col="n", sums={"v": "v"},
+            )
