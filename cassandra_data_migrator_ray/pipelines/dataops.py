@@ -1643,6 +1643,54 @@ def agg_by_key(
 
 
 # --------------------------------------------------------------------------
+# grouped top-k (window rank)
+# --------------------------------------------------------------------------
+
+
+def topk_by_key(
+    ds: ray.data.Dataset,
+    keys,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    rank_col: str = "rk",
+) -> ray.data.Dataset:
+    """The k extreme rows per key with a dense 1-based rank — the
+    window-rank operator Ray Data lacks, generalized from
+    queries.topk_orders_per_customer.
+
+    Per-batch partial top-k BEFORE the shuffle (the combiner cuts shuffle
+    volume to ≤ k rows per (batch, key)), then a hash-partitioned final
+    top-k; both passes are one sort + groupby.head, no per-group Python
+    loop.  ``tiebreak`` (ascending) makes equal ``order_col`` values
+    resolve deterministically — required for reproducible results."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort_cols = keys + [order_col] + ([tiebreak] if tiebreak else [])
+    ascending = [True] * len(keys) + [not descending] + ([True] if tiebreak else [])
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(
+            sort_cols, ascending=ascending, kind="mergesort", ignore_index=True
+        )
+        return b.groupby(keys, sort=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            sort_cols, ascending=ascending, kind="mergesort", ignore_index=True
+        )
+        g = g.groupby(keys, sort=False).head(k).reset_index(drop=True)
+        g[rank_col] = g.groupby(keys, sort=False).cumcount() + 1
+        return g
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
 # broadcast (map-side) join
 # --------------------------------------------------------------------------
 

@@ -1097,3 +1097,46 @@ class TestAggByKey:
             agg_by_key(ds, "k", {"x": ("v", "median")})
         with pytest.raises(ValueError, match="count"):
             agg_by_key(ds, "k", {"x": (None, "sum")})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopkByKey:
+    def test_matches_pandas_window_rank(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import topk_by_key
+
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(list("abcdef"), 3000),
+                "id": np.arange(3000, dtype=np.int64),
+                "v": rng.integers(0, 50, 3000),  # heavy ties → tiebreak matters
+            }
+        )
+        got = (
+            topk_by_key(
+                ray.data.from_pandas(df).repartition(9),
+                "k", "v", k=4, tiebreak="id",
+            )
+            .to_pandas()
+            .sort_values(["k", "rk"], ignore_index=True)
+        )
+        want = (
+            df.sort_values(["k", "v", "id"], ascending=[True, False, True],
+                           kind="mergesort", ignore_index=True)
+            .groupby("k", sort=False).head(4).reset_index(drop=True)
+        )
+        want["rk"] = want.groupby("k", sort=False).cumcount() + 1
+        pd.testing.assert_frame_equal(
+            got, want.sort_values(["k", "rk"], ignore_index=True),
+            check_dtype=False, check_like=True,
+        )
+
+    def test_ascending_smallest(self):
+        from cassandra_data_migrator_ray.pipelines.dataops import topk_by_key
+
+        df = pd.DataFrame({"k": ["a"] * 5, "id": range(5), "v": [5, 3, 1, 4, 2]})
+        got = topk_by_key(
+            ray.data.from_pandas(df), "k", "v", k=2, descending=False,
+            tiebreak="id",
+        ).to_pandas().sort_values("rk")
+        assert got["v"].tolist() == [1, 2]
