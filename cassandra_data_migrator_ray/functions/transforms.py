@@ -460,24 +460,36 @@ class ExtractJson:
         # Present-but-non-string fields fall back (str(v) of a parsed
         # number/bool is not the raw token, e.g. 1e3 → "1000.0").
         fast = flat_np & (~has_np_all | ((occurs == 1) & str_hit))
-        out: list = sv.to_pylist()
-        if not fast.all():
-            src = src_col.to_pylist()
-            for i in np.flatnonzero(~fast):
-                s = src[i]
+        sva = pc.cast(sv, pa.string())
+        if isinstance(sva, pa.ChunkedArray):
+            sva = sva.combine_chunks()
+        if fast.all():
+            # all-fast batch: the extracted column IS the answer — return it
+            # as Arrow; never materialize a Python list on the hot path
+            arr = sva
+        else:
+            # slow minority only: gather just those rows' source strings,
+            # json-parse them, and splice the results back with one
+            # replace_with_mask — the fast majority stays zero-copy Arrow
+            slow_idx = np.flatnonzero(~fast)
+            src = pc.take(src_col, pa.array(slow_idx, pa.int64())).to_pylist()
+            slow_vals: list = []
+            for s in src:
                 if s is None or s == "":
-                    out[i] = None
+                    slow_vals.append(None)
                     continue
                 try:
                     v = json.loads(s)
                 except (ValueError, TypeError):
-                    out[i] = None
+                    slow_vals.append(None)
                     continue
                 v = v.get(self.field) if isinstance(v, dict) else None
-                out[i] = (
+                slow_vals.append(
                     None if v is None else str(v) if not isinstance(v, str) else v
                 )
-        arr = pa.array(out, type=pa.string())
+            arr = pc.replace_with_mask(
+                sva, pa.array(~fast), pa.array(slow_vals, type=pa.string())
+            )
         if self.dst_col in t.column_names:
             if not self.overwrite:
                 arr = pc.coalesce(t.column(self.dst_col), arr)

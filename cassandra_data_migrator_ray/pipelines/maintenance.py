@@ -366,19 +366,35 @@ def analyze_lake(lake_dir: str, columns: list[str] | None = None) -> dict:
     from cassandra_data_migrator_ray.state.manifest import atomic_write_json
 
     # timestamps are not JSON-roundtrip-safe; store the ISO string (which
-    # compares lexicographically == chronologically at a fixed format)
+    # compares lexicographically == chronologically at a fixed format).
+    # Any OTHER non-JSON-native bound (bytes, Decimal, date32 objects from a
+    # binary/decimal payload column) would crash json.dumps — and a lossy
+    # string form of it is NOT order-safe for pruning — so drop the bound
+    # (lo=hi=None, never prunes), mirroring the huge-string / nested-type
+    # handling in _analyze_part.
     import datetime as _dt
 
+    import numpy as _np
+
+    _JSON_NATIVE = (str, int, float, bool)
+
     def _enc(v):
-        return (
-            str(v)
-            if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date))
-            else v
-        )
+        if v is None or isinstance(v, _JSON_NATIVE):
+            return v
+        if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+            return str(v)
+        if isinstance(v, _np.integer):
+            return int(v)
+        if isinstance(v, (_np.floating, _np.bool_)):
+            return v.item()
+        return None
 
     for p in stats["partitions"].values():
         for c in p.values():
-            c["lo"], c["hi"] = _enc(c["lo"]), _enc(c["hi"])
+            lo, hi = _enc(c["lo"]), _enc(c["hi"])
+            if (lo is None) != (hi is None):  # half-dropped range never prunes
+                lo = hi = None
+            c["lo"], c["hi"] = lo, hi
     atomic_write_json(
         os.path.join(sdir, f"v{manifest.version:06d}.json"), stats
     )

@@ -513,7 +513,10 @@ def apply_changes_aggregate(
     )
     for out_col, src in sums.items():
         d[out_col] = sign * feed[src].fillna(0).to_numpy()
-    deltas = d.groupby(group_cols, sort=False).sum().reset_index()
+    # dropna=False: a nullable group column must keep its null group — the
+    # pandas default silently drops those feed rows and the maintained
+    # aggregate diverges from a full recompute (SQL GROUP BY keeps nulls)
+    deltas = d.groupby(group_cols, sort=False, dropna=False).sum().reset_index()
     cols = [count_col, *sums]
     base = (
         agg.set_index(group_cols)
@@ -596,16 +599,25 @@ def lookup(
     firsts = [t[0] for t in tuples]
     # prune with the LAYOUT OF THE VIEW being read: a reshard changes
     # (num_parts, salt), so a time-travel lookup must route with the layout
-    # recorded in that version's snapshot, not the live manifest's.
-    # Pre-reshard-era snapshots lack the layout keys — the layout cannot
-    # have changed before then, so the live layout is exact for them.
+    # recorded in that version's snapshot, not the live manifest's.  A
+    # snapshot WITHOUT layout keys (written by an older engine) has an
+    # unknown layout — if a reshard happened after it, routing with the
+    # live layout would prune the wrong partitions and silently miss rows,
+    # so skip pruning entirely and scan every snapshot partition instead.
     np_, salt_ = manifest.num_parts, manifest.salt
+    layout_known = True
     if version is not None:
         snap = manifest.snapshot(version)
-        if snap is not None and "num_parts" in snap:
-            np_, salt_ = int(snap["num_parts"]), int(snap.get("salt", 1))
-    cand = candidate_partitions(firsts, np_, salt_)
-    parts = sorted({p for ps in cand.values() for p in ps})
+        if snap is not None:
+            if "num_parts" in snap:
+                np_, salt_ = int(snap["num_parts"]), int(snap.get("salt", 1))
+            else:
+                layout_known = False
+    if layout_known:
+        cand = candidate_partitions(firsts, np_, salt_)
+        parts = sorted({p for ps in cand.values() for p in ps})
+    else:
+        parts = None
     files, v_key_cols, v_payload_cols, v_ttl = _resolve_view(
         manifest, version, parts
     )
@@ -676,13 +688,22 @@ def lookup(
 class _OrderedFilenames:
     """Filenames whose lexicographic order equals the dataset's block order,
     so a globally sorted dataset written through this provider reads back in
-    global order by sorting the file list."""
+    global order by sorting the file list.  ``token`` is the export's own
+    identity: the caller globs ``sorted-{token}-*`` so leftover files from a
+    prior or crashed export in the same directory can never interleave into
+    (or duplicate within) the returned ordered list."""
+
+    def __init__(self, token: str):
+        self.token = token
 
     def get_filename_for_block(self, block, write_uuid, task_index, block_index):
         # write_uuid is constant within one export, so lexicographic order is
         # still (task, block); Ray requires it in the name to prevent a
         # concurrent write from overwriting these files
-        return f"sorted-{write_uuid}-{task_index:06d}-{block_index:06d}.parquet"
+        return (
+            f"sorted-{self.token}-{write_uuid}-"
+            f"{task_index:06d}-{block_index:06d}.parquet"
+        )
 
     def get_filename_for_row(self, row, write_uuid, task_index, block_index, row_index):
         raise NotImplementedError
@@ -710,12 +731,15 @@ def export_sorted(
         raise FileNotFoundError(f"no manifest at {lake_dir}")
     by = list(by) if by else list(manifest.key_cols)
     ds = read_lake(lake_dir, columns=columns, version=version)
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:12]
     ds.sort(by, descending=descending).write_parquet(
-        out_dir, filename_provider=_OrderedFilenames()
+        out_dir, filename_provider=_OrderedFilenames(token)
     )
     import glob as _glob
 
-    return sorted(_glob.glob(os.path.join(out_dir, "sorted-*.parquet")))
+    return sorted(_glob.glob(os.path.join(out_dir, f"sorted-{token}-*.parquet")))
 
 
 def read_lake_pandas(

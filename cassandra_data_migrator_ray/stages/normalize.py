@@ -25,7 +25,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from cassandra_data_migrator_ray.functions.lww import fold_events
 from cassandra_data_migrator_ray.schema import (
     ENVELOPE_COLS,
     KEY_COLS,
@@ -159,22 +158,28 @@ class Normalize:
         if not self.prefold:
             return batch.append_column(PART_COL, pa.array(part, pa.int32()))
 
-        df = batch.to_pandas()
-        folded = fold_events(
-            df, self.key_cols, self.payload_cols, self.counter_cols,
+        # Arrow-native combiner: fold per key inside the batch without ever
+        # materializing Python-object strings (fold_events_arrow gathers
+        # payload bytes through nullable take kernels) — the pandas twin
+        # fold_events stays as the reference kernel, equality-tested in pytest
+        from cassandra_data_migrator_ray.functions.lww import fold_events_arrow
+
+        folded = fold_events_arrow(
+            batch, self.key_cols, self.payload_cols, self.counter_cols,
             ttl=self.ttl_enabled,
         )
-        if len(folded):
-            folded[PART_COL] = assign_partition_keys(
-                [folded[k] for k in self.key_cols], self.num_parts, self.salt
+        if folded.num_rows:
+            fpart = assign_partition_keys(
+                [folded.column(k) for k in self.key_cols],
+                self.num_parts,
+                self.salt,
             )
         else:
-            folded[PART_COL] = np.array([], dtype=np.int32)
-        # emit typed Arrow (consistent blocks through the shuffle, no pandas
-        # object-dtype size estimation on empty batches)
+            fpart = np.array([], dtype=np.int32)
+        folded = folded.append_column(PART_COL, pa.array(fpart, pa.int32()))
+        # emit typed Arrow (consistent blocks through the shuffle)
         out_schema = self._out_schema()
-        tbl = pa.Table.from_pandas(folded, preserve_index=False)
-        return tbl.select(out_schema.names).cast(out_schema)
+        return folded.select(out_schema.names).cast(out_schema)
 
 
 __all__ = ["Normalize", "PART_COL", "ENVELOPE_COLS"]
