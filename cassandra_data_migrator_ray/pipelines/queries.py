@@ -1232,6 +1232,75 @@ def cdc_validate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def sit_autocorrect_counters(sf_dir: str) -> pd.DataFrame:
+    """SIT golden-output parity gate (reference SIT/smoke/02_autocorrect_kvp
+    + SIT/cdm-assert.sh asserts exact cqlsh output and final job counters):
+    migrate → deterministically corrupt the target (drop one live row =
+    MISSING, mutate one text = MISMATCH, inject one phantom key = EXTRA) →
+    DiffData validate → autocorrect → validate clean.  Returns BOTH
+    validations' counter tables — the counters the SIT harness greps for —
+    oracle-paired in SQL (pre: 1/1/1 + K-2 valid; post: 0/0/0 + K valid,
+    K = the LWW fold's key count)."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from cassandra_data_migrator_ray.gen import oracle_final_state
+    from cassandra_data_migrator_ray.pipelines.diff import autocorrect, validate
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+
+    cache = _gen_cached_events(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    try:
+        # fixed run_id → stable data-file names → deterministic corruption
+        replay(cache, lake, num_parts=NUM_PARTS, run_id="sitgate01")
+        expected = oracle_final_state(pq_.read_table(cache).to_pandas())
+        corrupted = False
+        for f in sorted(_glob.glob(os.path.join(lake, "data", "*.parquet"))):
+            t = pq_.read_table(f)
+            df = t.to_pandas()
+            live = df.index[~df[DELETED]]
+            if len(live) < 3:
+                continue
+            part_k = int(os.path.basename(f).split("-")[1])
+            df = df.drop(index=live[0])  # MISSING
+            df.loc[live[1], "text"] = "::SIT-CORRUPTED::"  # MISMATCH
+            extra = df.loc[[live[2]]].copy()  # EXTRA (phantom write,
+            # route-consistent: autocorrect deletes extras by key route)
+            extra["conv_id"] = next(
+                f"convEXTRA{i}"
+                for i in range(100_000)
+                if assign_partition(
+                    np.array([f"convEXTRA{i}"], dtype=object),
+                    np.array([0]),
+                    NUM_PARTS,
+                )[0]
+                == part_k
+            )
+            extra["turn_idx"] = np.int32(0)
+            df = pd.concat([df, extra], ignore_index=True)
+            pq_.write_table(
+                pa.Table.from_pandas(df, preserve_index=False).cast(t.schema), f
+            )
+            corrupted = True
+            break
+        assert corrupted, "no partition file with >=3 live rows to corrupt"
+        res1 = validate(expected, lake)
+        autocorrect(res1, lake)
+        res2 = validate(expected, lake)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    rows = [
+        {"phase": phase, "status": k, "n": np.int64(v)}
+        for phase, res in (("pre", res1), ("post", res2))
+        for k, v in sorted(res.counts.items())
+    ]
+    return pd.DataFrame(rows).sort_values(
+        ["phase", "status"], ignore_index=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # E. custom operators beyond the reference: windowed aggregate + as-of join
 # ---------------------------------------------------------------------------

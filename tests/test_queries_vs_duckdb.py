@@ -42,15 +42,36 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort", ignore_index=True)
 
 
-ORACLE_KEYS = sorted(contract.oracle_sql())
+# the full gate surface: the 50-slot driver dict ∪ the pruned extras
+# (no-oracle sketches + analytics variants) — pytest asserts everything
+def _all_queries():
+    return {**contract.queries(), **contract.queries_extra()}
+
+
+def _all_oracles():
+    return {**contract.oracle_sql(), **contract.oracle_sql_extra()}
+
+
+ORACLE_KEYS = sorted(_all_oracles())
+
+
+def test_driver_dict_is_within_harness_cap():
+    """The correctness harness checks at most 50 queries in dict order; an
+    oversized dict silently skips the tail (round-3 lesson).  Every driver
+    entry must also be oracle-paired — rows-only gates live in the extras."""
+    qs = contract.queries()
+    assert len(qs) <= 50, f"queries() has {len(qs)} entries (harness cap 50)"
+    missing = sorted(set(qs) - set(contract.oracle_sql()))
+    assert not missing, f"driver queries without oracle SQL: {missing}"
+    assert not set(qs) & set(contract.queries_extra())
 
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(duck, name):
-    q = contract.queries()[name]
+    q = _all_queries()[name]
     got = normalize(q(SF_DIR))
-    want = normalize(duck.execute(contract.oracle_sql()[name]).df())
+    want = normalize(duck.execute(_all_oracles()[name]).df())
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
@@ -58,7 +79,7 @@ def test_query_matches_oracle(duck, name):
 
 @pytest.mark.usefixtures("ray_session")
 def test_rows_only_queries_run():
-    qs = contract.queries()
+    qs = _all_queries()
     for name in sorted(set(qs) - set(ORACLE_KEYS)):
         out = qs[name](SF_DIR)
         out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
@@ -214,7 +235,7 @@ class TestNullAndEmptyParity:
         return con
 
     def _compare(self, con, name, got):
-        want = normalize(con.execute(contract.oracle_sql()[name]).df())
+        want = normalize(con.execute(_all_oracles()[name]).df())
         got = normalize(got)
         assert list(got.columns) == list(want.columns), name
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
