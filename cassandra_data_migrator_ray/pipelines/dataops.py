@@ -298,6 +298,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.8,
     max_bucket: int = 64,
     verify: str = "driver",
+    collect: str = "driver",
 ) -> ray.data.Dataset:
     """Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -315,8 +316,18 @@ def dedup_minhash_lsh(
       ``groupby`` exchanges — attach-set-per-side, then per-pair Jaccard.
       The corpus text never moves and no text/set ever lands on the driver —
       the 100-TB verification path.
+
+    ``collect="distributed"`` removes the last driver object: candidate
+    pairs are deduped through a pair-proportional ``groupby(id_a, id_b)``
+    and verified via :func:`_verify_pairs_ds` (Bloom-broadcast payload
+    filter) — the pair list stays a Dataset end to end and the result can
+    flow straight into ``cluster_pairs``/``dedup_apply`` without the driver
+    ever holding a pair.  Implies distributed verification.
     """
     from cassandra_data_migrator_ray.functions.dedup import _shingle_hashes
+
+    if collect == "distributed":
+        ds = _ensure_multipass(ds)  # bands pass + payload pass
 
     def sig_and_bands(batch: pd.DataFrame) -> pd.DataFrame:
         _require_nonneg_ids(batch[id_col].to_numpy(), id_col)
@@ -339,7 +350,6 @@ def dedup_minhash_lsh(
             batch_format="pandas",
         )
     )
-    pairs = _collect_candidates(cand, "minhash_lsh")
     empty = pd.DataFrame(
         {
             "id_a": pd.Series([], dtype=np.int64),
@@ -347,6 +357,26 @@ def dedup_minhash_lsh(
             "jaccard": pd.Series([], dtype=np.float64),
         }
     )
+    if collect == "distributed":
+        empty_cand = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+            }
+        )
+        pairs_ds = _dedup_pairs_distributed(cand, "minhash_lsh", empty_cand)
+        return _verify_pairs_ds(
+            ds,
+            pairs_ds,
+            id_col,
+            _jaccard_payload_fn(text_col, shingle_k),
+            pa.list_(pa.int64()),
+            _jaccard_score,
+            threshold,
+            "jaccard",
+            empty,
+        )
+    pairs = _collect_candidates(cand, "minhash_lsh")
     if pairs.empty:
         return ray.data.from_pandas(empty)
     if verify == "distributed":
@@ -392,6 +422,45 @@ def dedup_minhash_lsh(
         }
     )
     return ray.data.from_pandas(out if len(out) else empty)
+
+
+def _attach_payload(group: pd.DataFrame) -> pd.DataFrame:
+    """groupby(doc) combiner: attach the doc's payload row (id_a = -1) to
+    every pair-side row referencing it; payload rows with no sides (Bloom
+    false positives, unpaired docs) emit nothing."""
+    m = group["id_a"] < 0
+    sides = group[~m]
+    if sides.empty:
+        return sides[["id_a", "id_b", "payload"]]
+    srow = group[m]
+    s = srow["payload"].iloc[0] if len(srow) else None
+    out = sides[["id_a", "id_b"]].copy()
+    out["payload"] = [s] * len(out)
+    return out
+
+
+def _make_pair_score(score_fn, threshold: float, score_col: str):
+    def pair_score(group: pd.DataFrame) -> pd.DataFrame:
+        vals = [v for v in group["payload"]]
+        if len(vals) != 2 or any(v is None for v in vals):
+            score = -np.inf  # a side's doc is missing from the corpus
+        else:
+            score = score_fn(vals[0], vals[1])
+        if score < threshold:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 score_col: pd.Series([], dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": group["id_a"].iloc[:1].astype(np.int64),
+                "id_b": group["id_b"].iloc[:1].astype(np.int64),
+                score_col: np.array([score], dtype=np.float64),
+            }
+        )
+
+    return pair_score
 
 
 def _verify_pairs_distributed(
@@ -455,46 +524,145 @@ def _verify_pairs_distributed(
         }
     )
 
-    def attach(group: pd.DataFrame) -> pd.DataFrame:
-        m = group["id_a"] < 0
-        sides = group[~m]
-        if sides.empty:
-            return sides[["id_a", "id_b", "payload"]]
-        srow = group[m]
-        s = srow["payload"].iloc[0] if len(srow) else None
-        out = sides[["id_a", "id_b"]].copy()
-        out["payload"] = [s] * len(out)
-        return out
+    out = (
+        payload_ds.union(ray.data.from_arrow(side))
+        .groupby("doc")
+        .map_groups(_attach_payload, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(_make_pair_score(score_fn, threshold, score_col),
+                    batch_format="pandas")
+    )
+    got = out.to_pandas()
+    return ray.data.from_pandas(got if len(got) else empty)
 
-    def pair_score(group: pd.DataFrame) -> pd.DataFrame:
-        vals = list(group["payload"])
-        if len(vals) != 2 or any(v is None for v in vals):
-            score = -np.inf  # a side's doc is missing from the corpus
-        else:
-            score = score_fn(vals[0], vals[1])
-        if score < threshold:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=np.int64),
-                 "id_b": pd.Series([], dtype=np.int64),
-                 score_col: pd.Series([], dtype=np.float64)}
-            )
-        return pd.DataFrame(
+
+def _bloom_hashes(ids: np.ndarray, m_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent splitmix64-style probe positions per int64 id."""
+    x = ids.astype(np.int64).view(np.uint64)
+    h1 = x * np.uint64(0x9E3779B97F4A7C15)
+    h1 ^= h1 >> np.uint64(31)
+    h2 = (x + np.uint64(0x165667B19E3779F9)) * np.uint64(0xC2B2AE3D27D4EB4F)
+    h2 ^= h2 >> np.uint64(29)
+    mask = np.uint64(m_bits - 1)
+    return (h1 & mask).astype(np.int64), (h2 & mask).astype(np.int64)
+
+
+def _bloom_member(bits: np.ndarray, ids: np.ndarray, m_bits: int) -> np.ndarray:
+    h1, h2 = _bloom_hashes(ids, m_bits)
+    got1 = (bits[h1 >> 3] >> (h1 & 7).astype(np.uint8)) & 1
+    got2 = (bits[h2 >> 3] >> (h2 & 7).astype(np.uint8)) & 1
+    return (got1 & got2).astype(bool)
+
+
+def _bloom_from_pairs(
+    pairs: ray.data.Dataset, n_pairs: int
+) -> tuple[np.ndarray, int]:
+    """Bloom filter over every id referenced by the pair Dataset, built
+    WITHOUT collecting the pairs: each pair batch emits its (deduped) probe
+    positions; the driver streams position batches and ORs bits into a
+    fixed-size bitmap.  Driver memory is the bitmap (2 bytes/id at the
+    sizing below, capped at 256 MiB); a false positive only costs one
+    wasted payload row, dropped at the attach groupby — never a wrong
+    result."""
+    n_ids = max(2 * n_pairs, 1)
+    m_bits = 1 << int(np.clip(int(np.ceil(np.log2(16.0 * n_ids))), 16, 31))
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+
+    def probe_positions(t: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    t["id_a"].to_numpy(zero_copy_only=False),
+                    t["id_b"].to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+        )
+        h1, h2 = _bloom_hashes(ids, m_bits)
+        pos = np.unique(np.concatenate([h1, h2]))
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    for b in pairs.map_batches(
+        probe_positions, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        pos = b["pos"].to_numpy()
+        np.bitwise_or.at(
+            bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
+        )
+    return bits, m_bits
+
+
+def _verify_pairs_ds(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str,
+    payload_fn,
+    payload_type: pa.DataType,
+    score_fn,
+    threshold: float,
+    score_col: str,
+    empty: pd.DataFrame,
+) -> ray.data.Dataset:
+    """Fully distributed twin of :func:`_verify_pairs_distributed`: the
+    candidate pairs stay a Dataset end to end — the driver never holds an
+    (id_a, id_b) list, only a fixed-size Bloom bitmap (the 100-TB path when
+    dup density makes the pair list itself large).  Reference analogue: the
+    bounded record buffer of DiffJobSession.java:134-161 — nothing
+    pair-proportional may accumulate in one process.
+
+    Stages (all candidate-proportional, corpus payload never shuffles):
+    1. Bloom filter of candidate ids, built by streaming probe positions;
+    2. corpus pass computes payloads for Bloom-positive docs only;
+    3. each pair row splits into two side rows (map_batches, stays a
+       Dataset); union + ``groupby(doc)`` attaches payloads (Bloom false
+       positives drop here); ``groupby(id_a, id_b)`` scores and filters.
+    """
+    pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_pandas(empty)
+    bloom_bits, m_bits = _bloom_from_pairs(pairs, n_pairs)
+    ref = ray.put(bloom_bits)
+
+    def doc_payloads(batch: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        picked = batch.filter(pa.array(_bloom_member(bits, ids, m_bits)))
+        payloads = payload_fn(picked)
+        n = len(picked)
+        return pa.table(
             {
-                "id_a": group["id_a"].iloc[:1].astype(np.int64),
-                "id_b": group["id_b"].iloc[:1].astype(np.int64),
-                score_col: np.array([score], dtype=np.float64),
+                "doc": picked[id_col].cast(pa.int64()),
+                "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "payload": pa.array(payloads, payload_type),
+            }
+        )
+
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate([a, b])),
+                "id_a": pa.array(np.tile(a, 2)),
+                "id_b": pa.array(np.tile(b, 2)),
+                "payload": pa.nulls(2 * len(a), payload_type),
             }
         )
 
     out = (
-        payload_ds.union(ray.data.from_arrow(side))
+        ds.map_batches(doc_payloads, batch_format="pyarrow")
+        .union(pairs.map_batches(pair_sides, batch_format="pyarrow"))
         .groupby("doc")
-        .map_groups(attach, batch_format="pandas")
+        .map_groups(_attach_payload, batch_format="pandas")
         .groupby(["id_a", "id_b"])
-        .map_groups(pair_score, batch_format="pandas")
+        .map_groups(_make_pair_score(score_fn, threshold, score_col),
+                    batch_format="pandas")
+        .materialize()
     )
-    got = out.to_pandas()
-    return ray.data.from_pandas(got if len(got) else empty)
+    if out.count() == 0:
+        return ray.data.from_pandas(empty)
+    return out
 
 
 def _jaccard_payload_fn(text_col: str, shingle_k: int):
@@ -1016,12 +1184,17 @@ def embedding_neardup(
     bits_per_band: int | None = None,
     max_bucket: int = 512,
     verify: str = "driver",
+    collect: str = "driver",
 ) -> ray.data.Dataset:
     """Cosine near-dup pairs via BANDED random-hyperplane LSH + exact verify.
 
     ``verify="distributed"`` routes the exact-cosine check through the same
     no-payload-on-driver union+groupby machinery as minhash (the driver holds
     only the (id_a, id_b) pair list, never a vector).
+    ``collect="distributed"`` keeps even the pair list off the driver: pairs
+    are deduped through a pair-proportional groupby and verified via
+    :func:`_verify_pairs_ds` (Bloom-broadcast vector gather) — the result
+    stays a Dataset end to end.  Implies distributed verification.
 
     Banding (n_bands independent sign-bit buckets of bits_per_band planes)
     replaces the old single-band 8-bit scheme whose 256 global buckets grew
@@ -1084,7 +1257,6 @@ def embedding_neardup(
             batch_format="pandas",
         )
     )
-    pairs = _collect_candidates(cand, "embedding_neardup")
     empty = pd.DataFrame(
         {
             "id_a": pd.Series([], dtype=np.int64),
@@ -1092,19 +1264,40 @@ def embedding_neardup(
             "cosine": pd.Series([], dtype=np.float64),
         }
     )
+
+    def vec_payloads(picked: pa.Table) -> list:
+        if len(picked) == 0:
+            return []
+        m = np.vstack(
+            picked[vec_col].to_pandas().to_numpy()
+        ).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        return list(m)
+
+    if collect == "distributed":
+        ds = _ensure_multipass(ds)  # bucketize pass + vector-gather pass
+        empty_cand = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+            }
+        )
+        pairs_ds = _dedup_pairs_distributed(cand, "embedding_neardup", empty_cand)
+        return _verify_pairs_ds(
+            ds,
+            pairs_ds,
+            id_col,
+            vec_payloads,
+            pa.list_(pa.float64()),
+            lambda a, b: float(np.dot(np.asarray(a), np.asarray(b))),
+            threshold,
+            "cosine",
+            empty,
+        )
+    pairs = _collect_candidates(cand, "embedding_neardup")
     if pairs.empty:
         return ray.data.from_pandas(empty)
     if verify == "distributed":
-
-        def vec_payloads(picked: pa.Table) -> list:
-            if len(picked) == 0:
-                return []
-            m = np.vstack(
-                picked[vec_col].to_pandas().to_numpy()
-            ).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-            return list(m)
-
         return _verify_pairs_distributed(
             ds,
             pairs,
@@ -1405,6 +1598,8 @@ def dedup_near(
     and the final filter is one broadcast membership pass over the corpus.
     """
     if method == "exact":
+        # exact pairs are born distributed (one hash groupby, no collect step)
+        detector_kwargs.pop("collect", None)
         pairs = exact_dup_pairs(ds, text_col=text_col, id_col=id_col)
     elif method == "minhash":
         pairs = dedup_minhash_lsh(

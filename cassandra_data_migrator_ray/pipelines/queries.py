@@ -434,14 +434,17 @@ def neardup_cluster_docs(sf_dir: str) -> pd.DataFrame:
 def dedup_apply_docs(sf_dir: str) -> pd.DataFrame:
     """The deduplicated corpus: cluster exact-dup chain pairs, keep the
     min-id doc per cluster plus every unpaired doc, filter with one broadcast
-    membership pass (the corpus never shuffles)."""
+    membership pass (the corpus never shuffles).  Clustering runs the
+    DISTRIBUTED label-propagation path so the gate exercises the no-pairs-
+    on-driver pipeline end to end (the driver kernel is equality-tested in
+    pytest)."""
     from cassandra_data_migrator_ray.pipelines.dataops import (
         dedup_apply,
         exact_dup_pairs,
     )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    kept = dedup_apply(ds, exact_dup_pairs(ds)).to_pandas()
+    kept = dedup_apply(ds, exact_dup_pairs(ds), mode="distributed").to_pandas()
     kept["doc_id"] = kept["doc_id"].astype(np.int64)
     return kept[["doc_id", "text"]].sort_values("doc_id", ignore_index=True)
 
@@ -667,10 +670,15 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """collect='distributed' routes the gate through the full no-pairs-on-
+    driver pipeline (pair-dedup groupby + Bloom-broadcast verify); the
+    driver-collect twin is equality-tested in pytest."""
     from cassandra_data_migrator_ray.pipelines.dataops import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(
-        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.5,
+        collect="distributed",
     ).to_pandas()
     return _pairs_or_empty(pairs, "jaccard")
 

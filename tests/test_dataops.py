@@ -192,6 +192,26 @@ class TestDedupPipelines:
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 10
 
+    def test_minhash_distributed_collect_matches_driver(self):
+        """collect='distributed' (pair list never lands on the driver: pair
+        dedup groupby + Bloom-broadcast payload gather) must produce exactly
+        the driver-collected pair set and scores."""
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_minhash_lsh
+
+        ds = ray.data.from_pandas(docs_df())
+        a = (
+            dedup_minhash_lsh(ds, threshold=0.5, verify="driver")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        b = (
+            dedup_minhash_lsh(ds, threshold=0.5, collect="distributed")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 10
+
     def test_dedup_simhash(self):
         from cassandra_data_migrator_ray.pipelines.dataops import dedup_simhash
 
@@ -327,6 +347,19 @@ class TestSimilarity:
         )
         pd.testing.assert_frame_equal(
             pairs.sort_values(["id_a", "id_b"], ignore_index=True), dist
+        )
+
+        # collect='distributed': the pair list itself stays a Dataset
+        # (Bloom-filter gather); identical pair set and scores again
+        full = (
+            embedding_neardup(
+                ray.data.from_pandas(df), threshold=0.99, collect="distributed"
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            pairs.sort_values(["id_a", "id_b"], ignore_index=True), full
         )
 
 
@@ -636,6 +669,32 @@ class TestDedupNear:
         # near threshold 0.9 the one-word variants still cluster with doc 0
         assert len(kept_nd) <= len(kept_exact)
         assert {1, 2} <= set(kept_nd["doc_id"])
+
+    def test_fully_distributed_path_matches_driver(self):
+        """dedup_near with collect='distributed' + cluster_mode='distributed'
+        (detect → dedup pairs → Bloom verify → label-prop clustering, no
+        pair list on the driver at any stage) must keep exactly the same
+        survivor set as the all-driver path."""
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_near
+
+        ds = ray.data.from_pandas(docs_df())
+        a = (
+            dedup_near(ds, method="minhash", threshold=0.5)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        b = (
+            dedup_near(
+                ds,
+                method="minhash",
+                threshold=0.5,
+                collect="distributed",
+                cluster_mode="distributed",
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
 
     def test_unknown_method_raises(self):
         from cassandra_data_migrator_ray.pipelines.dataops import dedup_near
