@@ -207,8 +207,13 @@ def fold_events_arrow(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # NO table-wide combine_chunks: payload columns are only ever touched by
+    # winner-sized pc.take gathers (chunked-safe), so leaving them chunked
+    # keeps staged payload bytes mmapped and uncopied — bookkeeping columns
+    # below concat per-column via to_numpy, which is all the fold needs.
+    # (Round-3 scaling instrumentation blamed stage-2 DRAM copy traffic for
+    # the 8→32-worker efficiency cap; the table-wide combine was ~half of it.)
     n = tbl.num_rows
-    tbl = tbl.combine_chunks()
     if n == 0:
         import pyarrow as pa
 
@@ -529,7 +534,8 @@ def merge_state_tables_arrow(
     if not tabs:
         raise ValueError("merge_state_tables_arrow: no non-empty tables")
     tbl = pa.concat_tables(tabs, promote_options="none") if len(tabs) > 1 else tabs[0]
-    tbl = tbl.combine_chunks()
+    # no table-wide combine_chunks — see fold_events_arrow: payload columns
+    # stay chunked (winner-sized takes only); bookkeeping concats per column
     n = tbl.num_rows
 
     codes: list[np.ndarray] = []
