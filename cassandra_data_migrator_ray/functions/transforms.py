@@ -255,13 +255,67 @@ def _wkt_linestring(col: pa.Array) -> pa.Array:
 
 
 def _polygon_wkt(col: pa.Array) -> pa.Array:
-    """Single-ring polygon (list<point>) → 'POLYGON ((x y, ...))'.  Multi-ring
-    polygons are out of scope (the reference SITs only exercise simple rings)."""
+    """Single-ring polygon (list<point>) → 'POLYGON ((x y, ...))'.  For
+    polygons with interior rings use the multi codec below (one-ring values
+    render byte-identically through either)."""
     return _with_validity(col, _wrap(_coords_join(col), "POLYGON ((", "))"))
 
 
 def _wkt_polygon(col: pa.Array) -> pa.Array:
     return _coords_parse(_unwrap_regex(col, r"POLYGON \(\((?P<body>.*)\)\)"))
+
+
+def _polygon_multi_wkt(col: pa.Array) -> pa.Array:
+    """Multi-ring polygon (list<list<point>>, first ring = exterior) →
+    'POLYGON ((x y, ...), (x y, ...))' — the DSE driver's full polygon shape
+    (cql/codec/CodecFactory.java:52-58).  Zero-ring values render null (WKT
+    has no 'POLYGON ()' form).  Fully vectorized: flatten rings, join
+    coordinates per ring, rebuild the outer list by cumulative ring counts."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    null_np = pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool)
+    lens = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    rings = pc.list_flatten(col)  # non-null rows' rings, concatenated
+    rings = rings.combine_chunks() if isinstance(rings, pa.ChunkedArray) else rings
+    ring_txt = _wrap(_coords_join(rings), "(", ")") if len(rings) else pa.array(
+        [], pa.string()
+    )
+    off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(off, pa.int32()), ring_txt)
+    out = _wrap(pc.binary_join(lst, ", "), "POLYGON (", ")")
+    bad = null_np | (lens == 0)
+    return pc.if_else(pa.array(bad), pa.scalar(None, pa.string()), out)
+
+
+def _wkt_polygon_multi(col: pa.Array) -> pa.Array:
+    """'POLYGON ((...), (...))' → list<list<point>>.  Mirrors _coords_parse's
+    degenerate-row handling: the split of a filled-null body yields one ''
+    element, which is dropped and its row length zeroed so masked-null
+    offsets never absorb a neighbor's rings."""
+    body = _unwrap_regex(col, r"POLYGON \(\((?P<body>.*)\)\)")
+    body = body.combine_chunks() if isinstance(body, pa.ChunkedArray) else body
+    null_np = pc.is_null(body).to_numpy(zero_copy_only=False).astype(bool)
+    filled = pc.fill_null(body, "")
+    degenerate = pc.equal(filled, "").to_numpy(zero_copy_only=False).astype(bool)
+    rings = pc.split_pattern(filled, "), (")
+    rings = rings.combine_chunks() if isinstance(rings, pa.ChunkedArray) else rings
+    off = np.asarray(rings.offsets)
+    flat = rings.values.slice(int(off[0]), int(off[-1] - off[0]))
+    if degenerate.any():  # each degenerate row contributed exactly one ''
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[degenerate]] = False
+        flat = flat.filter(pa.array(keep))
+    lengths = np.diff(off)
+    lengths[degenerate] = 0
+    new_off = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    inner = _coords_parse(flat)
+    off_arr = pa.array(
+        new_off, pa.int32(), mask=np.concatenate([null_np | degenerate, [False]])
+    )
+    return pa.ListArray.from_arrays(off_arr, inner)
 
 
 def _duration_string(col: pa.Array) -> pa.Array:
@@ -331,6 +385,8 @@ _GEO_CODECS = {
     "wkt_linestring": _wkt_linestring,
     "polygon_wkt": _polygon_wkt,
     "wkt_polygon": _wkt_polygon,
+    "polygon_multi_wkt": _polygon_multi_wkt,
+    "wkt_polygon_multi": _wkt_polygon_multi,
     "duration_string": _duration_string,
     "string_duration": _string_duration,
     "daterange_string": _daterange_string,
