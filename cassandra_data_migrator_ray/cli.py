@@ -79,6 +79,28 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--max-kb", type=float, default=1.0)
     g.add_argument("--columns", nargs="*", default=None)
 
+    dd = sub.add_parser(
+        "dedup", help="deduplicate a document corpus (detect → cluster → apply)"
+    )
+    dd.add_argument("--input", required=True, nargs="+",
+                    help="corpus parquet file(s)/dir(s)")
+    dd.add_argument("--output", required=True,
+                    help="output directory for the deduplicated parquet")
+    dd.add_argument("--method", default="minhash",
+                    choices=["exact", "minhash", "simhash", "embedding"])
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--vec-col", default="embedding",
+                    help="vector column (method=embedding)")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="jaccard (minhash) / cosine (embedding) threshold")
+    dd.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash bit distance")
+    dd.add_argument("--distributed", action="store_true",
+                    help="keep pair lists off the driver (Bloom-broadcast "
+                         "verify + label-propagation clustering) — the "
+                         "high-dup-density path")
+
     c = sub.add_parser("compact", help="rewrite partitions dropping tombstones")
     c.add_argument("--lake", required=True)
     c.add_argument("--grace-wt", type=int, default=None)
@@ -417,6 +439,48 @@ def main(argv: list[str] | None = None) -> int:
             res = guardrail_scan(rd.read_parquet(args.input), args.max_kb, args.columns)
             print(json.dumps({"counters": res.counters}))
             return 0 if res.counters["LARGE"] == 0 else 1
+        elif args.cmd == "dedup":
+            import time as _time
+
+            import ray.data as rd
+
+            from cassandra_data_migrator_ray.pipelines.dataops import dedup_near
+
+            t0 = _time.perf_counter()
+            ds = rd.read_parquet(args.input)
+            n_in = ds.count()
+            kwargs: dict = {}
+            if args.method == "minhash":
+                kwargs["threshold"] = args.threshold
+            elif args.method == "embedding":
+                kwargs["threshold"] = args.threshold
+                kwargs["vec_col"] = args.vec_col
+            elif args.method == "simhash":
+                kwargs["max_hamming"] = args.max_hamming
+            if args.distributed and args.method in (
+                "minhash", "embedding", "simhash"
+            ):
+                kwargs["collect"] = "distributed"
+            kept = dedup_near(
+                ds,
+                method=args.method,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                cluster_mode="distributed" if args.distributed else "driver",
+                **kwargs,
+            )
+            kept.write_parquet(args.output)
+            n_out = rd.read_parquet(args.output).count()
+            print(
+                json.dumps(
+                    {
+                        "docs_in": int(n_in),
+                        "docs_kept": int(n_out),
+                        "docs_dropped": int(n_in - n_out),
+                        "seconds": round(_time.perf_counter() - t0, 3),
+                    }
+                )
+            )
         return 0
     finally:
         if ray is not None:

@@ -240,3 +240,38 @@ class TestSourceFormats:
         open(p, "w").write("x")
         with pytest.raises(ValueError, match="sniff"):
             read_change_batches(p)
+
+
+class TestCliDedup:
+    def test_cli_dedup_exact_and_distributed(self, tmp_path):
+        """`dedup` subcommand: corpus in, deduplicated parquet out; the
+        --distributed flag routes the no-pairs-on-driver pipeline and must
+        keep the identical survivor set."""
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(30, dtype=np.int64),
+                "text": [f"the quick brown fox number {i % 6}" for i in range(30)],
+            }
+        )
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), src)
+
+        def run(*args):
+            return subprocess.run(
+                [sys.executable, "-m", "cassandra_data_migrator_ray",
+                 "--num-cpus", "2", *args],
+                capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            )
+
+        out_a = str(tmp_path / "kept_exact")
+        r = run("dedup", "--input", src, "--output", out_a, "--method", "exact")
+        assert r.returncode == 0, r.stderr[-2000:]
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        assert res["docs_in"] == 30 and res["docs_kept"] == 6
+
+        out_b = str(tmp_path / "kept_dist")
+        r = run("dedup", "--input", src, "--output", out_b,
+                "--method", "minhash", "--threshold", "0.9", "--distributed")
+        assert r.returncode == 0, r.stderr[-2000:]
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        assert res["docs_kept"] == 6 and res["docs_dropped"] == 24
