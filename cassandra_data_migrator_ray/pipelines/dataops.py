@@ -1925,6 +1925,175 @@ def broadcast_join(
 
 
 # --------------------------------------------------------------------------
+# co-partitioned shuffle join (big ⨝ big)
+# --------------------------------------------------------------------------
+
+
+def join_by_key(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """General equi-join of two Datasets co-partitioned on the join key —
+    the big⨝big complement to :func:`broadcast_join` (Ray Data 2.49 has no
+    native join).  ``how``: inner / left / right / outer, SQL semantics
+    including null keys (a null key never matches; outer variants keep the
+    row with the other side null-filled, exactly like the reference's
+    DiffData outer comparison keeps origin-only and target-only rows,
+    `DiffJobSession.java:134-161`).
+
+    Shape: each side is tagged into ONE shared envelope schema (own columns
+    + the other side's columns as all-null Arrow arrays — a validity bitmap
+    on the wire, not data bytes) with a deterministic hash partition id, the
+    two streams union and cross ONE groupby exchange, and each partition
+    does a vectorized pandas hash-merge on Arrow-backed frames (ArrowDtype
+    preserves int64/string types through outer joins — no NaN float
+    corruption).  Both sides shuffle exactly once; the driver never sees row
+    data; partitions scale with input size (``num_partitions=None`` sizes
+    like queries._scaled_nparts).  A single pathologically hot key lands in
+    one partition by necessity (equal keys must co-locate) — if one key's
+    rows exceed a worker's heap, pre-aggregate that side or use
+    :func:`broadcast_join` with the small side extracted.  Overlapping
+    non-key right columns get ``suffix``."""
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError("how must be inner/left/right/outer")
+    on = [on] if isinstance(on, str) else list(on)
+
+    def _arrowize(ds):
+        # pandas-block datasets (from_pandas) report numpy dtypes; route
+        # them through a zero-copy arrow batch so schema().types are Arrow
+        s = ds.schema()
+        if all(isinstance(t, pa.DataType) for t in s.types):
+            return ds, s
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        return ds, ds.schema()
+
+    left, ls = _arrowize(left)
+    right, rs = _arrowize(right)
+    l_fields = dict(zip(ls.names, ls.types))
+    r_fields = dict(zip(rs.names, rs.types))
+    for c in on:
+        if c not in l_fields or c not in r_fields:
+            raise ValueError(f"join key {c!r} missing from a side")
+        if pa.types.is_nested(l_fields[c]):
+            raise ValueError(f"nested join key {c!r} unsupported")
+    key_types = {  # right keys cast to left types; dictionary keys decoded
+        c: (
+            l_fields[c].value_type
+            if pa.types.is_dictionary(l_fields[c])
+            else l_fields[c]
+        )
+        for c in on
+    }
+    l_pay = [c for c in ls.names if c not in on]
+    r_pay_src = [c for c in rs.names if c not in on]
+    ren = {c: (c + suffix if c in l_fields else c) for c in r_pay_src}
+    r_pay = [ren[c] for c in r_pay_src]
+    if len(set(on + l_pay + r_pay)) != len(on + l_pay + r_pay):
+        raise ValueError("suffixed right columns still collide with left")
+    out_types = dict(key_types)
+    out_types.update({c: l_fields[c] for c in l_pay})
+    out_types.update({ren[c]: r_fields[c] for c in r_pay_src})
+    out_cols = on + l_pay + r_pay
+
+    if num_partitions is None:
+        try:
+            est = left.count() + right.count()
+        except Exception:
+            est = 0
+        num_partitions = max(16, min(1024, est // 65536))
+    nparts = int(num_partitions)
+
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer — stateless, identical on every worker
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def _part_ids(t: pa.Table) -> np.ndarray:
+        # canonical per-type hashing: the pandas dtype of an Arrow column
+        # flips with batch null-presence (int64 → float64), so hashing a
+        # to_pandas() frame would scatter equal keys across partitions.
+        acc = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in on:
+            col, typ = t[c], key_types[c]
+            h = None
+            if (
+                pa.types.is_integer(typ)
+                or pa.types.is_boolean(typ)
+                or pa.types.is_temporal(typ)
+            ):
+                try:
+                    v = pc.fill_null(pc.cast(col, pa.int64(), safe=False), 0)
+                    h = _mix64(v.to_numpy(zero_copy_only=False).view(np.uint64))
+                except pa.ArrowInvalid:  # e.g. an un-castable temporal unit
+                    h = None
+            elif pa.types.is_floating(typ):
+                v = pc.fill_null(pc.cast(col, pa.float64()), 0.0)
+                h = _mix64(v.to_numpy(zero_copy_only=False).view(np.uint64))
+            if h is None:
+                s = pd.Series(col.to_pandas(), dtype=object)
+                h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+            acc = _mix64(acc ^ h)
+        return (acc % np.uint64(nparts)).astype(np.int32)
+
+    def _tag(side_id: int, pay_map: dict):
+        # pay_map: envelope payload name -> source column name (this side)
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {c: pc.cast(t[c], key_types[c]) for c in on}
+            for env_name in l_pay + r_pay:
+                src = pay_map.get(env_name)
+                cols[env_name] = (
+                    t[src] if src is not None else pa.nulls(n, out_types[env_name])
+                )
+            keyed = pa.table({c: cols[c] for c in on})
+            cols["__side"] = pa.array(np.full(n, side_id, dtype=np.int8))
+            cols["__part"] = pa.array(_part_ids(keyed))
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(
+        _tag(0, {c: c for c in l_pay}), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag(1, {ren[c]: c for c in r_pay_src}), batch_format="pyarrow"
+        )
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        side = t["__side"]
+        l = (
+            t.filter(pc.equal(side, 0))
+            .select(on + l_pay)
+            .to_pandas(types_mapper=pd.ArrowDtype)
+        )
+        r = (
+            t.filter(pc.equal(side, 1))
+            .select(on + r_pay)
+            .to_pandas(types_mapper=pd.ArrowDtype)
+        )
+        l_ok = ~l[on].isna().any(axis=1)
+        r_ok = ~r[on].isna().any(axis=1)
+        pieces = [l[l_ok].merge(r[r_ok], on=on, how=how)]
+        if how in ("left", "outer") and (~l_ok).any():
+            pieces.append(l[~l_ok].reindex(columns=out_cols))
+        if how in ("right", "outer") and (~r_ok).any():
+            pieces.append(r[~r_ok].reindex(columns=out_cols))
+        m = pd.concat(pieces, ignore_index=True) if len(pieces) > 1 else pieces[0]
+        return pa.table(
+            {c: pa.array(m[c], type=out_types[c], from_pandas=True) for c in out_cols}
+        )
+
+    return tagged.groupby("__part").map_groups(_merge, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # exact distributed quantiles over high-cardinality float columns
 # --------------------------------------------------------------------------
 
