@@ -1936,6 +1936,7 @@ def join_by_key(
     how: str = "inner",
     suffix: str = "_r",
     num_partitions: int | None = None,
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """General equi-join of two Datasets co-partitioned on the join key —
     the big⨝big complement to :func:`broadcast_join` (Ray Data 2.49 has no
@@ -1953,13 +1954,27 @@ def join_by_key(
     preserves int64/string types through outer joins — no NaN float
     corruption).  Both sides shuffle exactly once; the driver never sees row
     data; partitions scale with input size (``num_partitions=None`` sizes
-    like queries._scaled_nparts).  A single pathologically hot key lands in
-    one partition by necessity (equal keys must co-locate) — if one key's
-    rows exceed a worker's heap, pre-aggregate that side or use
-    :func:`broadcast_join` with the small side extracted.  Overlapping
-    non-key right columns get ``suffix``."""
+    like queries._scaled_nparts).
+
+    ``salt`` (skew handling, inner/left only): a single pathologically hot
+    key normally lands all its rows in one partition (equal keys must
+    co-locate).  ``salt=N`` splits the LEFT side's rows per key across N
+    sub-buckets (round-robin, deterministic per batch) and replicates the
+    RIGHT side N× so every (key, bucket) partition still sees the full
+    right side for its keys; the per-partition merge keys on (key, bucket)
+    so partition collisions between buckets cannot duplicate matches.
+    Exact for inner/left; right/outer are rejected because a replicated
+    right row cannot decide "unmatched" inside one bucket.  Cost: right
+    shuffle volume × N — use when the right side is modest but the left is
+    skewed; if the right side fits the driver, :func:`broadcast_join` is
+    cheaper still.  Overlapping non-key right columns get ``suffix``."""
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError("how must be inner/left/right/outer")
+    salt = int(salt)
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > 1 and how in ("right", "outer"):
+        raise ValueError("salt only supports how='inner'/'left'")
     on = [on] if isinstance(on, str) else list(on)
 
     def _arrowize(ds):
@@ -2014,7 +2029,7 @@ def join_by_key(
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return x ^ (x >> np.uint64(31))
 
-    def _part_ids(t: pa.Table) -> np.ndarray:
+    def _part_ids(t: pa.Table, salts: np.ndarray | None = None) -> np.ndarray:
         # canonical per-type hashing: the pandas dtype of an Arrow column
         # flips with batch null-presence (int64 → float64), so hashing a
         # to_pandas() frame would scatter equal keys across partitions.
@@ -2039,6 +2054,8 @@ def join_by_key(
                 s = pd.Series(col.to_pandas(), dtype=object)
                 h = pd.util.hash_pandas_object(s, index=False).to_numpy()
             acc = _mix64(acc ^ h)
+        if salts is not None:
+            acc = _mix64(acc ^ salts)
         return (acc % np.uint64(nparts)).astype(np.int32)
 
     def _tag(side_id: int, pay_map: dict):
@@ -2051,10 +2068,29 @@ def join_by_key(
                 cols[env_name] = (
                     t[src] if src is not None else pa.nulls(n, out_types[env_name])
                 )
-            keyed = pa.table({c: cols[c] for c in on})
-            cols["__side"] = pa.array(np.full(n, side_id, dtype=np.int8))
-            cols["__part"] = pa.array(_part_ids(keyed))
-            return pa.table(cols)
+            base = pa.table(cols)
+            if salt > 1 and side_id == 1:
+                # replicate the right side once per salt bucket
+                base = pa.concat_tables([base] * salt)
+                salts = np.repeat(np.arange(salt, dtype=np.uint64), n)
+            elif salt > 1:
+                salts = np.arange(n, dtype=np.uint64) % np.uint64(salt)
+            else:
+                salts = None
+            m = base.num_rows
+            keyed = base.select(on)
+            base = base.append_column(
+                "__salt",
+                pa.array(
+                    salts.astype(np.int16)
+                    if salts is not None
+                    else np.zeros(m, dtype=np.int16)
+                ),
+            )
+            base = base.append_column(
+                "__side", pa.array(np.full(m, side_id, dtype=np.int8))
+            )
+            return base.append_column("__part", pa.array(_part_ids(keyed, salts)))
 
         return fn
 
@@ -2066,25 +2102,42 @@ def join_by_key(
         )
     )
 
+    merge_on = on + (["__salt"] if salt > 1 else [])
+
     def _merge(t: pa.Table) -> pa.Table:
         side = t["__side"]
         l = (
             t.filter(pc.equal(side, 0))
-            .select(on + l_pay)
+            .select(merge_on + l_pay)
             .to_pandas(types_mapper=pd.ArrowDtype)
         )
         r = (
             t.filter(pc.equal(side, 1))
-            .select(on + r_pay)
+            .select(merge_on + r_pay)
             .to_pandas(types_mapper=pd.ArrowDtype)
         )
         l_ok = ~l[on].isna().any(axis=1)
         r_ok = ~r[on].isna().any(axis=1)
-        pieces = [l[l_ok].merge(r[r_ok], on=on, how=how)]
+
+        def _pad(df: pd.DataFrame) -> pd.DataFrame:
+            # typed Arrow-NA fill for the absent side's columns (a plain
+            # reindex would make object all-NA columns and unstable concat
+            # dtypes)
+            df = df.copy()
+            for c in out_cols:
+                if c not in df.columns:
+                    df[c] = pd.Series(
+                        [None] * len(df),
+                        dtype=pd.ArrowDtype(out_types[c]),
+                        index=df.index,
+                    )
+            return df[out_cols]
+
+        pieces = [l[l_ok].merge(r[r_ok], on=merge_on, how=how)[out_cols]]
         if how in ("left", "outer") and (~l_ok).any():
-            pieces.append(l[~l_ok].reindex(columns=out_cols))
+            pieces.append(_pad(l[~l_ok]))
         if how in ("right", "outer") and (~r_ok).any():
-            pieces.append(r[~r_ok].reindex(columns=out_cols))
+            pieces.append(_pad(r[~r_ok]))
         m = pd.concat(pieces, ignore_index=True) if len(pieces) > 1 else pieces[0]
         return pa.table(
             {c: pa.array(m[c], type=out_types[c], from_pandas=True) for c in out_cols}
