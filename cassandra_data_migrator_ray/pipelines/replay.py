@@ -136,7 +136,7 @@ def replay(
     rate_limit_rows_per_s: float | None = None,
     emit_changes: bool = False,
     snapshot_retention: int | None = None,
-    staged_compression: str | None = None,
+    staged_compression: str | None = "auto",
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -167,10 +167,15 @@ def replay(
     and picks the salt that caps its partition overload at ~2× average
     (1 when no key is hot; ≤32; manifest salt wins on an existing lake).
 
-    ``staged_compression``: ``"lz4"`` / ``"zstd"`` compresses staged-slice
-    IPC buffers (default None, or env ``CDM_STAGED_COMPRESSION``) — 2-4×
-    fewer bytes through the staging exchange for cheap per-core codec CPU;
-    the knob when staging-storage bandwidth is the ceiling, not CPU.
+    ``staged_compression``: ``"lz4"`` (DEFAULT via ``"auto"``) / ``"zstd"``
+    / ``None`` compresses staged-slice IPC buffers — 2-4× fewer bytes
+    through the staging exchange for cheap per-core codec CPU.  Exchange
+    byte volume, not codec CPU, is the ceiling whenever staging storage or
+    host memory bandwidth saturates (interleaved A/B won every pair,
+    BENCH/BASELINE.md), so compression is on by default like Spark's
+    shuffle; ``"auto"`` honours env ``CDM_STAGED_COMPRESSION``
+    ("none"/"off" opts out), ``None`` forces uncompressed zero-copy-mmap
+    slices.
 
     ``rerun_multiplier`` (reference rerunMultiplier, TrackRun.java:59-71):
     partitions still pending (no receipt — e.g. failed on the previous

@@ -67,7 +67,7 @@ class StageWriter:
         self,
         staging_dir: str,
         coarse_factor: int = 1,
-        compression: str | None = None,
+        compression: str | None = "auto",
         bytes_fingerprint: bool = False,
     ):
         self.staging_dir = staging_dir
@@ -78,14 +78,21 @@ class StageWriter:
         # two different slices routed to one partition could share a seq
         # multiset and silently overwrite each other under the seq-set name
         self.bytes_fingerprint = bool(bytes_fingerprint)
-        # optional IPC buffer compression ("lz4" / "zstd") for staged slices:
-        # trades cheap per-core codec CPU for 2-4× fewer bytes through the
-        # exchange — the knob for deployments where staging-storage bandwidth
-        # (or a virtualized host's page-fault throughput) is the ceiling, at
-        # the cost of zero-copy mmap reads in stage 2.  Read side is
-        # codec-agnostic (Arrow IPC self-describes per-buffer compression).
-        if compression is None:
-            compression = os.environ.get("CDM_STAGED_COMPRESSION", "") or None
+        # IPC buffer compression ("lz4" / "zstd") for staged slices: trades
+        # cheap per-core codec CPU for 2-4× fewer bytes through the exchange,
+        # at the cost of zero-copy mmap reads in stage 2.  DEFAULT IS lz4
+        # (the Spark-shuffle default for the same reason): an interleaved
+        # 61.8M-event A/B won every pair — 168.3→31.1 s, 55.9→41.0 s,
+        # 59.8→26.9 s at 32 cpus — because exchange byte volume, not codec
+        # CPU, is the ceiling on bandwidth-bound hosts (BENCH/BASELINE.md).
+        # "auto" resolves env CDM_STAGED_COMPRESSION ("none"/"off"/"" opts
+        # out) then lz4; pass None explicitly for uncompressed slices.  Read
+        # side is codec-agnostic (Arrow IPC self-describes per buffer).
+        if compression == "auto":
+            env = os.environ.get("CDM_STAGED_COMPRESSION")
+            compression = "lz4" if env is None else env
+            if compression in ("", "none", "off"):
+                compression = None
         if compression not in (None, "lz4", "zstd"):
             raise ValueError(f"unsupported staged compression: {compression!r}")
         self.compression = compression
