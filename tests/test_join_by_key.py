@@ -197,3 +197,38 @@ def test_randomized_outer_vs_duckdb(ray_session):
         .sort_values(["k", "lv", "rv"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_timestamp_and_multibatch_null_keys(ray_session):
+    # temporal keys exercise the int64-cast hash branch; the null key
+    # appears in one batch only, so dtype-canonical hashing across batches
+    # is what keeps equal keys co-partitioned
+    ts = pd.to_datetime(
+        ["2026-01-01", "2026-01-02", "2026-01-03", "2026-01-02", None]
+    )
+    l = pd.DataFrame({"t": ts, "lv": [1, 2, 3, 4, 5]})
+    r = pd.DataFrame({"t": ts[[1, 2]], "rv": [20, 30]})
+    got = (
+        join_by_key(
+            ray.data.from_pandas(l).repartition(3),
+            ray.data.from_pandas(r),
+            on="t",
+            how="left",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .fillna({"rv": -1})
+        .astype({"lv": "int64", "rv": "int64"})
+        .sort_values(["lv"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    exp = (
+        con.execute("SELECT l.t, l.lv, r.rv FROM l LEFT JOIN r ON l.t = r.t")
+        .df()
+        .fillna({"rv": -1})
+        .astype({"lv": "int64", "rv": "int64"})
+        .sort_values(["lv"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[["t", "lv", "rv"]], exp[["t", "lv", "rv"]])
