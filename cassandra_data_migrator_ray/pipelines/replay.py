@@ -137,6 +137,7 @@ def replay(
     emit_changes: bool = False,
     snapshot_retention: int | None = None,
     staged_compression: str | None = "auto",
+    chaos_dir: str | None = None,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -183,6 +184,13 @@ def replay(
     their staged file subsets plus a final partial-merge task, instead of one
     whole-partition task — finer retry/memory granularity, exact by
     fold/merge associativity.
+
+    ``chaos_dir`` (fault injection, tests only; ``shuffle="staging"``):
+    one stage-1 task and one stage-2 task each HARD-KILL their worker
+    process (``os._exit``) at the worst possible moment — after staging
+    slices / before writing a receipt — so Ray's real task retry drives
+    the exactly-once machinery (content-addressed slice overwrite,
+    per-partition receipts) instead of a simulated crash state.
     """
     t0 = time.perf_counter()
     raw_input = not isinstance(events, ray.data.Dataset)
@@ -356,6 +364,7 @@ def replay(
         emit_changes=emit_changes,
         prior_files={k: v.files for k, v in manifest.partitions.items()},
         prior_watermarks=manifest.watermarks(),
+        chaos_dir=chaos_dir,
     )
     if shuffle == "staging":
         # lakehouse exchange: map-only partitioned staging write, then one
@@ -380,7 +389,12 @@ def replay(
         stage_batch = int(max(1 << 18, min(1 << 22, est_rows // 128 or 1 << 18)))
         t_s1 = time.perf_counter()
         stats = folded.map_batches(
-            StageWriter(staging_events, coarse_factor, staged_compression),
+            StageWriter(
+                staging_events,
+                coarse_factor,
+                staged_compression,
+                chaos_dir=chaos_dir,
+            ),
             batch_format="pyarrow",
             batch_size=stage_batch,
         ).to_pandas()  # one row per (batch, dir key) — tiny; triggers stage 1

@@ -58,6 +58,11 @@ class MergeConfig:
     emit_changes: bool = False  # write a per-run change-data-feed (cdf/)
     prior_files: dict[int, list[str]] = field(default_factory=dict)
     prior_watermarks: dict[int, int] = field(default_factory=dict)
+    # fault-injection hook (tests only): when set, ONE stage-2 task kills its
+    # worker process before writing any receipt (stages/staging.py
+    # _chaos_crash_once) so Ray's real task retry exercises the
+    # exactly-once protocol; ignored by the groupby-shuffle merge path
+    chaos_dir: str | None = None
 
 
 # ---- change-data-feed (CDC out) ---------------------------------------------

@@ -40,6 +40,22 @@ import pyarrow.parquet as pq
 from cassandra_data_migrator_ray.stages.normalize import PART_COL
 
 
+def _chaos_crash_once(chaos_dir: str, stage: str) -> None:
+    """Fault-injection hook (tests only): the FIRST task to claim the
+    ``{stage}-crashed`` marker kills its worker process outright —
+    ``os._exit``, no Python cleanup, exactly what a preempted node looks
+    like to Ray — so the retry machinery (Ray task retry → content-
+    addressed slice overwrite → receipt skip) is exercised for real, not
+    simulated.  O_EXCL makes the claim atomic across concurrent workers."""
+    marker = os.path.join(chaos_dir, f"{stage}-crashed")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return
+    os.close(fd)
+    os._exit(1)
+
+
 def _hash64(v: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit mix of int64 values (splitmix64 finalizer)."""
     x = v.astype(np.uint64)
@@ -69,9 +85,13 @@ class StageWriter:
         coarse_factor: int = 1,
         compression: str | None = "auto",
         bytes_fingerprint: bool = False,
+        chaos_dir: str | None = None,
     ):
         self.staging_dir = staging_dir
         self.coarse_factor = max(1, int(coarse_factor))
+        # tests only: crash one stage-1 worker AFTER it staged its slices
+        # (the retry must overwrite them byte-for-byte, never double-stage)
+        self.chaos_dir = chaos_dir
         # force the IPC-bytes fingerprint even when a seq column is present:
         # required when the staged rows are STATE rows (reshard) — their
         # __max_seq values are per-key watermarks, NOT globally unique, so
@@ -188,6 +208,11 @@ class StageWriter:
                 fp = h.hexdigest()
             os.replace(tmp, os.path.join(pdir, f"blk-{fp}.arrow"))
             rows.append({"part": np.int32(k), "rows": np.int64(hi - lo)})
+        if self.chaos_dir:
+            # die AFTER staging the batch but BEFORE reporting it: the worst
+            # spot — Ray re-runs the task, which must re-produce the exact
+            # same content-addressed slices (overwrite, not append)
+            _chaos_crash_once(self.chaos_dir, "stage1")
         return pd.DataFrame(rows)
 
 
@@ -312,6 +337,11 @@ def _merge_fine(
             ]
         )
 
+    if cfg.chaos_dir:
+        # die before any receipt exists for this partition: the retry must
+        # re-read the staged slices and fold from scratch; partitions this
+        # worker already finished resume via their receipts (SKIPPED_RESUME)
+        _chaos_crash_once(cfg.chaos_dir, "stage2")
     out_schema = _arrow_state_schema(cfg)
     _t1 = _time.perf_counter()
     if "op" in events_tbl.column_names:
