@@ -25,6 +25,38 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def bw_probe() -> float:
+    """Host-condition probe: GB/s of a fresh-page numpy copy.  On this
+    virtualized host the dominant noise source is page-fault/copy throughput
+    (measured 0.03-8 GB/s for the SAME probe minutes apart), which no in-VM
+    loadavg or /proc/stat counter reflects — so measure it directly."""
+    import numpy as _np
+
+    x = _np.ones(25_000_000)  # 200 MB
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x.copy()
+    return 3 * x.nbytes * 2 / (time.perf_counter() - t0) / 1e9
+
+
+def wait_for_quiet(tries: int, sleep_s: float = 20.0) -> tuple[float, float, bool]:
+    """Wait (bounded) for a quiet host window: copy bandwidth ≥ 3 GB/s and
+    1-min load ≤ 6.  Returns (bw, load, contended): after ``tries`` probes the
+    caller proceeds anyway with contended=True — the gate is pre-declared and
+    bounded, never post-hoc selection.  Rationale: interleaved A/Bs showed
+    ±50 % (up to 10×) swings on identical code under host starvation
+    (BENCH/BASELINE.md), so an ungated single stretch is not a measurement."""
+    bw, la = 0.0, 0.0
+    for attempt in range(max(1, tries)):
+        la = os.getloadavg()[0]
+        bw = bw_probe()
+        if la <= 6.0 and bw >= 3.0:
+            return bw, la, False
+        if attempt < tries - 1:
+            time.sleep(sleep_s)
+    return bw, la, True
+
+
 def run_bench() -> dict:
     import ray
 
@@ -86,12 +118,31 @@ def run_bench() -> dict:
     # interleaved A/B evidence) — a single sample is not a measurement.
     lake_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
+    # per-rep quiet-host gate (same probe + thresholds as --scaling): wait up
+    # to GRAFT_BENCH_GATE_TRIES × 20 s for copy bandwidth ≥ 3 GB/s, then run
+    # regardless and FLAG the rep — bounded pre-declared gating, not post-hoc
+    # selection.  Round-3's committed 66.7 s median was measured at
+    # 0.03-0.5 GB/s probe readings vs 11-23 s on quiet stretches of the same
+    # engine; gating each rep keeps one starved stretch from becoming the
+    # round's record.
+    gate_tries = int(os.environ.get("GRAFT_BENCH_GATE_TRIES", "9"))
     replay_walls: list[float] = []
+    replay_runs_detail: list[dict] = []
     for _ in range(reps):
+        bw, la, contended = wait_for_quiet(gate_tries)
         lake = tempfile.mkdtemp(prefix="cdm_bench_lake_", dir=lake_root)
         t0 = time.perf_counter()
         res = replay(cache, lake, num_parts=256, salt=32)
-        replay_walls.append(time.perf_counter() - t0)
+        wall = time.perf_counter() - t0
+        replay_walls.append(wall)
+        replay_runs_detail.append(
+            {
+                "wall": round(wall, 3),
+                "bw_probe_gbps": round(bw, 2),
+                "load1": round(la, 2),
+                "contended": contended,
+            }
+        )
         shutil.rmtree(lake, ignore_errors=True)
     import statistics
 
@@ -183,6 +234,7 @@ def run_bench() -> dict:
         "events": n_events,
         "events_per_sec": round(n_events / replay_sec, 1),
         "replay_runs": [round(w, 3) for w in replay_walls],
+        "replay_runs_detail": replay_runs_detail,
         "oracle_prep_sec": round(oracle_sec, 3),
     }
 
@@ -211,20 +263,6 @@ def run_scaling() -> dict:
     )
     reps = max(1, int(os.environ.get("GRAFT_SCALING_REPS", "3")))
 
-    def bw_probe() -> float:
-        """Host-condition probe: GB/s of a fresh-page numpy copy.  On this
-        virtualized host the scaling bottleneck is page-fault/copy throughput
-        (measured: 0.9-8 GB/s for the SAME probe minutes apart), which no
-        in-VM loadavg or /proc/stat counter reflects — so measure it
-        directly and record it per leg."""
-        import numpy as _np
-
-        x = _np.ones(25_000_000)  # 200 MB
-        t0 = time.perf_counter()
-        for _ in range(3):
-            x.copy()
-        return 3 * x.nbytes * 2 / (time.perf_counter() - t0) / 1e9
-
     def one(ncpu: int) -> dict:
         contended = False
         bw = 0.0
@@ -241,6 +279,7 @@ def run_scaling() -> dict:
             GRAFT_BENCH_EVENTS=str(scale_events),
             GRAFT_BENCH_HEADLINE_ONLY="1",
             GRAFT_BENCH_REPS="1",  # the outer protocol owns repetition
+            GRAFT_BENCH_GATE_TRIES="1",  # ... and the gating: probe-and-record
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
