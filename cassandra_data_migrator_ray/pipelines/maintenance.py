@@ -435,6 +435,7 @@ def _reshard_stage_part(
     num_parts: int,
     salt: int,
     staging_dir: str,
+    chaos_dir: str | None,
     batch: pd.DataFrame,
 ) -> pd.DataFrame:
     """Phase 1 body: route one old partition's state rows to their new
@@ -449,7 +450,7 @@ def _reshard_stage_part(
 
     if pa.cpu_count() != 1:
         pa.set_cpu_count(1)
-    writer = StageWriter(staging_dir, bytes_fingerprint=True)
+    writer = StageWriter(staging_dir, bytes_fingerprint=True, chaos_dir=chaos_dir)
     out = []
     for part in batch["part"]:
         state = read_partition_state_arrow(cfg, int(part))
@@ -471,7 +472,11 @@ def _reshard_stage_part(
 
 
 def _reshard_write_part(
-    cfg: MergeConfig, staging_dir: str, watermark: int, batch: pd.DataFrame
+    cfg: MergeConfig,
+    staging_dir: str,
+    watermark: int,
+    chaos_dir: str | None,
+    batch: pd.DataFrame,
 ) -> pd.DataFrame:
     """Phase 2 body: concat one NEW partition's staged slices, sort by key,
     write its state file + receipt (resume-safe via the receipt protocol)."""
@@ -485,6 +490,12 @@ def _reshard_write_part(
 
     if pa.cpu_count() != 1:
         pa.set_cpu_count(1)
+    if chaos_dir:
+        # tests only: one phase-2 worker dies here; the retried task rewrites
+        # the same deterministic part-file + receipt (idempotent overwrite)
+        from cassandra_data_migrator_ray.stages.staging import _chaos_crash_once
+
+        _chaos_crash_once(chaos_dir, "reshard2")
     out = []
     for part in batch["part"]:
         t0 = time.perf_counter()
@@ -537,7 +548,10 @@ def _reshard_write_part(
 
 
 def reshard_lake(
-    lake_dir: str, num_parts: int, salt: int | None = None
+    lake_dir: str,
+    num_parts: int,
+    salt: int | None = None,
+    chaos_dir: str | None = None,
 ) -> CompactResult:
     """Re-key a committed lake to ``(num_parts, salt)`` new hash partitions.
 
@@ -593,7 +607,7 @@ def reshard_lake(
             [{"part": int(k)} for k in old_parts], override_num_blocks=len(old_parts)
         )
         ds.map_batches(
-            partial(_reshard_stage_part, cfg, num_parts, salt, staging_dir),
+            partial(_reshard_stage_part, cfg, num_parts, salt, staging_dir, chaos_dir),
             batch_format="pandas",
             batch_size=None,
         ).materialize()  # barrier: every slice staged before any new partition folds
@@ -607,7 +621,7 @@ def reshard_lake(
                 [{"part": p} for p in new_parts], override_num_blocks=len(new_parts)
             )
             metrics = ds2.map_batches(
-                partial(_reshard_write_part, cfg, staging_dir, watermark),
+                partial(_reshard_write_part, cfg, staging_dir, watermark, chaos_dir),
                 batch_format="pandas",
                 batch_size=None,
             ).to_pandas()

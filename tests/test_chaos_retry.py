@@ -87,6 +87,30 @@ class TestChaosRetry:
         want = base.groupby(["conv_id", "turn_idx"])["n"].sum().sort_index()
         assert np.allclose(got.to_numpy(dtype=np.float64), want.to_numpy())
 
+    def test_worker_crash_during_reshard(self, tmp_path):
+        """Kill one phase-1 router (after staging, before reporting) and one
+        phase-2 writer (before its part file) during a lake reshard: the
+        bytes-fingerprint content addressing and deterministic part-file
+        names must make both retries pure overwrites."""
+        from cassandra_data_migrator_ray.pipelines.maintenance import reshard_lake
+        from cassandra_data_migrator_ray.sources.lake import lookup
+
+        events = gen_change_stream(n_convs=60, n_events=5000, seed=13)
+        lake = str(tmp_path / "lake")
+        replay(events, lake, num_parts=8)
+        before = read_lake_pandas(lake)
+        chaos = tmp_path / "chaos"
+        chaos.mkdir()
+        reshard_lake(lake, 20, salt=2, chaos_dir=str(chaos))
+        assert (chaos / "stage1-crashed").exists()
+        assert (chaos / "reshard2-crashed").exists()
+        after = read_lake_pandas(lake)
+        pd.testing.assert_frame_equal(after, before, check_dtype=False)
+        # point lookups route with the NEW layout post-reshard
+        key = before.iloc[0]
+        hit = lookup(lake, [(key["conv_id"], key["turn_idx"])])
+        assert len(hit) == 1
+
     def test_worker_crash_with_rerun_multiplier(self, tmp_path):
         """Crash + resume with subdivided retry (rerun_multiplier>1): the
         partial-fold path shares the same receipt protocol."""
