@@ -74,6 +74,17 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--since-version", type=int, default=None,
                    help="incremental: compare only partitions touched by runs after this manifest version")
 
+    dl = sub.add_parser(
+        "diff-lakes",
+        help="compare two lakes' final states (origin vs target DiffData); "
+        "zero-exchange when layouts match",
+    )
+    dl.add_argument("--lake-a", required=True, help="the expected side")
+    dl.add_argument("--lake-b", required=True, help="the actual side")
+    dl.add_argument("--report", default=None)
+    dl.add_argument("--columns", nargs="*", default=None,
+                    help="restrict the diff to these payload columns (skip-list)")
+
     g = sub.add_parser("guardrail", help="pre-flight column-size scan")
     g.add_argument("--input", required=True, nargs="+")
     g.add_argument("--max-kb", type=float, default=1.0)
@@ -168,8 +179,8 @@ def main(argv: list[str] | None = None) -> int:
     # the read-side metadata commands (lookup/changes/snapshots/vacuum) are
     # driver-side pyarrow/os work — skip the multi-second Ray startup
     needs_ray = args.cmd in {
-        "migrate", "validate", "guardrail", "compact", "reshard", "analyze",
-        "fsck", "tail", "metrics",
+        "migrate", "validate", "diff-lakes", "guardrail", "compact", "reshard",
+        "analyze", "fsck", "tail", "metrics",
     }  # lineage/lookup/changes/snapshots/vacuum are driver-side metadata
     ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
@@ -263,6 +274,19 @@ def main(argv: list[str] | None = None) -> int:
                 out["corrected"] = res2.ok
             print(json.dumps(out))
             return 0 if out.get("corrected", res.ok) else 1
+        elif args.cmd == "diff-lakes":
+            from cassandra_data_migrator_ray.pipelines.diff import diff_lakes
+
+            res = diff_lakes(
+                args.lake_a,
+                args.lake_b,
+                columns=args.columns,
+                report_path=args.report,
+            )
+            print(json.dumps(
+                {"counts": res.counts, "ok": res.ok, "seconds": round(res.seconds, 3)}
+            ))
+            return 0 if res.ok else 1
         elif args.cmd == "compact":
             from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
 

@@ -414,6 +414,17 @@ def validate(
         )
         report = diff_ds.to_pandas()
 
+    return _finalize_report(report, key_cols, report_path, t0)
+
+
+def _finalize_report(
+    report: pd.DataFrame,
+    key_cols: tuple[str, ...],
+    report_path: str | None,
+    t0: float,
+) -> ValidateResult:
+    """Fold the comparator's synthetic ``_COUNTS`` rows into totals and sort
+    the non-VALID remainder (shared by :func:`validate` / :func:`diff_lakes`)."""
     counts = {"VALID": 0, "MISSING": 0, "MISMATCH": 0, "EXTRA": 0}
     if len(report):
         count_rows = report[report["status"] == "_COUNTS"]
@@ -430,6 +441,150 @@ def validate(
 
         pq.write_table(pa.Table.from_pandas(report, preserve_index=False), report_path)
     return ValidateResult(counts=counts, report=report, seconds=time.perf_counter() - t0)
+
+
+def _compare_lakes_part(
+    lake_a: str,
+    files_a_by_part: dict[int, list[str]],
+    lake_b: str,
+    files_b_by_part: dict[int, list[str]],
+    payload_cols: list[str],
+    wt_cols: list[str],
+    schema_ipc: bytes,
+    key_cols: tuple[str, ...],
+    counter_cols: tuple[str, ...],
+    batch: pd.DataFrame,
+) -> pd.DataFrame:
+    """Layout-matched lake↔lake comparator task: both sides' partition files
+    are read in place (they share the partitioning route, so NO exchange
+    moves a single row).  Side 0 = lake_a's live state (its tombstoned keys
+    are simply absent keys), side 1/2 = lake_b live/tombstones — same
+    contract as the validate exchange comparator."""
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from cassandra_data_migrator_ray.schema import DELETED
+    from cassandra_data_migrator_ray.stages.validate import compare_part_arrow
+
+    if _pa.cpu_count() != 1:
+        _pa.set_cpu_count(1)
+    payload_schema = _pa.ipc.read_schema(_pa.py_buffer(schema_ipc))
+    outs = []
+    for part in batch["part"]:
+        part = int(part)
+        sides = []
+        for rel in files_a_by_part.get(part, []):
+            t = _pq.read_table(os.path.join(lake_a, rel), use_threads=False)
+            live = t.filter(_pc.invert(_pc.fill_null(t[DELETED], False)))
+            if live.num_rows:
+                sides.append(
+                    _tag_side(0, 1, 1, payload_schema, wt_cols, live, key_cols)
+                    .drop_columns([PART_COL])
+                )
+        for rel in files_b_by_part.get(part, []):
+            t = _pq.read_table(os.path.join(lake_b, rel), use_threads=False)
+            deleted = _pc.fill_null(t[DELETED], False)
+            live = t.filter(_pc.invert(deleted))
+            if live.num_rows:
+                sides.append(
+                    _tag_side(1, 1, 1, payload_schema, wt_cols, live, key_cols)
+                    .drop_columns([PART_COL])
+                )
+            tomb = t.filter(deleted)
+            if tomb.num_rows:
+                sides.append(
+                    _tag_side(2, 1, 1, payload_schema, wt_cols, tomb, key_cols)
+                    .drop_columns([PART_COL])
+                )
+        if not sides:
+            continue
+        names = sides[0].column_names
+        tbl = _pa.concat_tables([s.select(names) for s in sides])
+        outs.append(
+            compare_part_arrow(tbl, list(key_cols), payload_cols, part, counter_cols)
+        )
+    if not outs:
+        return pd.DataFrame(columns=[*key_cols, "status", "cols_differ", "fix_wt"])
+    return pd.concat(outs, ignore_index=True)
+
+
+def diff_lakes(
+    lake_a: str,
+    lake_b: str,
+    *,
+    columns: list[str] | None = None,
+    report_path: str | None = None,
+) -> ValidateResult:
+    """Compare two lakes' final states (origin-cluster vs target-cluster
+    DiffData, job/DiffData.scala:23-44 — both sides as lakes instead of one
+    live cluster).  ``lake_a`` plays the expected side: MISSING = key live in
+    a but not b, EXTRA = live in b but not a, MISMATCH = live in both with
+    differing compared payload values.
+
+    Scale posture: when the two lakes share a layout (num_parts, salt, key
+    columns) every partition pair is compared by one task reading both
+    sides' files IN PLACE — zero exchange, cost = one streaming pass over
+    both lakes.  Mismatched layouts fall back to re-keying lake_a's public
+    view through the validate exchange (one side moves once).
+
+    ``columns`` restricts the compared payload columns (diff skip-list);
+    columns present in only one lake's schema are never compared."""
+    from cassandra_data_migrator_ray.sources.lake import read_lake
+
+    t0 = time.perf_counter()
+    ma, mb = Manifest.load(lake_a), Manifest.load(lake_b)
+    if ma is None or mb is None:
+        raise FileNotFoundError(f"missing manifest: {lake_a if ma is None else lake_b}")
+    if tuple(ma.key_cols) != tuple(mb.key_cols):
+        raise ValueError(
+            f"key columns differ: {ma.key_cols} vs {mb.key_cols} — "
+            "lakes with different keys are not comparable"
+        )
+    key_cols = tuple(mb.key_cols)
+    common = [c for c in ma.payload_cols() if c in set(mb.payload_cols())]
+    payload_cols = [c for c in common if columns is None or c in columns]
+    if ma.num_parts != mb.num_parts or ma.salt != mb.salt:
+        # different routes: one side must move — reuse the validate exchange
+        res = validate(
+            read_lake(lake_a), lake_b, columns=payload_cols,
+            report_path=report_path,
+        )
+        return ValidateResult(
+            counts=res.counts, report=res.report, seconds=time.perf_counter() - t0
+        )
+    wt_cols = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
+    keep = {*key_cols, *payload_cols}
+    full_schema = pa.schema(
+        [mb.schema.field(n) for n in mb.schema.names if n in keep]
+    )
+    files_a = {int(k): v.files for k, v in ma.partitions.items() if v.files}
+    files_b = {int(k): v.files for k, v in mb.partitions.items() if v.files}
+    parts = sorted(set(files_a) | set(files_b))
+    report = pd.DataFrame()
+    if parts:
+        parts_ds = ray.data.from_items(
+            [{"part": int(p)} for p in parts], override_num_blocks=len(parts)
+        )
+        report = parts_ds.map_batches(
+            partial(
+                _compare_lakes_part,
+                lake_a,
+                files_a,
+                lake_b,
+                files_b,
+                payload_cols,
+                wt_cols,
+                full_schema.serialize().to_pybytes(),
+                key_cols,
+                tuple(mb.counter_cols),
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        ).to_pandas()
+    return _finalize_report(report, key_cols, report_path, t0)
 
 
 def autocorrect(
