@@ -94,6 +94,35 @@ class TestDiffLakes:
         # and the reverse direction, fast path on b's new layout vs itself
         assert diff_lakes(b, b).ok
 
+    def test_autocorrect_converges_lakes(self, tmp_path):
+        """The DiffData lifecycle for lake pairs: diff → autocorrect the
+        target lake from the report → re-diff clean (reference autocorrect
+        loop, DiffJobSession.java:215-234)."""
+        from cassandra_data_migrator_ray.pipelines.diff import autocorrect
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        a, b, _ = self._twin_lakes(tmp_path)
+        state = read_lake_pandas(b)
+        k_mut, k_del = state.iloc[0], state.iloc[1]
+        wt = 10**18
+        replay(
+            pd.concat(
+                [
+                    _mk_event(k_mut["conv_id"], k_mut["turn_idx"], "UPSERT", 10**9, wt),
+                    _mk_event(k_del["conv_id"], k_del["turn_idx"], "DELETE", 10**9 + 1, wt),
+                    _mk_event("conv_phantom", 0, "UPSERT", 10**9 + 2, wt),
+                ],
+                ignore_index=True,
+            ),
+            b,
+            num_parts=8,
+        )
+        res = diff_lakes(a, b)
+        assert not res.ok
+        autocorrect(res, b)
+        res2 = diff_lakes(a, b)
+        assert res2.ok, res2.counts
+
     def test_counter_lakes(self, tmp_path):
         import pyarrow as pa
 
