@@ -165,6 +165,18 @@ def run_bench() -> dict:
         v = validate(expected, small_lake)
         timings["cdc_validate"] = round(time.perf_counter() - t0, 3)
         assert v.ok, v.counts
+        # lake↔lake DiffData (diff_lakes, layout-matched zero-exchange path):
+        # a twin lake from the same stream, then a full pairwise compare
+        from cassandra_data_migrator_ray.pipelines.diff import diff_lakes
+
+        twin_lake = tempfile.mkdtemp(prefix="cdm_bench_twlake_", dir=lake_root)
+        replay(small_cache, twin_lake, num_parts=64, salt=32)
+        t0 = time.perf_counter()
+        dl = diff_lakes(twin_lake, small_lake)
+        timings["cdc_diff_lakes"] = round(time.perf_counter() - t0, 3)
+        assert dl.ok, dl.counts
+        shutil.rmtree(twin_lake, ignore_errors=True)
+
         # re-key the validated lake to a finer layout (state-only rewrite)
         from cassandra_data_migrator_ray.pipelines.maintenance import reshard_lake
 

@@ -511,12 +511,41 @@ def _compare_lakes_part(
     return pd.concat(outs, ignore_index=True)
 
 
+def _lake_view(manifest: Manifest, version: int | None):
+    """(files_by_part, num_parts, salt, schema, key_cols) for the live view
+    or the snapshot-pinned view at ``version``.  A pre-reshard-era snapshot
+    without layout keys reports (None, None): its files can still be
+    compared, but only through the exchange fallback (unknown route)."""
+    from cassandra_data_migrator_ray.state.manifest import schema_from_json
+
+    if version is None:
+        return (
+            {int(k): v.files for k, v in manifest.partitions.items() if v.files},
+            manifest.num_parts,
+            manifest.salt,
+            manifest.schema,
+            tuple(manifest.key_cols),
+        )
+    snap = manifest.snapshot(version)
+    if snap is None:
+        raise ValueError(f"no snapshot v{version} in {manifest.lake_dir}")
+    return (
+        {int(k): v for k, v in snap["partitions"].items() if v},
+        snap.get("num_parts"),
+        snap.get("salt"),
+        schema_from_json(snap["schema"]),
+        tuple(snap["key_cols"]),
+    )
+
+
 def diff_lakes(
     lake_a: str,
     lake_b: str,
     *,
     columns: list[str] | None = None,
     report_path: str | None = None,
+    version_a: int | None = None,
+    version_b: int | None = None,
 ) -> ValidateResult:
     """Compare two lakes' final states (origin-cluster vs target-cluster
     DiffData, job/DiffData.scala:23-44 — both sides as lakes instead of one
@@ -531,37 +560,53 @@ def diff_lakes(
     view through the validate exchange (one side moves once).
 
     ``columns`` restricts the compared payload columns (diff skip-list);
-    columns present in only one lake's schema are never compared."""
+    columns present in only one lake's schema are never compared.
+
+    ``version_a`` / ``version_b`` pin either side to a committed snapshot
+    (time-travel diff — replica-drift audits between historical states).
+    A time-travel *target* side requires matching layouts (the exchange
+    fallback only knows how to stage the expected side against the live
+    target)."""
     from cassandra_data_migrator_ray.sources.lake import read_lake
 
     t0 = time.perf_counter()
     ma, mb = Manifest.load(lake_a), Manifest.load(lake_b)
     if ma is None or mb is None:
         raise FileNotFoundError(f"missing manifest: {lake_a if ma is None else lake_b}")
-    if tuple(ma.key_cols) != tuple(mb.key_cols):
+    files_a, np_a, salt_a, schema_a, kc_a = _lake_view(ma, version_a)
+    files_b, np_b, salt_b, schema_b, kc_b = _lake_view(mb, version_b)
+    if kc_a != kc_b:
         raise ValueError(
-            f"key columns differ: {ma.key_cols} vs {mb.key_cols} — "
+            f"key columns differ: {kc_a} vs {kc_b} — "
             "lakes with different keys are not comparable"
         )
-    key_cols = tuple(mb.key_cols)
-    common = [c for c in ma.payload_cols() if c in set(mb.payload_cols())]
-    payload_cols = [c for c in common if columns is None or c in columns]
-    if ma.num_parts != mb.num_parts or ma.salt != mb.salt:
-        # different routes: one side must move — reuse the validate exchange
+    key_cols = kc_b
+    common = set(schema_a.names) & set(schema_b.names)
+    payload_names = [
+        n for n in schema_b.names if n in common and n not in key_cols
+    ]
+    payload_cols = [c for c in payload_names if columns is None or c in columns]
+    if np_a is None or np_a != np_b or salt_a != salt_b:
+        # different (or unknown-layout) routes: one side must move — reuse
+        # the validate exchange against the LIVE target
+        if version_b is not None:
+            raise ValueError(
+                "layouts differ (or a pre-layout-era snapshot): the exchange "
+                "fallback compares against the live target only — rerun "
+                "without version_b or reshard to matching layouts first"
+            )
         res = validate(
-            read_lake(lake_a), lake_b, columns=payload_cols,
+            read_lake(lake_a, version=version_a), lake_b, columns=payload_cols,
             report_path=report_path,
         )
         return ValidateResult(
             counts=res.counts, report=res.report, seconds=time.perf_counter() - t0
         )
-    wt_cols = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
     keep = {*key_cols, *payload_cols}
+    wt_cols = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
     full_schema = pa.schema(
-        [mb.schema.field(n) for n in mb.schema.names if n in keep]
+        [schema_b.field(n) for n in schema_b.names if n in keep]
     )
-    files_a = {int(k): v.files for k, v in ma.partitions.items() if v.files}
-    files_b = {int(k): v.files for k, v in mb.partitions.items() if v.files}
     parts = sorted(set(files_a) | set(files_b))
     report = pd.DataFrame()
     if parts:

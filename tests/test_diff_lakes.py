@@ -94,6 +94,20 @@ class TestDiffLakes:
         # and the reverse direction, fast path on b's new layout vs itself
         assert diff_lakes(b, b).ok
 
+    def test_time_travel_diff(self, tmp_path):
+        """version_a / version_b pin either side to a committed snapshot:
+        b@v1 equals its twin a, and diffing b@v1 against live b reproduces
+        exactly the a-vs-b divergence counts."""
+        a, b, _ = self._twin_lakes(tmp_path)
+        more = gen_change_stream(n_convs=50, n_events=800, seed=99, seq_start=10**7)
+        replay(more, b, num_parts=8)
+
+        live = diff_lakes(a, b)
+        assert not live.ok  # the second batch diverged b from a
+        assert diff_lakes(a, b, version_b=1).ok  # b@v1 == a
+        drift = diff_lakes(b, b, version_a=1)  # b@v1 (≡ a) vs live b
+        assert drift.counts == live.counts
+
     def test_autocorrect_converges_lakes(self, tmp_path):
         """The DiffData lifecycle for lake pairs: diff → autocorrect the
         target lake from the report → re-diff clean (reference autocorrect
