@@ -105,6 +105,23 @@ def _tag_side(
     return pa.table(cols)
 
 
+def _expire_view(
+    t: pa.Table, expire: tuple[int, list[str]] | None
+) -> pa.Table:
+    """Evaluate per-cell TTL expiry on a raw partition table before the
+    comparator sees it.  ``expire`` = (as_of µs, ALL payload cols of that
+    lake) or None for stored-state semantics.  Row liveness depends on every
+    payload cell, so the full column list — not the compared subset — drives
+    the evaluation (functions/lww.py apply_ttl_expiry)."""
+    if expire is None or t.num_rows == 0:
+        return t
+    from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
+
+    as_of, all_payload = expire
+    df = apply_ttl_expiry(t.to_pandas(), as_of, all_payload)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _compare_staged_part(
     staging_dir: str,
     payload_cols: list[str],
@@ -115,6 +132,7 @@ def _compare_staged_part(
     key_cols: tuple[str, ...],
     coarse_factor: int,
     counter_cols: tuple[str, ...],
+    expire: tuple[int, list[str]] | None,
     batch: pd.DataFrame,
 ) -> pd.DataFrame:
     """Staged-exchange comparator task: staged expected slices + the lake
@@ -184,7 +202,10 @@ def _compare_staged_part(
                 if exp.num_rows:
                     sides.append(exp)
             for rel in lake_files_by_part.get(part, []):
-                t = _pq.read_table(os.path.join(lake_dir, rel), use_threads=False)
+                t = _expire_view(
+                    _pq.read_table(os.path.join(lake_dir, rel), use_threads=False),
+                    expire,
+                )
                 deleted = _pc.fill_null(t[DELETED], False)
                 live = t.filter(_pc.invert(deleted))
                 sides.append(
@@ -231,8 +252,16 @@ def validate(
     shuffle: str = "staging",
     columns: list[str] | None = None,
     since_version: int | None = None,
+    as_of: int | None = None,
 ) -> ValidateResult:
     """Compare the lake's final state against an expected (origin) dataset.
+
+    ``as_of`` (µs, TTL-enabled lakes): evaluate per-cell expiry at this
+    instant before comparing, matching ``read_lake(as_of=...)`` — expired
+    cells compare as null and fully-expired rows as absent.  Default None
+    compares STORED state (an unexpired cell's value, even if the expected
+    view was taken later) — the reference's DiffData also compares stored
+    cells.
 
     ``columns`` restricts the comparison to a payload-column subset (the
     reference's column skip-list on the diff path, schema/CqlTable.java:479-483
@@ -269,6 +298,13 @@ def validate(
         c for c in manifest.payload_cols() if columns is None or c in columns
     ]
     wt_cols = [f"{c}{WT_SUFFIX}" for c in payload_cols] + [ROW_WT, DEL_WT]
+    # TTL expiry at the comparison instant (no-op for non-TTL lakes); the
+    # FULL payload list drives row liveness, not the compared subset
+    expire = (
+        (int(as_of), manifest.payload_cols())
+        if as_of is not None and manifest.ttl_enabled
+        else None
+    )
 
     keep = {*key_cols, *payload_cols}
     full_schema = pa.schema(
@@ -351,6 +387,7 @@ def validate(
                         key_cols,
                         coarse_factor,
                         tuple(manifest.counter_cols),
+                        expire,
                     ),
                     batch_format="pandas",
                     batch_size=None,
@@ -367,6 +404,7 @@ def validate(
             def _lake_side(batch: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
 
+                batch = _expire_view(batch, expire)
                 deleted = pc.fill_null(batch[DELETED], False)
                 live = _tag_side(
                     1,
@@ -453,6 +491,8 @@ def _compare_lakes_part(
     schema_ipc: bytes,
     key_cols: tuple[str, ...],
     counter_cols: tuple[str, ...],
+    expire_a: tuple[int, list[str]] | None,
+    expire_b: tuple[int, list[str]] | None,
     batch: pd.DataFrame,
 ) -> pd.DataFrame:
     """Layout-matched lake↔lake comparator task: both sides' partition files
@@ -477,7 +517,10 @@ def _compare_lakes_part(
         part = int(part)
         sides = []
         for rel in files_a_by_part.get(part, []):
-            t = _pq.read_table(os.path.join(lake_a, rel), use_threads=False)
+            t = _expire_view(
+                _pq.read_table(os.path.join(lake_a, rel), use_threads=False),
+                expire_a,
+            )
             live = t.filter(_pc.invert(_pc.fill_null(t[DELETED], False)))
             if live.num_rows:
                 sides.append(
@@ -485,7 +528,10 @@ def _compare_lakes_part(
                     .drop_columns([PART_COL])
                 )
         for rel in files_b_by_part.get(part, []):
-            t = _pq.read_table(os.path.join(lake_b, rel), use_threads=False)
+            t = _expire_view(
+                _pq.read_table(os.path.join(lake_b, rel), use_threads=False),
+                expire_b,
+            )
             deleted = _pc.fill_null(t[DELETED], False)
             live = t.filter(_pc.invert(deleted))
             if live.num_rows:
@@ -546,6 +592,7 @@ def diff_lakes(
     report_path: str | None = None,
     version_a: int | None = None,
     version_b: int | None = None,
+    as_of: int | None = None,
 ) -> ValidateResult:
     """Compare two lakes' final states (origin-cluster vs target-cluster
     DiffData, job/DiffData.scala:23-44 — both sides as lakes instead of one
@@ -596,8 +643,11 @@ def diff_lakes(
                 "without version_b or reshard to matching layouts first"
             )
         res = validate(
-            read_lake(lake_a, version=version_a), lake_b, columns=payload_cols,
+            read_lake(lake_a, version=version_a, as_of=as_of),
+            lake_b,
+            columns=payload_cols,
             report_path=report_path,
+            as_of=as_of,
         )
         return ValidateResult(
             counts=res.counts, report=res.report, seconds=time.perf_counter() - t0
@@ -607,6 +657,15 @@ def diff_lakes(
     full_schema = pa.schema(
         [schema_b.field(n) for n in schema_b.names if n in keep]
     )
+    # per-side TTL expiry at the comparison instant (validate's as_of twin);
+    # each side's own full payload list drives row liveness
+    def _expire_for(m: Manifest, schema: pa.Schema):
+        if as_of is None or not m.ttl_enabled:
+            return None
+        return (int(as_of), [n for n in schema.names if n not in key_cols])
+
+    expire_a = _expire_for(ma, schema_a)
+    expire_b = _expire_for(mb, schema_b)
     parts = sorted(set(files_a) | set(files_b))
     report = pd.DataFrame()
     if parts:
@@ -625,6 +684,8 @@ def diff_lakes(
                 full_schema.serialize().to_pybytes(),
                 key_cols,
                 tuple(mb.counter_cols),
+                expire_a,
+                expire_b,
             ),
             batch_format="pandas",
             batch_size=None,

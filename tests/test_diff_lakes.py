@@ -137,6 +137,48 @@ class TestDiffLakes:
         res2 = diff_lakes(a, b)
         assert res2.ok, res2.counts
 
+    def test_ttl_as_of_compare(self, tmp_path):
+        """A TTL lake compares STORED cells by default (reference DiffData
+        semantics); as_of= evaluates expiry first, so a view taken after
+        expiry validates clean instead of reporting phantom EXTRA/MISSING."""
+        import pyarrow as pa
+
+        from cassandra_data_migrator_ray.pipelines.diff import validate
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        BASE = 1_700_000_000_000_000
+
+        def ev(rows, seq0=0):
+            return pa.table(
+                {
+                    "op": pa.array(["UPSERT"] * len(rows)),
+                    "conv_id": pa.array([r[0] for r in rows]),
+                    "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                    "text": pa.array([r[2] for r in rows]),
+                    "writetime": pa.array([BASE] * len(rows), pa.int64()),
+                    "event_seq": pa.array(
+                        list(range(seq0, seq0 + len(rows))), pa.int64()
+                    ),
+                    "ttl": pa.array([r[3] for r in rows], pa.int64()),
+                }
+            )
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        replay(ev([("x", 0, "expires", 10), ("y", 0, "stays", None)]), a, num_parts=2)
+        replay(ev([("y", 0, "stays", None)]), b, num_parts=2)
+        after = BASE + 11_000_000  # 11 s later: x fully expired in a
+
+        # validate: the lake's own expired view round-trips clean only
+        # with as_of (stored-state compare reports the expired row EXTRA)
+        view = read_lake_pandas(a, as_of=after)
+        assert validate(view, a).counts["EXTRA"] == 1
+        assert validate(view, a, as_of=after).ok
+
+        # diff_lakes: x is MISSING from b in stored state, absent-absent
+        # (clean) once expiry is evaluated on the a side
+        assert diff_lakes(a, b).counts["MISSING"] == 1
+        assert diff_lakes(a, b, as_of=after).ok
+
     def test_counter_lakes(self, tmp_path):
         import pyarrow as pa
 
