@@ -73,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="restrict the diff to these payload columns (skip-list)")
     v.add_argument("--since-version", type=int, default=None,
                    help="incremental: compare only partitions touched by runs after this manifest version")
+    v.add_argument("--as-of", type=int, default=None,
+                   help="TTL lakes: evaluate per-cell expiry at this instant (us)")
 
     dl = sub.add_parser(
         "diff-lakes",
@@ -84,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--report", default=None)
     dl.add_argument("--columns", nargs="*", default=None,
                     help="restrict the diff to these payload columns (skip-list)")
+    dl.add_argument("--version-a", type=int, default=None,
+                    help="time-travel: pin side A to this committed snapshot")
+    dl.add_argument("--version-b", type=int, default=None,
+                    help="time-travel: pin side B to this committed snapshot")
+    dl.add_argument("--as-of", type=int, default=None,
+                    help="TTL lakes: evaluate per-cell expiry at this instant (us)")
 
     g = sub.add_parser("guardrail", help="pre-flight column-size scan")
     g.add_argument("--input", required=True, nargs="+")
@@ -263,6 +271,7 @@ def main(argv: list[str] | None = None) -> int:
                 report_path=args.report,
                 columns=args.columns,
                 since_version=args.since_version,
+                as_of=args.as_of,
             )
             out = {"counts": res.counts, "ok": res.ok, "seconds": round(res.seconds, 3)}
             if args.autocorrect and not res.ok:
@@ -282,6 +291,9 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake_b,
                 columns=args.columns,
                 report_path=args.report,
+                version_a=args.version_a,
+                version_b=args.version_b,
+                as_of=args.as_of,
             )
             print(json.dumps(
                 {"counts": res.counts, "ok": res.ok, "seconds": round(res.seconds, 3)}
