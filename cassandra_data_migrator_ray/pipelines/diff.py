@@ -119,7 +119,12 @@ def _expire_view(
 
     as_of, all_payload = expire
     df = apply_ttl_expiry(t.to_pandas(), as_of, all_payload)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    # rebuild under the ORIGINAL schema rather than letting from_pandas
+    # re-infer types: the pandas round-trip upcasts nullable ints to float
+    # and an all-expired column would infer as null type — pinning the
+    # schema keeps the comparator's cast path identical to the stored-state
+    # one (NaN maps to null under the explicit integer type)
+    return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
 
 
 def _compare_staged_part(

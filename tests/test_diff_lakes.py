@@ -179,6 +179,47 @@ class TestDiffLakes:
         assert diff_lakes(a, b).counts["MISSING"] == 1
         assert diff_lakes(a, b, as_of=after).ok
 
+    def test_ttl_as_of_integer_column(self, tmp_path):
+        """Expiring a cell of an INTEGER payload column must survive the
+        pandas round-trip in the comparator's expiry view (NaN → null, not a
+        failed float→int cast)."""
+        import pyarrow as pa
+
+        from cassandra_data_migrator_ray.pipelines.diff import validate
+        from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+        BASE = 1_700_000_000_000_000
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("score", pa.int64()),
+                ("label", pa.string()),
+            ]
+        )
+        # x's int cell expires but its string cell does not → the row stays
+        # LIVE with a NaN where the int64 score was (the hazard case)
+        tbl = pa.table(
+            {
+                "op": pa.array(["UPSERT", "UPSERT", "UPSERT"]),
+                "conv_id": pa.array(["x", "x", "y"]),
+                "turn_idx": pa.array([0, 0, 0], pa.int32()),
+                "score": pa.array([7, None, 9], pa.int64()),
+                "label": pa.array([None, "keep", "also"], pa.string()),
+                "writetime": pa.array([BASE, BASE + 1, BASE], pa.int64()),
+                "event_seq": pa.array([0, 1, 2], pa.int64()),
+                "ttl": pa.array([10, None, None], pa.int64()),
+            }
+        )
+        lake = str(tmp_path / "lake")
+        replay(tbl, lake, num_parts=2, payload_schema=schema)
+        after = BASE + 11_000_000
+        view = read_lake_pandas(lake, as_of=after)
+        res = validate(view, lake, as_of=after)
+        assert res.ok, res.counts
+        # same through the lake-pair fast path
+        assert diff_lakes(lake, lake, as_of=after).ok
+
     def test_counter_lakes(self, tmp_path):
         import pyarrow as pa
 
