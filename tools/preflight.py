@@ -80,8 +80,11 @@ def _values_equal(a, b) -> bool:
             if not ok.all():
                 return False
         else:
-            sa = va.astype(str).to_numpy()
-            sb = vb.astype(str).to_numpy()
+            na, nb = pd.isna(va).to_numpy(), pd.isna(vb).to_numpy()
+            if (na != nb).any():
+                return False
+            sa = va[~na].astype(str).to_numpy()
+            sb = vb[~nb].astype(str).to_numpy()
             if not (sa == sb).all():
                 return False
     return True
