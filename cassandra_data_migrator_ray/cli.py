@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="change-batch file format (csv/json coerce to the transcripts event schema)")
     m.add_argument("--emit-changes", action="store_true",
                    help="write a per-run change-data-feed (readable with `changes`)")
+    m.add_argument("--widen-types", action="store_true",
+                   help="allow lossless numeric schema widening (int -> wider "
+                        "int, float32 -> float64) when the stream's types "
+                        "outgrow the lake's declared schema")
     m.add_argument("--properties", default=None,
                    help="reference cdm.properties file: spark.cdm.* keys drive "
                         "the transform chain and run/perf knobs (explicit CLI "
@@ -217,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
                 run_id="auto" if args.resume else args.run_id,
                 compact=args.compact,
                 emit_changes=args.emit_changes,
+                widen_types=args.widen_types,
             )
             transforms = None
             if args.properties:

@@ -138,6 +138,7 @@ def replay(
     snapshot_retention: int | None = None,
     staged_compression: str | None = "auto",
     chaos_dir: str | None = None,
+    widen_types: bool = False,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -167,6 +168,16 @@ def replay(
     the hottest conversation's row share from a 200k-event stream prefix
     and picks the salt that caps its partition overload at ~2× average
     (1 when no key is hot; ≤32; manifest salt wins on an existing lake).
+
+    ``widen_types=True`` allows LOSSLESS numeric widening of the lake's
+    declared schema (int -> wider int of the same signedness, float32 ->
+    float64) when the stream's types outgrow it — Iceberg-style promotion on
+    top of the default additive-only evolution.  Existing partition files
+    keep their narrow physical type; every reader casts file -> declared
+    schema, and partition routing hashes key values (not bytes), so a
+    widened key column routes identically.  Default False keeps the hard
+    error: pandas infers int64 by default, and an accidental wide batch
+    should not silently rewrite the lake schema.
 
     ``staged_compression``: ``"lz4"`` (DEFAULT via ``"auto"``) / ``"zstd"``
     / ``None`` compresses staged-slice IPC buffers — 2-4× fewer bytes
@@ -307,7 +318,11 @@ def replay(
         # column literally named 'ttl' as ordinary payload instead
         manifest.ttl_enabled = True
     if payload_schema is None:
-        manifest.evolve_schema(incoming_payload)
+        # widen_types opts into lossless numeric promotion of the DECLARED
+        # schema (int -> wider int, float32 -> float64) when the stream's
+        # types outgrow it; default keeps the hard error so an accidental
+        # pandas int64 never silently rewrites the lake schema.
+        manifest.evolve_schema(incoming_payload, widen=widen_types)
     num_parts = manifest.num_parts
     salt = manifest.salt
     counter_cols = tuple(manifest.counter_cols)

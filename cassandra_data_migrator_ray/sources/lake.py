@@ -650,7 +650,9 @@ def lookup(
                 f, columns=cols, filters=[(key_cols[0], "in", want_first)]
             )
         )
-    tbl = pa.concat_tables(tables, promote_options="default")
+    # "permissive" unifies mixed physical types across schema-evolved files
+    # (a widened lake keeps narrow types in untouched partitions)
+    tbl = pa.concat_tables(tables, promote_options="permissive")
     df = tbl.to_pandas()
     if ttl_eval:
         from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
@@ -763,7 +765,11 @@ def read_lake_pandas(
     )
     if not files:
         return pd.DataFrame(columns=[*key_cols, *payload_cols])
-    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    # "permissive" unifies mixed physical types across schema-evolved files
+    # (a widened lake keeps narrow types in untouched partitions)
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="permissive"
+    )
     df = tbl.to_pandas()
     if as_of is not None and ttl_enabled:
         from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry

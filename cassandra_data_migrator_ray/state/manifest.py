@@ -292,11 +292,24 @@ class Manifest:
         return [n for n in self.schema.names if n not in self.key_cols]
 
     # ---------- schema evolution ----------
-    def evolve_schema(self, incoming: pa.Schema) -> bool:
+    def evolve_schema(self, incoming: pa.Schema, *, widen: bool = False) -> bool:
         """Additive evolution: append unseen payload columns (null-backfilled
         lazily on read).  Type changes / drops are rejected — matching the
         reference's constraint that origin/target columns correspond
-        (schema/CqlTable.java:408-428)."""
+        (schema/CqlTable.java:408-428).
+
+        ``widen=True`` additionally accepts LOSSLESS numeric promotions of the
+        declared type (int -> wider int of the same signedness, float32 ->
+        float64 — the Iceberg-style widening set): the declared field is
+        rewritten to the wider incoming type and committed with this run.
+        Existing partition files keep their narrow physical type; every
+        reader already aligns file -> declared schema (align_to_schema casts
+        per column), and partition routing hashes key VALUES through Python
+        objects (state/partitioning.py hash_key), so a widened key column
+        routes identically before and after.  Opt-in because the most common
+        wide arrival is an ACCIDENT — pandas inferring int64 for an int32
+        column — and silently widening every lake touched by pandas would
+        destroy the declared schema's meaning."""
         changed = False
         names = set(self.schema.names)
         for f in incoming:
@@ -310,6 +323,17 @@ class Manifest:
                 changed = True
             else:
                 have = self.schema.field(f.name).type
+                if (
+                    widen
+                    and have != f.type
+                    and not _castable_variant(f.type, have)
+                    and _castable_variant(have, f.type)
+                    and (pa.types.is_integer(f.type) or pa.types.is_floating(f.type))
+                ):
+                    idx = self.schema.get_field_index(f.name)
+                    self.schema = self.schema.set(idx, pa.field(f.name, f.type))
+                    changed = True
+                    continue
                 if have != f.type and not _castable_variant(f.type, have):
                     hint = ""
                     if pa.types.is_integer(f.type) and pa.types.is_integer(have):

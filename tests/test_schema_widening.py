@@ -1,0 +1,157 @@
+"""Opt-in lossless numeric schema widening (replay(widen_types=True)).
+
+The reference rejects origin/target type changes outright
+(schema/CqlTable.java:408-428); the lake adds the Iceberg-style lossless
+promotion set on top of additive evolution: int -> wider int of the same
+signedness, float32 -> float64.  Old partition files keep their narrow
+physical type and are cast to the declared schema on every read path
+(merge-on-read, read_lake, lookup, validate)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cassandra_data_migrator_ray.pipelines.replay import replay
+from cassandra_data_migrator_ray.sources.lake import lookup, read_lake_pandas
+
+
+def _batch(rows, *, turn_t=pa.int32(), val_t=pa.float32()):
+    """Change-event table; rows = (conv, turn, text, val, wt, seq)."""
+    conv, turn, text, val, wt, seq = map(list, zip(*rows))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, turn_t),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array(text, pa.string()),
+            "score": pa.array(val, val_t),
+            "ts": pa.array(wt, pa.timestamp("us")),
+            "op": pa.array(["UPSERT"] * len(rows), pa.string()),
+            "writetime": pa.array(wt, pa.int64()),
+            "event_seq": pa.array(seq, pa.int64()),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchemaWidening:
+    def test_default_rejects_widening(self, tmp_path):
+        import ray
+
+        lake = str(tmp_path / "lake")
+        replay(
+            ray.data.from_arrow(_batch([("a", 0, "hi", 1.0, 10, 1)])),
+            lake,
+            num_parts=4,
+        )
+        wide = _batch([("a", 1, "yo", 2.0, 20, 2)], turn_t=pa.int64())
+        with pytest.raises(ValueError, match="non-additive schema change"):
+            replay(ray.data.from_arrow(wide), lake, num_parts=4)
+
+    def test_widen_int_and_float_across_runs(self, tmp_path):
+        import ray
+
+        lake = str(tmp_path / "lake")
+        r1 = replay(
+            ray.data.from_arrow(
+                _batch(
+                    [("a", 0, "hi", 1.5, 10, 1), ("b", 0, "q", 2.5, 11, 2)]
+                )
+            ),
+            lake,
+            num_parts=4,
+        )
+        assert r1.metrics["status"].eq("PASS").all()
+        # second run ships int64 turn_idx (key column!) and float64 score,
+        # updates key (a, 0) and inserts (a, 1): the update must land on the
+        # SAME routed key as the int32 original
+        wide = _batch(
+            [("a", 0, "hi2", 9.25, 20, 3), ("a", 1, "new", 0.5, 21, 4)],
+            turn_t=pa.int64(),
+            val_t=pa.float64(),
+        )
+        r2 = replay(ray.data.from_arrow(wide), lake, num_parts=4, widen_types=True)
+        assert r2.metrics["status"].eq("PASS").all()
+
+        out = read_lake_pandas(lake).sort_values(["conv_id", "turn_idx"])
+        assert out[["conv_id", "turn_idx", "text"]].values.tolist() == [
+            ["a", 0, "hi2"],
+            ["a", 1, "new"],
+            ["b", 0, "q"],
+        ]
+        assert list(out["score"]) == [9.25, 0.5, 2.5]
+
+        # declared schema is now the widened one, persisted in the manifest
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        m = Manifest.load(lake)
+        assert m.schema.field("turn_idx").type == pa.int64()
+        assert m.schema.field("score").type == pa.float64()
+
+        # a third NARROW batch still merges (cast up per batch)
+        r3 = replay(
+            ray.data.from_arrow(_batch([("b", 0, "q2", 7.0, 30, 5)])),
+            lake,
+            num_parts=4,
+        )
+        assert r3.metrics["status"].eq("PASS").all()
+        out = read_lake_pandas(lake)
+        assert out.loc[out["conv_id"] == "b", "text"].item() == "q2"
+
+    def test_widened_lake_lookup_and_validate(self, tmp_path):
+        import ray
+
+        from cassandra_data_migrator_ray.pipelines.diff import validate
+
+        lake = str(tmp_path / "lake")
+        replay(
+            ray.data.from_arrow(
+                _batch([("a", 0, "hi", 1.0, 10, 1), ("c", 2, "z", 3.0, 12, 2)])
+            ),
+            lake,
+            num_parts=4,
+        )
+        replay(
+            ray.data.from_arrow(
+                _batch([("a", 0, "hi2", 4.0, 20, 3)], turn_t=pa.int64(),
+                       val_t=pa.float64())
+            ),
+            lake,
+            num_parts=4,
+            widen_types=True,
+        )
+        got = lookup(lake, [("a", 0)])
+        assert got["text"].item() == "hi2"
+
+        expected = pd.DataFrame(
+            {
+                "conv_id": ["a", "c"],
+                "turn_idx": np.array([0, 2], dtype=np.int64),
+                "role": ["user", "user"],
+                "text": ["hi2", "z"],
+                "score": np.array([4.0, 3.0], dtype=np.float64),
+                "ts": pd.to_datetime([20, 12], unit="us"),
+            }
+        )
+        res = validate(expected, lake)
+        assert res.ok, res.counts
+        assert res.counts.get("VALID", 0) == 2
+
+    def test_true_type_change_still_rejected(self, tmp_path):
+        import ray
+
+        lake = str(tmp_path / "lake")
+        replay(
+            ray.data.from_arrow(_batch([("a", 0, "hi", 1.0, 10, 1)])),
+            lake,
+            num_parts=4,
+        )
+        bad = _batch([("a", 1, "yo", 2.0, 20, 2)])
+        bad = bad.set_column(
+            bad.column_names.index("score"),
+            "score",
+            pa.array(["not-a-number"], pa.string()),
+        )
+        with pytest.raises(ValueError, match="non-additive schema change"):
+            replay(ray.data.from_arrow(bad), lake, num_parts=4, widen_types=True)
