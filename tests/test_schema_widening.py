@@ -155,3 +155,73 @@ class TestSchemaWidening:
         )
         with pytest.raises(ValueError, match="non-additive schema change"):
             replay(ray.data.from_arrow(bad), lake, num_parts=4, widen_types=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWideningMaintenance:
+    def _widened_lake(self, tmp_path, name="lake"):
+        import ray
+
+        lake = str(tmp_path / name)
+        replay(
+            ray.data.from_arrow(
+                _batch([("a", 0, "hi", 1.0, 10, 1), ("b", 5, "q", 2.0, 11, 2)])
+            ),
+            lake,
+            num_parts=4,
+        )
+        replay(
+            ray.data.from_arrow(
+                _batch([("a", 0, "hi2", 9.5, 30, 3)], turn_t=pa.int64(),
+                       val_t=pa.float64())
+            ),
+            lake,
+            num_parts=4,
+            widen_types=True,
+        )
+        return lake
+
+    def test_compact_upcasts_all_files(self, tmp_path):
+        """Compaction rewrites through align_to_schema, so a full compact
+        physically migrates every remaining narrow file to the widened
+        declared schema."""
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        lake = self._widened_lake(tmp_path)
+        compact_lake(lake)
+        m = Manifest.load(lake)
+        files, *_ = __import__(
+            "cassandra_data_migrator_ray.sources.lake", fromlist=["_resolve_view"]
+        )._resolve_view(m, None, None)
+        for f in files:
+            s = pq.read_schema(f)
+            assert s.field("turn_idx").type == pa.int64(), f
+            assert s.field("score").type == pa.float64(), f
+        out = read_lake_pandas(lake).sort_values(["conv_id", "turn_idx"])
+        assert out["text"].tolist() == ["hi2", "q"]
+
+    def test_diff_lakes_narrow_vs_widened(self, tmp_path):
+        """A pre-widening replica (all-narrow files) diffs clean against the
+        widened lake when content matches: the comparator casts both sides
+        to the compared schema."""
+        import ray
+
+        from cassandra_data_migrator_ray.pipelines.diff import diff_lakes
+
+        wide = self._widened_lake(tmp_path, "wide")
+        narrow = str(tmp_path / "narrow")
+        replay(
+            ray.data.from_arrow(
+                _batch(
+                    [("a", 0, "hi2", 9.5, 30, 1), ("b", 5, "q", 2.0, 11, 2)]
+                )
+            ),
+            narrow,
+            num_parts=4,
+        )
+        res = diff_lakes(narrow, wide)
+        assert res.ok, res.counts
+        assert res.counts.get("VALID", 0) == 2
