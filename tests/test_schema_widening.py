@@ -225,3 +225,51 @@ class TestWideningMaintenance:
         res = diff_lakes(narrow, wide)
         assert res.ok, res.counts
         assert res.counts.get("VALID", 0) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWidenRouteKey:
+    def test_widen_int_route_key_generic_pk(self, tmp_path):
+        """Widening the ROUTE key column (first PK component) must not move
+        keys between partitions: hash_key hashes values through Python
+        objects, so int32 7 and int64 7 route identically.  An update
+        arriving with the widened type must supersede the narrow-typed
+        original, never duplicate it."""
+        import ray
+
+        def ev(rows, id_t):
+            oid, ln, sku, wt, seq = map(list, zip(*rows))
+            return pa.table(
+                {
+                    "op": pa.array(["UPSERT"] * len(rows)),
+                    "order_id": pa.array(oid, id_t),
+                    "line_no": pa.array(ln, pa.int64()),
+                    "sku": pa.array(sku, pa.string()),
+                    "writetime": pa.array(wt, pa.int64()),
+                    "event_seq": pa.array(seq, pa.int64()),
+                }
+            )
+
+        lake = str(tmp_path / "lake")
+        rows1 = [(i, 0, f"sku{i}", 100 + i, i) for i in range(40)]
+        replay(
+            ray.data.from_arrow(ev(rows1, pa.int32())),
+            lake,
+            num_parts=8,
+            key_cols=("order_id", "line_no"),
+        )
+        # widened updates for every key + one insert
+        rows2 = [(i, 0, f"new{i}", 200 + i, 100 + i) for i in range(40)]
+        rows2.append((99, 0, "fresh", 300, 999))
+        replay(
+            ray.data.from_arrow(ev(rows2, pa.int64())),
+            lake,
+            num_parts=8,
+            key_cols=("order_id", "line_no"),
+            widen_types=True,
+        )
+        out = read_lake_pandas(lake).sort_values("order_id")
+        assert len(out) == 41  # every update superseded in place, one insert
+        assert (out.loc[out["order_id"] < 40, "sku"]
+                .tolist() == [f"new{i}" for i in range(40)])
+        assert out.loc[out["order_id"] == 99, "sku"].item() == "fresh"
