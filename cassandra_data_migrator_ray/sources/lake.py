@@ -352,11 +352,16 @@ def read_changes(
         import numpy as np
 
         # one unified schema across the span: a run may additively evolve
-        # the payload, and Ray's union does not reconcile block schemas
+        # the payload, and Ray's union does not reconcile block schemas.
+        # Key/payload columns take the manifest's DECLARED type (a later run
+        # may have widened it — first-seen would cast newer wide feed files
+        # down and fail the safe cast on genuinely wide values); bookkeeping
+        # columns keep their first-seen type.
         fields: dict[str, pa.Field] = {}
+        declared = {f.name: f for f in manifest.schema}
         for fs in by_version.values():
             for f in pq.read_schema(fs[0]):
-                fields.setdefault(f.name, f)
+                fields.setdefault(f.name, declared.get(f.name, f))
         unified = pa.schema(list(fields.values())).append(
             pa.field("_commit_version", pa.int64())
         )

@@ -273,3 +273,37 @@ class TestWidenRouteKey:
         assert (out.loc[out["order_id"] < 40, "sku"]
                 .tolist() == [f"new{i}" for i in range(40)])
         assert out.loc[out["order_id"] == 99, "sku"].item() == "fresh"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWidenedChangeFeed:
+    def test_cdf_span_across_widening(self, tmp_path):
+        """read_changes(since_version=...) over a span whose later run
+        widened the schema: the unified span schema must take the declared
+        (wide) type so newer feed files never narrow-cast."""
+        import ray
+
+        from cassandra_data_migrator_ray.sources.lake import read_changes
+
+        lake = str(tmp_path / "lake")
+        replay(
+            ray.data.from_arrow(_batch([("a", 0, "hi", 1.0, 10, 1)])),
+            lake,
+            num_parts=4,
+            emit_changes=True,
+        )
+        # second run widens AND carries a value that cannot narrow to int32
+        wide = _batch(
+            [("b", 2**40, "big", 2.0, 20, 2)], turn_t=pa.int64()
+        )
+        replay(
+            ray.data.from_arrow(wide),
+            lake,
+            num_parts=4,
+            widen_types=True,
+            emit_changes=True,
+        )
+        feed = read_changes(lake, since_version=0).to_pandas()
+        assert set(feed["_change_type"]) == {"insert"}
+        assert sorted(feed["turn_idx"].tolist()) == [0, 2**40]
+        assert feed["turn_idx"].dtype == np.int64
