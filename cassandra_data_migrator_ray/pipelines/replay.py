@@ -402,6 +402,12 @@ def replay(
         # bound stage tasks at ~128 regardless of stream size (data-dependent,
         # NOT cpu-dependent — the job stays identical across cluster sizes)
         stage_batch = int(max(1 << 18, min(1 << 22, est_rows // 128 or 1 << 18)))
+        # stage-2 merge tasks are memory-bandwidth-bound (lz4 decode + Arrow
+        # fold); on hosts where aggregate copy bandwidth FALLS with process
+        # count (the measured single-VM 8→32 ceiling, BENCH/BASELINE.md) a
+        # task size of 2 halves concurrent merge processes without changing
+        # the job shape across cluster sizes.  Env-tunable, default 1.
+        merge_cpus = float(os.environ.get("CDM_MERGE_NUM_CPUS", "1"))
         t_s1 = time.perf_counter()
         stats = folded.map_batches(
             StageWriter(
@@ -447,6 +453,7 @@ def replay(
                     ),
                     batch_format="pandas",
                     batch_size=None,
+                    num_cpus=merge_cpus,
                 ).materialize()
                 fin_ds = ray.data.from_items(
                     [{"part": int(k)} for k in pend], override_num_blocks=len(pend)
@@ -462,6 +469,7 @@ def replay(
                         ),
                         batch_format="pandas",
                         batch_size=None,
+                        num_cpus=merge_cpus,
                     ).to_pandas()
                 )
             if skip:
@@ -473,6 +481,7 @@ def replay(
                         partial(_merge_staged_batch, cfg, staging_events, coarse_factor),
                         batch_format="pandas",
                         batch_size=None,
+                        num_cpus=merge_cpus,
                     ).to_pandas()
                 )
             metrics = (
@@ -486,6 +495,7 @@ def replay(
                 partial(_merge_staged_batch, cfg, staging_events, coarse_factor),
                 batch_format="pandas",
                 batch_size=None,
+                num_cpus=merge_cpus,
             ).to_pandas()
         else:
             metrics = pd.DataFrame()
