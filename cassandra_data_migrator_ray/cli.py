@@ -192,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
     # driver-side pyarrow/os work — skip the multi-second Ray startup
     needs_ray = args.cmd in {
         "migrate", "validate", "diff-lakes", "guardrail", "compact", "reshard",
-        "analyze", "fsck", "tail", "metrics",
+        "analyze", "fsck", "tail", "metrics", "dedup",
     }  # lineage/lookup/changes/snapshots/vacuum are driver-side metadata
     ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
@@ -281,8 +281,14 @@ def main(argv: list[str] | None = None) -> int:
             out = {"counts": res.counts, "ok": res.ok, "seconds": round(res.seconds, 3)}
             if args.autocorrect and not res.ok:
                 autocorrect(res, args.lake)
+                # same comparison semantics as the first pass: a TTL lake
+                # re-validated without as_of would compare stored state
+                # against the as-of expected view and spuriously fail
                 res2 = validate(
-                    rd.read_parquet(args.expected), args.lake, columns=args.columns
+                    rd.read_parquet(args.expected),
+                    args.lake,
+                    columns=args.columns,
+                    as_of=args.as_of,
                 )
                 out["after_correction"] = res2.counts
                 out["corrected"] = res2.ok

@@ -224,14 +224,23 @@ def _collect_candidates(cand: ray.data.Dataset, stats_key: str) -> pd.DataFrame:
 
 
 def _dedup_pairs_distributed(
-    verified: ray.data.Dataset, stats_key: str, empty: pd.DataFrame
+    verified: ray.data.Dataset,
+    stats_key: str,
+    empty: pd.DataFrame,
+    count_key: str = "pairs_found",
 ) -> ray.data.Dataset:
     """Distributed twin of the driver-side pair dedup: the same verified pair
     can surface from several LSH bands; collapse duplicates with a second
     pair-proportional ``groupby(id_a, id_b)`` and reduce the truncation
     metric rows (id_a = -1, id_b = skipped-pair count) with a dataset sum.
     The driver only ever sees two scalars (pair count, dropped count).
-    ``empty`` supplies the output schema for the no-pairs corner."""
+    ``empty`` supplies the output schema for the no-pairs corner.
+
+    ``count_key`` names the recorded count: call sites that dedup PRE-verify
+    candidates (minhash/embedding ``collect="distributed"``) pass
+    ``"pairs_candidate"`` so LAST_RUN_STATS means the same thing on the
+    driver and distributed paths; post-verify callers keep ``pairs_found``.
+    """
     cols = list(empty.columns)
 
     def _metric_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -243,7 +252,7 @@ def _dedup_pairs_distributed(
 
     verified = verified.materialize()  # pair-proportional — two passes below
     if verified.count() == 0:
-        LAST_RUN_STATS[stats_key] = {"pairs_found": 0, "pairs_dropped": 0}
+        LAST_RUN_STATS[stats_key] = {count_key: 0, "pairs_dropped": 0}
         return ray.data.from_pandas(empty)
     dropped = int(
         verified.map_batches(_metric_partial, batch_format="pandas").sum("dropped")
@@ -255,7 +264,7 @@ def _dedup_pairs_distributed(
         .materialize()
     )
     LAST_RUN_STATS[stats_key] = {
-        "pairs_found": int(out.count()),
+        count_key: int(out.count()),
         "pairs_dropped": dropped,
     }
     if dropped:
@@ -364,7 +373,9 @@ def dedup_minhash_lsh(
                 "id_b": pd.Series([], dtype=np.int64),
             }
         )
-        pairs_ds = _dedup_pairs_distributed(cand, "minhash_lsh", empty_cand)
+        pairs_ds = _dedup_pairs_distributed(
+            cand, "minhash_lsh", empty_cand, count_key="pairs_candidate"
+        )
         return _verify_pairs_ds(
             ds,
             pairs_ds,
@@ -1228,6 +1239,12 @@ def embedding_neardup(
             max(1, n_total >> bits_per_band),
         )
 
+    if collect == "distributed":
+        # the bucketize pass (via cand) AND verify's vector-gather pass both
+        # consume ds — pin transform lineages ONCE, BEFORE cand captures the
+        # unpinned handle (else the chain re-executes for the bucket pass)
+        ds = _ensure_multipass(ds)
+
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         _require_nonneg_ids(batch[id_col].to_numpy(), id_col)
         vecs = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
@@ -1275,14 +1292,15 @@ def embedding_neardup(
         return list(m)
 
     if collect == "distributed":
-        ds = _ensure_multipass(ds)  # bucketize pass + vector-gather pass
         empty_cand = pd.DataFrame(
             {
                 "id_a": pd.Series([], dtype=np.int64),
                 "id_b": pd.Series([], dtype=np.int64),
             }
         )
-        pairs_ds = _dedup_pairs_distributed(cand, "embedding_neardup", empty_cand)
+        pairs_ds = _dedup_pairs_distributed(
+            cand, "embedding_neardup", empty_cand, count_key="pairs_candidate"
+        )
         return _verify_pairs_ds(
             ds,
             pairs_ds,
@@ -2015,11 +2033,23 @@ def join_by_key(
     out_cols = on + l_pay + r_pay
 
     if num_partitions is None:
-        try:
-            est = left.count() + right.count()
-        except Exception:
-            est = 0
-        num_partitions = max(16, min(1024, est // 65536))
+        # size from row counts ONLY when both sides are plain source reads
+        # (count() is metadata-cheap there); a transform-bearing lineage
+        # would fully execute once just to count and then re-execute for
+        # the join itself — for those, take a fixed fan-out instead
+        def _cheap_count(d):
+            try:
+                if len(d._logical_plan.dag.input_dependencies) == 0:
+                    return d.count()
+            except AttributeError:
+                pass
+            return None
+
+        lc, rc = _cheap_count(left), _cheap_count(right)
+        if lc is None or rc is None:
+            num_partitions = 256
+        else:
+            num_partitions = max(16, min(1024, (lc + rc) // 65536))
     nparts = int(num_partitions)
 
     def _mix64(x: np.ndarray) -> np.ndarray:

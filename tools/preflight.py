@@ -124,10 +124,15 @@ def main() -> int:
     import __ray_entry__ as e
 
     qs = dict(e.queries())
+    oracles = dict(e.oracle_sql())
     if include_extra:
         qs.update(e.queries_extra())
-    oracles = e.oracle_sql()
+        oracles.update(e.oracle_sql_extra())
     if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+            return 2
         qs = {k: v for k, v in qs.items() if k in only}
 
     con = duckdb.connect()
