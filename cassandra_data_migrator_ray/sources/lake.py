@@ -30,16 +30,18 @@ def lake_files(manifest: Manifest, parts: list[int] | None = None) -> list[str]:
 
 def _resolve_view(
     manifest: Manifest, version: int | None, parts: list[int] | None
-) -> tuple[list[str], list[str], list[str], bool]:
-    """(files, key_cols, payload_cols, ttl_enabled) for the live view or a
-    time-travel view at a committed ``version`` (snapshot-pinned file set and
-    SCHEMA — a column added later does not appear in an older view)."""
+) -> tuple[list[str], list[str], list[str], bool, pa.Schema]:
+    """(files, key_cols, payload_cols, ttl_enabled, declared_schema) for the
+    live view or a time-travel view at a committed ``version``
+    (snapshot-pinned file set and SCHEMA — a column added later does not
+    appear in an older view)."""
     if version is None:
         return (
             lake_files(manifest, parts),
             list(manifest.key_cols),
             manifest.payload_cols(),
             manifest.ttl_enabled,
+            manifest.schema,
         )
     snap = manifest.snapshot(version)
     if snap is None:
@@ -65,6 +67,7 @@ def _resolve_view(
         key_cols,
         [n for n in schema.names if n not in key_cols],
         bool(snap.get("ttl_enabled", False)),
+        schema,
     )
 
 
@@ -149,7 +152,7 @@ def read_lake(
         kept = stats_prune_partitions(manifest, load_stats(lake_dir), prune)
         if kept is not None:
             parts = kept if parts is None else sorted(set(parts) & set(kept))
-    files, v_key_cols, v_payload_cols, v_ttl = _resolve_view(
+    files, v_key_cols, v_payload_cols, v_ttl, v_schema = _resolve_view(
         manifest, version, parts
     )
     public_cols = columns or [*v_key_cols, *v_payload_cols]
@@ -178,6 +181,27 @@ def read_lake(
         columns=read_cols,
         **({"filter": filter} if filter is not None else {}),
     )
+    # schema-widened lakes keep the narrow physical type in untouched
+    # partition files (copy-on-write never rewrites them), so blocks from
+    # different files can disagree (int32 vs int64) — align every batch to
+    # the view's DECLARED types so consumers (sort, union, export) see one
+    # schema.  No-op (and zero-copy) when the batch already matches; FSL
+    # columns are deliberately left to the _restore_fsl step below, which
+    # runs after the tombstone filter.
+    declared_types = {
+        f.name: f.type
+        for f in v_schema
+        if not pa.types.is_fixed_size_list(f.type)
+    }
+
+    def _align_declared(t: pa.Table) -> pa.Table:
+        for i, name in enumerate(t.column_names):
+            want = declared_types.get(name)
+            if want is not None and t.column(i).type != want:
+                t = t.set_column(i, name, t.column(i).cast(want))
+        return t
+
+    ds = ds.map_batches(_align_declared, batch_format="pyarrow")
     if ttl_eval:
         from functools import partial
 
@@ -623,7 +647,7 @@ def lookup(
         parts = sorted({p for ps in cand.values() for p in ps})
     else:
         parts = None
-    files, v_key_cols, v_payload_cols, v_ttl = _resolve_view(
+    files, v_key_cols, v_payload_cols, v_ttl, _v_schema = _resolve_view(
         manifest, version, parts
     )
     key_cols = v_key_cols
@@ -765,7 +789,7 @@ def read_lake_pandas(
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
-    files, key_cols, payload_cols, ttl_enabled = _resolve_view(
+    files, key_cols, payload_cols, ttl_enabled, _schema = _resolve_view(
         manifest, version, None
     )
     if not files:

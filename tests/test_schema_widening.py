@@ -307,3 +307,73 @@ class TestWidenedChangeFeed:
         assert set(feed["_change_type"]) == {"insert"}
         assert sorted(feed["turn_idx"].tolist()) == [0, 2**40]
         assert feed["turn_idx"].dtype == np.int64
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWidenedStreamingRead:
+    def _widened_lake(self, tmp_path):
+        """Narrow run touching many partitions, then a widening run touching
+        ONE — most partition files keep int32/float32 physically."""
+        import ray
+
+        lake = str(tmp_path / "lake")
+        replay(
+            ray.data.from_arrow(
+                _batch(
+                    [(f"c{i}", i, "narrow", 1.5, 1000 + i, i) for i in range(20)]
+                )
+            ),
+            lake,
+            num_parts=8,
+        )
+        replay(
+            ray.data.from_arrow(
+                _batch(
+                    [("w", 2**40, "wide", 2.5, 5000, 100)],
+                    turn_t=pa.int64(),
+                    val_t=pa.float64(),
+                )
+            ),
+            lake,
+            num_parts=8,
+            widen_types=True,
+        )
+        return lake
+
+    def test_read_lake_blocks_align_to_declared(self, tmp_path):
+        """Streaming read_lake over mixed narrow/wide partition files must
+        surface ONE schema (the declared wide one) in every block."""
+        from cassandra_data_migrator_ray.sources.lake import read_lake
+
+        lake = self._widened_lake(tmp_path)
+        ds = read_lake(lake)
+        types = {
+            str(b["turn_idx"].type)
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=4)
+        }
+        assert types == {"int64"}
+        df = read_lake(lake).to_pandas()
+        assert len(df) == 21
+        assert int(df["turn_idx"].max()) == 2**40
+        assert df["turn_idx"].dtype == np.int64
+
+    def test_export_sorted_uniform_files(self, tmp_path):
+        """export_sorted of a widened lake: every output file must carry the
+        DECLARED physical types — a strict sequential consumer concatenates
+        the returned list without schema reconciliation."""
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.sources.lake import export_sorted
+
+        lake = self._widened_lake(tmp_path)
+        files = export_sorted(lake, str(tmp_path / "exp"))
+        turn_types = {str(pq.read_schema(f).field("turn_idx").type) for f in files}
+        score_types = {str(pq.read_schema(f).field("score").type) for f in files}
+        assert turn_types == {"int64"}, turn_types
+        assert score_types == {"double"}, score_types
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        assert tbl.num_rows == 21
+        keys = list(
+            zip(tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist())
+        )
+        assert keys == sorted(keys)
