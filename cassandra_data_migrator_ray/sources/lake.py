@@ -71,6 +71,20 @@ def _resolve_view(
     )
 
 
+def _cast_to_declared(tbl: pa.Table, declared: pa.Schema) -> pa.Table:
+    """Cast key/payload columns of ``tbl`` to the view's declared types.
+    permissive concat unifies mixed narrow/wide file schemas to the WIDEST
+    type PRESENT, which still varies with which files a call touched — the
+    declared schema is the one stable contract.  FSL columns are left as
+    stored (variable lists; see _restore_fsl / sanitize_lists_for_parquet)."""
+    for i, name in enumerate(tbl.column_names):
+        if name in declared.names:
+            want = declared.field(name).type
+            if not pa.types.is_fixed_size_list(want) and tbl.column(i).type != want:
+                tbl = tbl.set_column(i, name, tbl.column(i).cast(want))
+    return tbl
+
+
 def stats_prune_partitions(
     manifest: Manifest, stats: dict | None, prune: dict
 ) -> list[int] | None:
@@ -166,11 +180,12 @@ def read_lake(
         )
     read_cols = None if ttl_eval else list(dict.fromkeys([*public_cols, DELETED]))
     if not files:
-        # empty lake: surface the MANIFEST's declared types, not all-string
+        # empty view: surface the RESOLVED VIEW's declared types (the live
+        # manifest may have widened a type after the pinned snapshot)
         empty_schema = pa.schema(
             [
-                manifest.schema.field(c)
-                if c in manifest.schema.names
+                v_schema.field(c)
+                if c in v_schema.names
                 else pa.field(c, pa.string())
                 for c in public_cols
             ]
@@ -680,8 +695,11 @@ def lookup(
             )
         )
     # "permissive" unifies mixed physical types across schema-evolved files
-    # (a widened lake keeps narrow types in untouched partitions)
-    tbl = pa.concat_tables(tables, promote_options="permissive")
+    # (a widened lake keeps narrow types in untouched partitions); then pin
+    # to the DECLARED types so the dtype never flaps with data placement
+    tbl = _cast_to_declared(
+        pa.concat_tables(tables, promote_options="permissive"), _v_schema
+    )
     df = tbl.to_pandas()
     if ttl_eval:
         from cassandra_data_migrator_ray.functions.lww import apply_ttl_expiry
@@ -795,9 +813,13 @@ def read_lake_pandas(
     if not files:
         return pd.DataFrame(columns=[*key_cols, *payload_cols])
     # "permissive" unifies mixed physical types across schema-evolved files
-    # (a widened lake keeps narrow types in untouched partitions)
-    tbl = pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="permissive"
+    # (a widened lake keeps narrow types in untouched partitions); then pin
+    # to the DECLARED types so the dtype never flaps with data placement
+    tbl = _cast_to_declared(
+        pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        ),
+        _schema,
     )
     df = tbl.to_pandas()
     if as_of is not None and ttl_enabled:

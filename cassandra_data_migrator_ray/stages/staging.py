@@ -197,14 +197,32 @@ class StageWriter:
                         writer.write_table(slice_tbl)
             else:
                 h = hashlib.blake2b(digest_size=8)
-                with pa.OSFile(tmp, "wb") as sink:
-                    with pa.ipc.new_file(
-                        sink, slice_tbl.schema, options=self._write_opts()
-                    ) as writer:
-                        writer.write_table(slice_tbl)
-                with open(tmp, "rb") as f:
-                    while chunk := f.read(1 << 20):
-                        h.update(chunk)
+                if self.compression:
+                    # fingerprint the UNCOMPRESSED stream: the content
+                    # address must not depend on the codec a given attempt
+                    # resolved (env/build can differ between a task and its
+                    # retry) — a codec-dependent name would let the retry
+                    # write a SECOND slice instead of overwriting, and the
+                    # fold would double those rows.  Costs one extra
+                    # serialization, only on the bytes-fingerprint path.
+                    buf = pa.BufferOutputStream()
+                    with pa.ipc.new_file(buf, slice_tbl.schema) as w0:
+                        w0.write_table(slice_tbl)
+                    h.update(buf.getvalue())
+                    with pa.OSFile(tmp, "wb") as sink:
+                        with pa.ipc.new_file(
+                            sink, slice_tbl.schema, options=self._write_opts()
+                        ) as writer:
+                            writer.write_table(slice_tbl)
+                else:
+                    with pa.OSFile(tmp, "wb") as sink:
+                        with pa.ipc.new_file(
+                            sink, slice_tbl.schema, options=self._write_opts()
+                        ) as writer:
+                            writer.write_table(slice_tbl)
+                    with open(tmp, "rb") as f:
+                        while chunk := f.read(1 << 20):
+                            h.update(chunk)
                 fp = h.hexdigest()
             os.replace(tmp, os.path.join(pdir, f"blk-{fp}.arrow"))
             rows.append({"part": np.int32(k), "rows": np.int64(hi - lo)})

@@ -331,7 +331,11 @@ class Manifest:
                     and (pa.types.is_integer(f.type) or pa.types.is_floating(f.type))
                 ):
                     idx = self.schema.get_field_index(f.name)
-                    self.schema = self.schema.set(idx, pa.field(f.name, f.type))
+                    # with_type keeps the declared field's nullability flag
+                    # and metadata — only the storage width changes
+                    self.schema = self.schema.set(
+                        idx, self.schema.field(idx).with_type(f.type)
+                    )
                     changed = True
                     continue
                 if have != f.type and not _castable_variant(f.type, have):

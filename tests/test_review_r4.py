@@ -197,3 +197,88 @@ class TestStatsKeyParity:
         assert "pairs_candidate" in driver_keys
         assert "pairs_candidate" in dist_keys
         assert "pairs_found" not in dist_keys
+
+
+class TestStagedFingerprintCodecIndependent:
+    def test_same_name_across_codecs(self, tmp_path):
+        """The bytes-fingerprint content address (reshard / prefolded /
+        validate slices) must not depend on the staged-slice codec: a task
+        retried under a different CDM_STAGED_COMPRESSION resolution must
+        OVERWRITE the first attempt's slice, never add a second one."""
+        import pyarrow as pa
+
+        from cassandra_data_migrator_ray.stages.normalize import PART_COL
+        from cassandra_data_migrator_ray.stages.staging import StageWriter
+
+        batch = pa.table(
+            {
+                "conv_id": pa.array(["a", "b", "c"]),
+                "turn_idx": pa.array([0, 1, 2], pa.int32()),
+                "text": pa.array(["x" * 64, "y" * 64, "z" * 64]),
+                PART_COL: pa.array([0, 0, 0], pa.int32()),
+            }
+        )
+        names = {}
+        for codec in ("lz4", None, "zstd"):
+            d = str(tmp_path / f"stage_{codec}")
+            StageWriter(d, compression=codec, bytes_fingerprint=True)(batch)
+            files = sorted(
+                f
+                for f in os.listdir(os.path.join(d, "part=00000"))
+                if f.startswith("blk-")
+            )
+            names[codec] = files
+        assert names["lz4"] == names[None] == names["zstd"], names
+
+    def test_retry_overwrites_across_codec_change(self, tmp_path):
+        """Same slice staged twice (lz4 then uncompressed) into ONE staging
+        dir: exactly one blk file remains and it parses."""
+        import pyarrow as pa
+
+        from cassandra_data_migrator_ray.stages.normalize import PART_COL
+        from cassandra_data_migrator_ray.stages.staging import StageWriter
+
+        batch = pa.table(
+            {
+                "v": pa.array([1, 2, 3], pa.int64()),
+                PART_COL: pa.array([0, 0, 0], pa.int32()),
+            }
+        )
+        d = str(tmp_path / "stage")
+        StageWriter(d, compression="lz4", bytes_fingerprint=True)(batch)
+        StageWriter(d, compression=None, bytes_fingerprint=True)(batch)
+        pdir = os.path.join(d, "part=00000")
+        files = [f for f in os.listdir(pdir) if f.startswith("blk-")]
+        assert len(files) == 1, files
+        tbl = pa.ipc.open_file(os.path.join(pdir, files[0])).read_all()
+        assert tbl["v"].to_pylist() == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeclaredDtypeStability:
+    def test_lookup_dtype_stable_across_partitions(self, tmp_path):
+        """On a widened lake, lookup() must return the DECLARED dtype whether
+        the touched partitions hold narrow or wide physical files."""
+        import ray
+
+        from cassandra_data_migrator_ray.pipelines.replay import replay
+        from cassandra_data_migrator_ray.sources.lake import lookup
+
+        lake = str(tmp_path / "lake")
+        replay(
+            _ev([(f"c{i}", 0, "narrow", BASE + i, None) for i in range(8)]),
+            lake,
+            num_parts=4,
+        )
+        wide = _ev([("w", 0, "wide", BASE + 100, None)])
+        wide = wide.set_column(
+            wide.column_names.index("turn_idx"),
+            "turn_idx",
+            wide["turn_idx"].cast(pa.int64()),
+        )
+        replay(wide, lake, num_parts=4, widen_types=True)
+
+        narrow_hit = lookup(lake, [("c0",)])
+        wide_hit = lookup(lake, [("w",)])
+        assert narrow_hit["turn_idx"].dtype == wide_hit["turn_idx"].dtype
+        assert str(narrow_hit["turn_idx"].dtype) == "int64"
