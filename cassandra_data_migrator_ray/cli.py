@@ -133,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
     an = sub.add_parser("analyze", help="compute per-partition column stats for scan pruning")
     an.add_argument("--lake", required=True)
     an.add_argument("--columns", nargs="*", default=None)
+    an.add_argument("--full", action="store_true",
+                    help="force a full rescan (default reuses stats for "
+                         "partitions whose file list is unchanged)")
 
     fs = sub.add_parser("fsck", help="integrity audit: files vs manifest, recomputed counts")
     fs.add_argument("--lake", required=True)
@@ -331,13 +334,17 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "analyze":
             from cassandra_data_migrator_ray.pipelines.maintenance import analyze_lake
 
-            st = analyze_lake(args.lake, args.columns)
+            st = analyze_lake(
+                args.lake, args.columns, incremental=not args.full
+            )
             print(
                 json.dumps(
                     {
                         "version": st["version"],
                         "partitions": len(st["partitions"]),
                         "columns": st["columns"],
+                        "reused_parts": st["reused_parts"],
+                        "recomputed_parts": st["recomputed_parts"],
                         "seconds": st["seconds"],
                     }
                 )

@@ -315,7 +315,29 @@ def _analyze_part(
     return pd.DataFrame(out)
 
 
-def analyze_lake(lake_dir: str, columns: list[str] | None = None) -> dict:
+def _load_prior_stats(lake_dir: str) -> dict | None:
+    """The newest stats file of ANY version — raw material for incremental
+    reuse (per-partition file-list comparison decides validity, not the
+    version stamp)."""
+    import glob as _glob
+    import json as _json
+
+    sdir = os.path.join(lake_dir, "_stats")
+    cands = sorted(_glob.glob(os.path.join(sdir, "v*.json")))
+    if not cands:
+        return None
+    try:
+        with open(cands[-1]) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def analyze_lake(
+    lake_dir: str,
+    columns: list[str] | None = None,
+    incremental: bool = True,
+) -> dict:
     """Compute per-partition column statistics (min/max/null count/rows) and
     store them version-stamped at ``_stats/v{version}.json`` — the ANALYZE
     step that lets :func:`sources.lake.read_lake` prune partitions by a
@@ -323,7 +345,16 @@ def analyze_lake(lake_dir: str, columns: list[str] | None = None) -> dict:
     analogue of parquet row-group statistics, one level up).  One Ray task
     per partition; the driver holds only the stats dict.  Stats are valid
     for exactly the manifest version they were computed at — a later commit
-    invalidates them (readers check the stamp)."""
+    invalidates them (readers check the stamp).
+
+    ``incremental`` (default): stats record the exact file list each
+    partition was computed from (``part_files``); a re-ANALYZE after a
+    commit recomputes ONLY partitions whose file list changed and carries
+    the rest forward — maintenance cost proportional to churn, not lake
+    size (a replay touching 1% of a 100 TB lake re-reads 1% of it).  The
+    identical-files ⇒ identical-stats invariant makes the carried entries
+    exact, not approximate.  Set ``incremental=False`` to force a full
+    rescan."""
     import json as _json
     import time
 
@@ -340,11 +371,37 @@ def analyze_lake(lake_dir: str, columns: list[str] | None = None) -> dict:
         "computed_at": time.time(),
         "columns": cols,
         "partitions": {},
+        "part_files": {
+            str(int(p)): sorted(manifest.partitions[p].files) for p in parts
+        },
+        "reused_parts": 0,
+        "recomputed_parts": 0,
     }
-    if parts:
+    todo = list(parts)
+    if incremental and parts:
+        prior_stats = _load_prior_stats(lake_dir)
+        if prior_stats and "part_files" in prior_stats:
+            pfiles = prior_stats["part_files"]
+            pparts = prior_stats.get("partitions", {})
+            still = []
+            for p in parts:
+                key = str(int(p))
+                ent = pparts.get(key)
+                if (
+                    pfiles.get(key) == stats["part_files"][key]
+                    and ent is not None
+                    and all(c in ent for c in cols)
+                ):
+                    stats["partitions"][key] = {c: ent[c] for c in cols}
+                else:
+                    still.append(p)
+            stats["reused_parts"] = len(parts) - len(still)
+            todo = still
+    stats["recomputed_parts"] = len(todo)
+    if todo:
         prior = {k: v.files for k, v in manifest.partitions.items()}
         ds = ray.data.from_items(
-            [{"part": int(p)} for p in parts], override_num_blocks=len(parts)
+            [{"part": int(p)} for p in todo], override_num_blocks=len(todo)
         )
         rows = ds.map_batches(
             _partial(_analyze_part, lake_dir, prior, cols),
@@ -398,6 +455,16 @@ def analyze_lake(lake_dir: str, columns: list[str] | None = None) -> dict:
     atomic_write_json(
         os.path.join(sdir, f"v{manifest.version:06d}.json"), stats
     )
+    # stats are advisory (readers fall back to full scans), so keeping only
+    # the newest few bounds _stats/ growth without any safety cost; the
+    # newest is this one, so incremental reuse is unaffected.
+    import glob as _glob
+
+    for old in sorted(_glob.glob(os.path.join(sdir, "v*.json")))[:-4]:
+        try:
+            os.unlink(old)
+        except OSError:
+            pass
     stats["seconds"] = round(time.perf_counter() - t0, 3)
     return stats
 

@@ -97,6 +97,62 @@ class TestAnalyzePrune:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestIncrementalAnalyze:
+    """Incremental ANALYZE: re-stats only partitions whose file list changed
+    since the last stats file, carrying the rest forward — identical files
+    imply identical stats, so the carried entries are exact."""
+
+    def test_incremental_equals_full_after_partial_churn(self, tmp_path):
+        ev = gen_change_stream(n_convs=40, n_events=2500, seed=47)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=12)
+        st1 = analyze_lake(lake)
+        assert st1["reused_parts"] == 0
+        assert st1["recomputed_parts"] == len(st1["partitions"])
+        # a tiny second stream touches few partitions (2 conversations route
+        # to at most 2 of the 12), so most stats must carry forward
+        # seq_start past the first stream's watermark so the new events are
+        # not suppressed as late arrivals
+        ev2 = gen_change_stream(n_convs=2, n_events=120, seed=53,
+                                seq_start=10_000)
+        replay(ev2, lake)
+        st2 = analyze_lake(lake)
+        total = len(st2["partitions"])
+        assert st2["reused_parts"] > 0
+        assert 1 <= st2["recomputed_parts"] < total
+        assert st2["reused_parts"] + st2["recomputed_parts"] == total
+        assert load_stats(lake)["version"] == Manifest.load(lake).version
+        full = analyze_lake(lake, incremental=False)
+        assert full["reused_parts"] == 0
+        assert full["partitions"] == st2["partitions"]
+
+    def test_column_subset_reuses_prior_superset(self, tmp_path):
+        ev = gen_change_stream(n_convs=20, n_events=800, seed=59)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=6)
+        analyze_lake(lake)  # all columns
+        st = analyze_lake(lake, columns=["turn_idx"])
+        assert st["recomputed_parts"] == 0
+        assert st["reused_parts"] == len(st["partitions"])
+        assert all(set(p) == {"turn_idx"} for p in st["partitions"].values())
+
+    def test_stats_dir_retention_bounded(self, tmp_path):
+        import glob
+        import os
+
+        ev = gen_change_stream(n_convs=10, n_events=300, seed=61)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=4)
+        for i, s in enumerate((71, 73, 79, 83, 89, 97)):
+            replay(gen_change_stream(n_convs=2, n_events=60, seed=s,
+                                     seq_start=1_000 * (i + 1)), lake)
+            analyze_lake(lake)
+        files = glob.glob(os.path.join(lake, "_stats", "v*.json"))
+        assert len(files) <= 4
+        assert load_stats(lake) is not None  # newest survives retention
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestFsck:
     def _lake(self, tmp_path):
         ev = gen_change_stream(n_convs=20, n_events=1200, seed=59)
