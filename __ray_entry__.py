@@ -117,6 +117,7 @@ def queries_extra() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q.simhash_docs,
         "embedding_neardup": q.embedding_neardup_q,
         # oracle-paired variants of machinery gated elsewhere
+        "where_range_scan": q.where_range_scan,
         "sliding_window_counts": q.sliding_window_counts,
         "running_purchase_total": q.running_purchase_total,
         "lag_purchase_delta": q.lag_purchase_delta,
@@ -865,7 +866,17 @@ def oracle_sql_extra() -> dict[str, str]:
     pruned from the 50-slot driver surface, still asserted by pytest
     (tests/test_queries_vs_duckdb.py runs queries ∪ extras against
     oracles ∪ extras)."""
+    glob_ = _cdc_cache_glob()
+    cdc = _cdc_fold_cte(glob_)
     return {
+        # replay → incremental ANALYZE → where= (partition prune + row-group
+        # prune + exact row filter): the fold restricted to the range
+        "where_range_scan": f"""
+{cdc}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM fin WHERE rn = 1 AND turn_idx BETWEEN 1 AND 5
+ORDER BY conv_id, turn_idx
+""",
         # sliding (hopping) windows: every event lands in the 4 covering 6-h
         # hops of its 24-h window — identical shift construction both sides
         "sliding_window_counts": """

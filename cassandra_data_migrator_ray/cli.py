@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="allow lossless numeric schema widening (int -> wider "
                         "int, float32 -> float64) when the stream's types "
                         "outgrow the lake's declared schema")
+    m.add_argument("--analyze", action="store_true",
+                   help="refresh scan-pruning column stats after the commit "
+                        "(incremental: re-reads only partitions this run touched)")
     m.add_argument("--properties", default=None,
                    help="reference cdm.properties file: spark.cdm.* keys drive "
                         "the transform chain and run/perf knobs (explicit CLI "
@@ -129,6 +132,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--grace-wt", type=int, default=None)
     c.add_argument("--only-tombstoned", action="store_true",
                    help="rewrite only partitions recording tombstones (cost ∝ deletes)")
+    c.add_argument("--cluster-by", nargs="+", default=None,
+                   help="sort rewritten partitions by these columns (physical "
+                        "layout: tight row-group stats for range scans)")
 
     an = sub.add_parser("analyze", help="compute per-partition column stats for scan pruning")
     an.add_argument("--lake", required=True)
@@ -161,6 +167,9 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--max-cycles", type=int, default=None)
     t.add_argument("--stop-after-idle", type=int, default=None,
                    help="exit after this many consecutive empty polls (drain mode)")
+    t.add_argument("--analyze", action="store_true",
+                   help="refresh scan-pruning stats after every ingested cycle "
+                        "(incremental; cost ∝ the cycle's touched partitions)")
 
     s = sub.add_parser("metrics", help="per-partition throughput/lag report")
     s.add_argument("--lake", required=True)
@@ -225,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
                 compact=args.compact,
                 emit_changes=args.emit_changes,
                 widen_types=args.widen_types,
+                analyze=args.analyze,
             )
             transforms = None
             if args.properties:
@@ -317,7 +327,10 @@ def main(argv: list[str] | None = None) -> int:
             from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
 
             res = compact_lake(
-                args.lake, args.grace_wt, only_tombstoned=args.only_tombstoned
+                args.lake,
+                args.grace_wt,
+                only_tombstoned=args.only_tombstoned,
+                cluster_by=args.cluster_by,
             )
             print(
                 json.dumps(
@@ -404,6 +417,7 @@ def main(argv: list[str] | None = None) -> int:
                 file_format=args.file_format,
                 num_parts=args.num_parts,
                 salt=args.salt,
+                analyze=args.analyze,
             )
             print(
                 json.dumps(

@@ -35,7 +35,12 @@ class CompactResult:
     seconds: float
 
 
-def _compact_part(cfg: MergeConfig, ttl_as_of: int | None, batch: pd.DataFrame) -> pd.DataFrame:
+def _compact_part(
+    cfg: MergeConfig,
+    ttl_as_of: int | None,
+    cluster_by: tuple[str, ...] | None,
+    batch: pd.DataFrame,
+) -> pd.DataFrame:
     import time
 
     import pyarrow as pa
@@ -58,7 +63,16 @@ def _compact_part(cfg: MergeConfig, ttl_as_of: int | None, batch: pd.DataFrame) 
 
             state = apply_ttl_expiry(state, ttl_as_of, cfg.payload_cols, harden=True)
         state = compact_tombstones(state, cfg.grace_wt)
-        state = state.sort_values(list(cfg.key_cols), kind="mergesort", ignore_index=True)
+        # physical layout only — readers never assume an order.  cluster_by
+        # leads the sort so parquet row-group statistics become tight on the
+        # clustered column(s); key columns break ties for determinism.
+        sort_cols = (
+            [c for c in cluster_by if c in state.columns]
+            + [k for k in cfg.key_cols if k not in cluster_by]
+            if cluster_by
+            else list(cfg.key_cols)
+        )
+        state = state.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         rel = write_partition_state(cfg, part, state)
         tombstones = int(state[DELETED].sum())
         receipt = {
@@ -94,6 +108,7 @@ def compact_lake(
     grace_wt: int | None = None,
     ttl_as_of: int | None = None,
     only_tombstoned: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> CompactResult:
     """Rewrite partitions dropping eligible tombstones (2-phase commit).
 
@@ -105,7 +120,16 @@ def compact_lake(
     Untouched partitions keep their files and manifest entries (the commit
     folds receipts over the existing map).  Not valid with ``ttl_as_of``:
     TTL expiry must examine every partition's cells, not just tombstoned
-    ones."""
+    ones.
+
+    ``cluster_by``: sort each rewritten partition's rows by these columns
+    (key columns as tiebreak) before writing — a PHYSICAL layout choice
+    only (readers never assume an order; merge-on-read re-folds by hash):
+    parquet row-group statistics become tight on the clustered columns, so
+    ``read_lake(filter=)`` / ``where=`` range scans on them skip row groups
+    instead of decoding every page.  The clustering holds until a later
+    replay merges new rows into the partition — re-cluster on the next
+    compaction sweep."""
     if only_tombstoned and ttl_as_of is not None:
         raise ValueError("only_tombstoned cannot combine with ttl_as_of")
     import time
@@ -137,10 +161,24 @@ def compact_lake(
     ds = ray.data.from_items(
         [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
     )
+    cluster = tuple(cluster_by) if cluster_by else None
+    if cluster:
+        unknown = [c for c in cluster if c not in manifest.schema.names]
+        if unknown:
+            raise ValueError(f"cluster_by columns not in schema: {unknown}")
     metrics = ds.map_batches(
-        partial(_compact_part, cfg, ttl_as_of), batch_format="pandas", batch_size=None
+        partial(_compact_part, cfg, ttl_as_of, cluster),
+        batch_format="pandas",
+        batch_size=None,
     ).to_pandas()
-    manifest.commit_run(run_id, extra={"type": "compact", "grace_wt": grace_wt})
+    manifest.commit_run(
+        run_id,
+        extra={
+            "type": "compact",
+            "grace_wt": grace_wt,
+            **({"cluster_by": list(cluster)} if cluster else {}),
+        },
+    )
     return CompactResult(run_id, metrics, time.perf_counter() - t0)
 
 

@@ -967,6 +967,28 @@ def cdc_replay(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def where_range_scan(sf_dir: str) -> pd.DataFrame:
+    """Pruned exact range scan: replay the change stream with post-commit
+    incremental ANALYZE, then read the lake through ``where=`` — one knob
+    stacking partition pruning (fresh stats), parquet row-group pruning and
+    the exact row filter.  Oracle: the LWW fold restricted to the range."""
+    import shutil
+
+    from cassandra_data_migrator_ray.pipelines.maintenance import load_stats
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import read_lake
+
+    cache = _gen_cached_events(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    try:
+        replay(cache, lake, num_parts=NUM_PARTS, salt=2, analyze=True)
+        assert load_stats(lake) is not None, "post-replay stats must be fresh"
+        df = read_lake(lake, where={"turn_idx": (1, 5)}).to_pandas()
+        return df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def vector_lake_roundtrip(sf_dir: str) -> pd.DataFrame:
     """VECTOR payload gate (reference data/CqlData.java:36-38, SIT
     smoke/06_vector; SURVEY §1.3 maps CQL VECTOR → fixed_size_list<float32>):

@@ -139,6 +139,7 @@ def replay(
     staged_compression: str | None = "auto",
     chaos_dir: str | None = None,
     widen_types: bool = False,
+    analyze: bool = False,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -195,6 +196,11 @@ def replay(
     their staged file subsets plus a final partial-merge task, instead of one
     whole-partition task — finer retry/memory granularity, exact by
     fold/merge associativity.
+
+    ``analyze=True`` refreshes the lake's scan-pruning column statistics
+    right after the commit via incremental ANALYZE (re-reads only the
+    partitions this run touched), so ``read_lake(prune=)`` keeps working
+    across a stream of replays without a separate maintenance step.
 
     ``chaos_dir`` (fault injection, tests only; ``shuffle="staging"``):
     one stage-1 task and one stage-2 task each HARD-KILL their worker
@@ -526,6 +532,15 @@ def replay(
                 "emit_changes": bool(emit_changes),
             },
         )
+        if analyze:
+            # keep scan-pruning stats continuously fresh: incremental
+            # ANALYZE re-reads only the partitions this run touched
+            # (cost ∝ churn), so read_lake(prune=) never sees a stale stamp
+            from cassandra_data_migrator_ray.pipelines.maintenance import (
+                analyze_lake,
+            )
+
+            analyze_lake(lake_dir)
     return ReplayResult(
         run_id=run_id,
         metrics=metrics,

@@ -129,6 +129,7 @@ def read_lake(
     version: int | None = None,
     filter: "object | None" = None,
     prune: dict | None = None,
+    where: dict | None = None,
 ) -> ray.data.Dataset:
     """Public view of the lake as a streaming Dataset (column-pruned read).
 
@@ -151,10 +152,45 @@ def read_lake(
     column range provably excludes the bounds are never read.  This prunes
     whole partitions only — combine with ``filter=`` for exact row
     semantics.  Live view only; silently scans everything when stats are
-    absent or stale."""
+    absent or stale.
+
+    ``where``: {col: (lo, hi)} — EXACT range predicate: every layer of
+    skipping the engine has, in one knob.  Partitions whose ANALYZE range
+    provably excludes the bounds are never read (live view, fresh stats —
+    silently skipped otherwise), row groups are pruned by parquet
+    statistics, and surviving rows are filtered to the bounds, so the
+    result contains exactly the in-range rows (nulls never match, SQL
+    comparison semantics).  Composes with ``filter=`` (AND) and works
+    under ``version=`` (row filtering only — stats are live-view)."""
     manifest = Manifest.load(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest at {lake_dir}")
+    if where:
+        import pyarrow.dataset as pads
+
+        if version is None:
+            from cassandra_data_migrator_ray.pipelines.maintenance import (
+                load_stats,
+            )
+
+            kept = stats_prune_partitions(
+                manifest, load_stats(lake_dir), where
+            )
+            if kept is not None:
+                parts = kept if parts is None else sorted(set(parts) & set(kept))
+        expr = None
+        for col, (qlo, qhi) in where.items():
+            for bound, op in ((qlo, "ge"), (qhi, "le")):
+                if bound is None:
+                    continue
+                e = (
+                    pads.field(col) >= bound
+                    if op == "ge"
+                    else pads.field(col) <= bound
+                )
+                expr = e if expr is None else (expr & e)
+        if expr is not None:
+            filter = expr if filter is None else (filter & expr)
     if prune:
         if version is not None:
             raise ValueError(
@@ -173,7 +209,7 @@ def read_lake(
     ttl_eval = as_of is not None and v_ttl
     if ttl_eval and filter is not None:
         raise ValueError(
-            "filter= cannot combine with TTL evaluation (as_of on a "
+            "filter=/where= cannot combine with TTL evaluation (as_of on a "
             "TTL-enabled lake): the scan predicate would see stored cell "
             "values BEFORE expiry nulls them, returning rows inconsistent "
             "with the public view — filter after the read instead"

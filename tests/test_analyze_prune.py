@@ -97,6 +97,52 @@ class TestAnalyzePrune:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWhere:
+    """read_lake(where=...) — exact range predicate that stacks partition
+    pruning (fresh stats), parquet row-group pruning and row filtering."""
+
+    def _lake(self, tmp_path):
+        ev = gen_change_stream(n_convs=40, n_events=2500, seed=47)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=12)
+        return lake
+
+    def test_where_exact_rows_with_fresh_stats(self, tmp_path):
+        lake = self._lake(tmp_path)
+        analyze_lake(lake)
+        full = read_lake_pandas(lake)
+        hi = int(full["turn_idx"].median())
+        got = _sorted(read_lake(lake, where={"turn_idx": (None, hi)}).to_pandas())
+        want = _sorted(full[full["turn_idx"] <= hi])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        conv = full["conv_id"].iloc[0]
+        got = _sorted(read_lake(lake, where={"conv_id": (conv, conv)}).to_pandas())
+        want = _sorted(full[full["conv_id"] == conv])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_where_exact_without_stats(self, tmp_path):
+        lake = self._lake(tmp_path)  # no ANALYZE: prune skipped, filter exact
+        full = read_lake_pandas(lake)
+        lo = int(full["turn_idx"].median())
+        got = _sorted(read_lake(lake, where={"turn_idx": (lo, None)}).to_pandas())
+        want = _sorted(full[full["turn_idx"] >= lo])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_where_time_travel(self, tmp_path):
+        lake = self._lake(tmp_path)
+        v1 = Manifest.load(lake).version
+        replay(gen_change_stream(n_convs=3, n_events=150, seed=51,
+                                 seq_start=10_000), lake)
+        old = read_lake(lake, version=v1).to_pandas()
+        hi = int(old["turn_idx"].median())
+        got = _sorted(
+            read_lake(lake, version=v1, where={"turn_idx": (None, hi)}).to_pandas()
+        )
+        want = _sorted(old[old["turn_idx"] <= hi])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestIncrementalAnalyze:
     """Incremental ANALYZE: re-stats only partitions whose file list changed
     since the last stats file, carrying the rest forward — identical files
@@ -135,6 +181,21 @@ class TestIncrementalAnalyze:
         assert st["recomputed_parts"] == 0
         assert st["reused_parts"] == len(st["partitions"])
         assert all(set(p) == {"turn_idx"} for p in st["partitions"].values())
+
+    def test_replay_analyze_keeps_stats_fresh(self, tmp_path):
+        ev = gen_change_stream(n_convs=20, n_events=800, seed=43)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=6, analyze=True)
+        assert load_stats(lake)["version"] == Manifest.load(lake).version
+        replay(
+            gen_change_stream(n_convs=2, n_events=80, seed=51, seq_start=5000),
+            lake,
+            analyze=True,
+        )
+        st2 = load_stats(lake)
+        assert st2 is not None  # fresh stamp: prune stays enabled
+        assert st2["version"] == Manifest.load(lake).version
+        assert st2["reused_parts"] > 0  # the refresh was incremental
 
     def test_stats_dir_retention_bounded(self, tmp_path):
         import glob
@@ -203,6 +264,44 @@ class TestFsck:
         lake = self._lake(tmp_path)
         res = fsck_lake(lake, deep=False)
         assert res["ok"] and len(res["partitions"]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterBy:
+    """compact_lake(cluster_by=...) — physical row order inside rewritten
+    partition files follows the clustered column; content is unchanged."""
+
+    def test_cluster_by_preserves_content_and_orders_files(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+
+        ev = gen_change_stream(n_convs=30, n_events=1500, seed=71)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=6)
+        before = _sorted(read_lake_pandas(lake))
+        res = compact_lake(lake, cluster_by=["ts"])
+        assert len(res.metrics) > 0
+        after = _sorted(read_lake_pandas(lake))
+        pd.testing.assert_frame_equal(after, before)
+        m = Manifest.load(lake)
+        for st in m.partitions.values():
+            for f in st.files:
+                ts = pq.read_table(
+                    os.path.join(lake, f), columns=["ts"]
+                ).to_pandas()["ts"]
+                assert ts.dropna().is_monotonic_increasing
+
+    def test_cluster_by_unknown_column_rejected(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.maintenance import compact_lake
+
+        ev = gen_change_stream(n_convs=5, n_events=200, seed=73)
+        lake = str(tmp_path / "lake")
+        replay(ev, lake, num_parts=2)
+        with pytest.raises(ValueError, match="cluster_by"):
+            compact_lake(lake, cluster_by=["no_such_col"])
 
 
 @pytest.mark.usefixtures("ray_session")

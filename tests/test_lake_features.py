@@ -845,7 +845,7 @@ class TestRangedFeedSafety:
         ev["ts"] = pd.Series([pd.NaT], dtype="datetime64[us]")
         lake = _lake(tmp_path)
         replay(ev, lake, num_parts=2, ttl=True)
-        with pytest.raises(ValueError, match="filter= cannot combine"):
+        with pytest.raises(ValueError, match="cannot combine with TTL"):
             read_lake(lake, as_of=base + 1, filter=pads.field("text") == "x")
         # filter without as_of stays fine
         assert read_lake(lake, filter=pads.field("text") == "x").count() == 1
