@@ -92,12 +92,16 @@ def tail_replay(
         out.cycles += 1
         now = time.time()
         seen = sorted(globmod.glob(os.path.join(source_dir, pattern)))
-        fresh = [
-            f
-            for f in seen
-            if f not in ledger["files"]
-            and (min_age_s <= 0 or now - os.path.getmtime(f) >= min_age_s)
-        ]
+
+        def _old_enough(f: str) -> bool:
+            if min_age_s <= 0:
+                return True
+            try:
+                return now - os.path.getmtime(f) >= min_age_s
+            except OSError:
+                return False  # vanished between glob and stat: skip this cycle
+
+        fresh = [f for f in seen if f not in ledger["files"] and _old_enough(f)]
         if fresh:
             idle = 0
             # deterministic id per FILE SET: a crashed cycle's rerun with the
@@ -170,16 +174,53 @@ def lag_report(
         columns=["partition", "rows", "tombstones", "watermark_seq", "status", "n_files"],
     )
     if scan and len(rep):
-        import pyarrow.parquet as pq
+        import ray
 
         now = int(now_us if now_us is not None else time.time() * 1_000_000)
+        # one Ray task per (partition, file): the column-pruned __row_wt
+        # scans run on workers; the driver folds only one tiny row per file
+        # (at 100 TB the files hold the data — a driver-side read loop here
+        # would pull the whole writetime column through one process)
+        items = [
+            {"part": int(part), "path": os.path.join(lake_dir, f)}
+            for part, st in sorted(m.partitions.items())
+            for f in st.files
+        ]
         max_wt = np.full(len(rep), np.iinfo(np.int64).min, dtype=np.int64)
-        for i, (part, st) in enumerate(sorted(m.partitions.items())):
-            for f in st.files:
-                t = pq.read_table(os.path.join(lake_dir, f), columns=[ROW_WT])
-                if len(t):
-                    mx = t.column(ROW_WT).to_numpy(zero_copy_only=False).max()
-                    max_wt[i] = max(max_wt[i], int(mx))
+        if items:
+
+            def _file_max(batch: pd.DataFrame) -> pd.DataFrame:
+                import pyarrow.parquet as pq
+
+                out = []
+                for part, path in zip(batch["part"], batch["path"]):
+                    t = pq.read_table(path, columns=[ROW_WT])
+                    if len(t):
+                        mx = int(
+                            t.column(ROW_WT)
+                            .to_numpy(zero_copy_only=False)
+                            .max()
+                        )
+                        out.append({"part": int(part), "max_wt": mx})
+                return pd.DataFrame(
+                    out, columns=["part", "max_wt"]
+                ).astype({"part": np.int64, "max_wt": np.int64})
+
+            per_file = (
+                ray.data.from_items(
+                    items, override_num_blocks=min(len(items), 256)
+                )
+                .map_batches(_file_max, batch_format="pandas")
+                .to_pandas()
+            )
+            if len(per_file):
+                part_pos = {
+                    int(p): i for i, p in enumerate(rep["partition"])
+                }
+                for part, mx in (
+                    per_file.groupby("part")["max_wt"].max().items()
+                ):
+                    max_wt[part_pos[int(part)]] = int(mx)
         rep["max_row_wt"] = max_wt
         rep["lag_us"] = np.where(
             max_wt > np.iinfo(np.int64).min, now - max_wt, np.int64(-1)
