@@ -192,16 +192,48 @@ def lag_report(
             def _file_max(batch: pd.DataFrame) -> pd.DataFrame:
                 import pyarrow.parquet as pq
 
+                def footer_max(path: str) -> int | None:
+                    # parquet row-group statistics carry the column max —
+                    # a footer read replaces decoding the whole __row_wt
+                    # column (Cassandra's own SSTable-metadata trick); any
+                    # row group without usable stats falls back to a scan
+                    pf = pq.ParquetFile(path)
+                    # row-group column indices run over the FLATTENED
+                    # parquet leaves (nested payload columns add leaves),
+                    # so locate ROW_WT by leaf path, not arrow position
+                    leaf = pf.metadata.schema
+                    ci = next(
+                        (
+                            i
+                            for i in range(pf.metadata.num_columns)
+                            if leaf.column(i).path == ROW_WT
+                        ),
+                        None,
+                    )
+                    if ci is None:
+                        return None
+                    best = None
+                    for rg in range(pf.metadata.num_row_groups):
+                        col = pf.metadata.row_group(rg).column(ci)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        best = st.max if best is None else max(best, st.max)
+                    return int(best) if best is not None else None
+
                 out = []
                 for part, path in zip(batch["part"], batch["path"]):
-                    t = pq.read_table(path, columns=[ROW_WT])
-                    if len(t):
+                    mx = footer_max(path)
+                    if mx is None:
+                        t = pq.read_table(path, columns=[ROW_WT])
+                        if not len(t):
+                            continue
                         mx = int(
                             t.column(ROW_WT)
                             .to_numpy(zero_copy_only=False)
                             .max()
                         )
-                        out.append({"part": int(part), "max_wt": mx})
+                    out.append({"part": int(part), "max_wt": mx})
                 return pd.DataFrame(
                     out, columns=["part", "max_wt"]
                 ).astype({"part": np.int64, "max_wt": np.int64})

@@ -196,6 +196,26 @@ class TestLagMetrics:
         assert (scanned["max_row_wt"] > 0).all()
         assert (scanned["lag_us"] == now_us - scanned["max_row_wt"]).all()
 
+        # the footer-statistics fast path must be EXACT: recompute each
+        # partition's max __row_wt by decoding the column and compare
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        m = Manifest.load(lake)
+        for _, row in scanned.iterrows():
+            st = m.partitions[int(row["partition"])]
+            true_mx = max(
+                int(
+                    pq.read_table(os.path.join(lake, f), columns=["__row_wt"])
+                    .column("__row_wt")
+                    .to_numpy(zero_copy_only=False)
+                    .max()
+                )
+                for f in st.files
+            )
+            assert int(row["max_row_wt"]) == true_mx
+
         tp = run_throughput(lake)
         assert len(tp) >= 1 and (tp["keys_in"] > 0).any()
 
