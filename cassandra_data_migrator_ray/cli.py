@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -515,6 +516,16 @@ def main(argv: list[str] | None = None) -> int:
             from cassandra_data_migrator_ray.pipelines.dataops import dedup_near
 
             t0 = _time.perf_counter()
+            # a prior or crashed run's files would interleave with this
+            # run's uuid-named output and silently inflate the kept corpus
+            # (same stale-file hazard export_sorted guards against)
+            if os.path.isdir(args.output) and os.listdir(args.output):
+                print(
+                    f"error: output dir {args.output} is not empty — "
+                    "remove it or point at a fresh directory",
+                    file=sys.stderr,
+                )
+                return 2
             ds = rd.read_parquet(args.input)
             n_in = ds.count()
             kwargs: dict = {}

@@ -277,6 +277,46 @@ def _dedup_pairs_distributed(
     return out
 
 
+_EMPTY_CAND = pd.DataFrame(
+    {
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+    }
+)
+
+
+def _collect_and_verify_distributed(
+    ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    stats_key: str,
+    id_col: str,
+    payload_fn,
+    payload_type: pa.DataType,
+    score_fn,
+    threshold: float,
+    score_col: str,
+    empty: pd.DataFrame,
+) -> ray.data.Dataset:
+    """The shared ``collect="distributed"`` protocol: dedup the candidate
+    pair Dataset (pair-proportional groupby, driver sees two scalars) and
+    verify through the Bloom-broadcast pipeline — one implementation for
+    every LSH-family detector (minhash, embedding)."""
+    pairs_ds = _dedup_pairs_distributed(
+        cand, stats_key, _EMPTY_CAND.copy(), count_key="pairs_candidate"
+    )
+    return _verify_pairs_ds(
+        ds,
+        pairs_ds,
+        id_col,
+        payload_fn,
+        payload_type,
+        score_fn,
+        threshold,
+        score_col,
+        empty,
+    )
+
+
 def _gather_column(
     ds: ray.data.Dataset, id_col: str, value_col: str, ids: np.ndarray
 ) -> pd.Series:
@@ -367,18 +407,10 @@ def dedup_minhash_lsh(
         }
     )
     if collect == "distributed":
-        empty_cand = pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype=np.int64),
-                "id_b": pd.Series([], dtype=np.int64),
-            }
-        )
-        pairs_ds = _dedup_pairs_distributed(
-            cand, "minhash_lsh", empty_cand, count_key="pairs_candidate"
-        )
-        return _verify_pairs_ds(
+        return _collect_and_verify_distributed(
             ds,
-            pairs_ds,
+            cand,
+            "minhash_lsh",
             id_col,
             _jaccard_payload_fn(text_col, shingle_k),
             pa.list_(pa.int64()),
@@ -860,6 +892,17 @@ def dedup_simhash(
 # --------------------------------------------------------------------------
 
 
+def _is_plain_source(ds: ray.data.Dataset) -> bool:
+    """True when the dataset is a bare source read (read_parquet /
+    from_arrow, no transforms) — metadata ops on it (count) are cheap and
+    re-scans don't re-execute a transform chain.  Inspects private plan
+    internals; callers must treat False as the safe answer."""
+    try:
+        return len(ds._logical_plan.dag.input_dependencies) == 0
+    except AttributeError:
+        return False
+
+
 def _ensure_multipass(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Prepare a dataset for a MULTI-PASS algorithm: a transform-bearing
     lineage is materialized once (else every pass re-executes the chain);
@@ -867,11 +910,8 @@ def _ensure_multipass(ds: ray.data.Dataset) -> ray.data.Dataset:
     returned as-is — re-scans are cheap and pinning a 100-TB corpus in the
     object store is the anti-pattern.  Falls back to pinning if the plan
     internals ever move."""
-    try:
-        if len(ds._logical_plan.dag.input_dependencies) == 0:
-            return ds
-    except AttributeError:
-        pass
+    if _is_plain_source(ds):
+        return ds
     return ds.materialize()
 
 
@@ -1292,18 +1332,10 @@ def embedding_neardup(
         return list(m)
 
     if collect == "distributed":
-        empty_cand = pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype=np.int64),
-                "id_b": pd.Series([], dtype=np.int64),
-            }
-        )
-        pairs_ds = _dedup_pairs_distributed(
-            cand, "embedding_neardup", empty_cand, count_key="pairs_candidate"
-        )
-        return _verify_pairs_ds(
+        return _collect_and_verify_distributed(
             ds,
-            pairs_ds,
+            cand,
+            "embedding_neardup",
             id_col,
             vec_payloads,
             pa.list_(pa.float64()),
@@ -2038,12 +2070,7 @@ def join_by_key(
         # would fully execute once just to count and then re-execute for
         # the join itself — for those, take a fixed fan-out instead
         def _cheap_count(d):
-            try:
-                if len(d._logical_plan.dag.input_dependencies) == 0:
-                    return d.count()
-            except AttributeError:
-                pass
-            return None
+            return d.count() if _is_plain_source(d) else None
 
         lc, rc = _cheap_count(left), _cheap_count(right)
         if lc is None or rc is None:
@@ -2052,12 +2079,9 @@ def join_by_key(
             num_partitions = max(16, min(1024, (lc + rc) // 65536))
     nparts = int(num_partitions)
 
-    def _mix64(x: np.ndarray) -> np.ndarray:
-        # splitmix64 finalizer — stateless, identical on every worker
-        x = x + np.uint64(0x9E3779B97F4A7C15)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
+    # splitmix64 finalizer — stateless, identical on every worker; one
+    # shared implementation with the staged-exchange router
+    from cassandra_data_migrator_ray.stages.staging import _hash64 as _mix64
 
     def _part_ids(t: pa.Table, salts: np.ndarray | None = None) -> np.ndarray:
         # canonical per-type hashing: the pandas dtype of an Arrow column
@@ -2072,14 +2096,29 @@ def join_by_key(
                 or pa.types.is_boolean(typ)
                 or pa.types.is_temporal(typ)
             ):
-                try:
-                    v = pc.fill_null(pc.cast(col, pa.int64(), safe=False), 0)
+                # 32-bit temporals (date32, time32) have no direct int64
+                # cast — go through their int32 storage first
+                v = None
+                for path in ((pa.int64(),), (pa.int32(), pa.int64())):
+                    try:
+                        c_ = col
+                        for ty in path:
+                            c_ = pc.cast(c_, ty, safe=False)
+                        v = c_
+                        break
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        continue
+                if v is not None:
+                    v = pc.fill_null(v, 0)
                     h = _mix64(v.to_numpy(zero_copy_only=False).view(np.uint64))
-                except pa.ArrowInvalid:  # e.g. an un-castable temporal unit
-                    h = None
             elif pa.types.is_floating(typ):
                 v = pc.fill_null(pc.cast(col, pa.float64()), 0.0)
-                h = _mix64(v.to_numpy(zero_copy_only=False).view(np.uint64))
+                arr = v.to_numpy(zero_copy_only=False) + 0.0  # -0.0 → +0.0
+                # one canonical NaN bit pattern: the per-partition pandas
+                # merge factorizes all NaNs equal, so routing must too
+                if np.isnan(arr).any():
+                    arr = np.where(np.isnan(arr), np.float64("nan"), arr)
+                h = _mix64(arr.view(np.uint64))
             if h is None:
                 s = pd.Series(col.to_pandas(), dtype=object)
                 h = pd.util.hash_pandas_object(s, index=False).to_numpy()

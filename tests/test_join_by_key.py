@@ -232,3 +232,61 @@ def test_timestamp_and_multibatch_null_keys(ray_session):
         .sort_values(["lv"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got[["t", "lv", "rv"]], exp[["t", "lv", "rv"]])
+
+
+def test_date32_key(ray_session):
+    """date32 keys route through the int32-storage hash path (pyarrow has
+    no direct date32→int64 cast) — a date-keyed join must not crash and
+    must match the SQL result."""
+    import datetime
+    import pyarrow as pa
+
+    d1, d2, d3 = (datetime.date(2024, 1, i) for i in (1, 2, 3))
+    l = pa.table({"d": pa.array([d1, d2, d3, None], pa.date32()),
+                  "lv": [1, 2, 3, 4]})
+    r = pa.table({"d": pa.array([d2, d3, d3], pa.date32()),
+                  "rv": [20, 30, 31]})
+    got = join_by_key(
+        ray.data.from_arrow(l), ray.data.from_arrow(r),
+        on="d", how="inner", num_partitions=4,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", l.to_pandas())
+    con.register("r", r.to_pandas())
+    exp = con.execute(
+        "SELECT l.d, l.lv, r.rv FROM l JOIN r ON l.d = r.d"
+    ).df()
+    got = got.sort_values(["d", "rv"]).reset_index(drop=True)
+    exp = exp.sort_values(["d", "rv"]).reset_index(drop=True)
+    assert got["lv"].tolist() == exp["lv"].tolist()
+    assert got["rv"].tolist() == exp["rv"].tolist()
+
+
+def test_float_key_signed_zero_and_nan(ray_session):
+    """+0.0 and -0.0 are equal keys (SQL and pandas agree) — they must
+    hash to the same partition; all NaN bit patterns likewise route
+    together (pandas factorizes every NaN equal within a partition)."""
+    import pyarrow as pa
+
+    # forge a non-canonical NaN bit pattern to prove routing canonicalizes;
+    # build via pyarrow so NaN stays a VALUE (from_pandas turns NaN into an
+    # Arrow null, which is SQL-null and never matches — a different case)
+    weird_nan = np.frombuffer(
+        np.uint64(0x7FF8000000000001).tobytes(), dtype=np.float64
+    )[0]
+    l = pa.table({"k": pa.array(np.array([0.0, np.nan, 1.5])), "lv": [1, 2, 3]})
+    r = pa.table(
+        {"k": pa.array(np.array([-0.0, weird_nan, 1.5])), "rv": [10, 20, 30]}
+    )
+    got = (
+        join_by_key(
+            ray.data.from_arrow(l), ray.data.from_arrow(r),
+            on="k", how="inner", num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    # 0.0 matches -0.0, NaN matches NaN (pandas merge semantics), 1.5 matches
+    assert got["lv"].tolist() == [1, 2, 3]
+    assert got["rv"].tolist() == [10, 20, 30]

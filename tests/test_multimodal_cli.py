@@ -275,3 +275,9 @@ class TestCliDedup:
         assert r.returncode == 0, r.stderr[-2000:]
         res = json.loads(r.stdout.strip().splitlines()[-1])
         assert res["docs_kept"] == 6 and res["docs_dropped"] == 24
+
+        # a non-empty output dir must be refused: stale files from a prior
+        # run would interleave with this run's output and inflate the corpus
+        r = run("dedup", "--input", src, "--output", out_a, "--method", "exact")
+        assert r.returncode == 2
+        assert "not empty" in r.stderr
