@@ -154,6 +154,14 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--num-parts", type=int, required=True)
     rs.add_argument("--salt", type=int, default=None)
 
+    al = sub.add_parser("alter", help="rename / drop payload columns (schema evolution)")
+    al.add_argument("--lake", required=True)
+    al.add_argument("--rename", nargs="*", default=[], metavar="OLD=NEW",
+                    help="rename payload columns (rewrites partitions copy-on-write)")
+    al.add_argument("--drop", nargs="*", default=[],
+                    help="drop payload columns (metadata-only; bytes purged "
+                         "by the next full compact/rename/reshard)")
+
     t = sub.add_parser("tail", help="WAL-tail loop: ingest new change files as they appear")
     t.add_argument("--source", required=True, help="directory of change-batch parquet files")
     t.add_argument("--lake", required=True)
@@ -205,7 +213,7 @@ def main(argv: list[str] | None = None) -> int:
     # driver-side pyarrow/os work — skip the multi-second Ray startup
     needs_ray = args.cmd in {
         "migrate", "validate", "diff-lakes", "guardrail", "compact", "reshard",
-        "analyze", "fsck", "tail", "metrics", "dedup",
+        "analyze", "fsck", "tail", "metrics", "dedup", "alter",
     }  # lineage/lookup/changes/snapshots/vacuum are driver-side metadata
     ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
@@ -400,6 +408,27 @@ def main(argv: list[str] | None = None) -> int:
                         "rows": int(res.metrics["rows"].sum())
                         if len(res.metrics)
                         else 0,
+                        "seconds": round(res.seconds, 3),
+                    }
+                )
+            )
+        elif args.cmd == "alter":
+            from cassandra_data_migrator_ray.pipelines.maintenance import alter_lake
+
+            rename: dict[str, str] = {}
+            for spec in args.rename:
+                if "=" not in spec:
+                    p.error(f"--rename expects OLD=NEW, got {spec!r}")
+                old, _, new = spec.partition("=")
+                rename[old] = new
+            res = alter_lake(args.lake, rename=rename, drop=args.drop)
+            print(
+                json.dumps(
+                    {
+                        "run_id": res.run_id,
+                        "rename": rename,
+                        "drop": list(args.drop),
+                        "partitions_rewritten": int(len(res.metrics)),
                         "seconds": round(res.seconds, 3),
                     }
                 )

@@ -171,6 +171,10 @@ def compact_lake(
         batch_format="pandas",
         batch_size=None,
     ).to_pandas()
+    if not only_tombstoned:
+        # full sweep rewrote every partition aligned to the declared schema:
+        # bytes of metadata-only dropped columns are purged, names free again
+        manifest.dropped_cols = []
     manifest.commit_run(
         run_id,
         extra={
@@ -730,10 +734,250 @@ def reshard_lake(
                 batch_format="pandas",
                 batch_size=None,
             ).to_pandas()
+    # the reshard rewrite aligned every row to the declared schema, purging
+    # any metadata-only dropped columns' bytes along the way
+    manifest.dropped_cols = []
     manifest.commit_run(
         run_id,
         extra={"type": "reshard", "num_parts": num_parts, "salt": salt},
         replace_partitions=True,
         new_layout=(num_parts, salt),
+    )
+    return CompactResult(run_id, metrics, time.perf_counter() - t0)
+
+
+# ---- ALTER: rename / drop payload columns -------------------------------------
+
+
+def _alter_part(
+    old_cfg: MergeConfig,
+    new_cfg: MergeConfig,
+    state_map: dict[str, str],
+    batch: pd.DataFrame,
+) -> pd.DataFrame:
+    """Rewrite one partition under the renamed/dropped state schema.
+
+    Read aligned to the OLD state schema, rename payload + bookkeeping
+    columns, project onto the NEW state schema (dropping removed columns and
+    their bookkeeping), write copy-on-write, stage a receipt.  Content is
+    deterministic per (partition, run_id): a retried task overwrites its
+    first attempt byte-for-byte, preserving exactly-once under Ray retry.
+    """
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cassandra_data_migrator_ray.schema import (
+        DELETED,
+        align_to_schema,
+        write_parquet_atomic,
+    )
+    from cassandra_data_migrator_ray.stages.merge import (
+        _arrow_state_schema,
+        read_partition_state_arrow,
+    )
+    from cassandra_data_migrator_ray.state.manifest import atomic_write_json
+
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    out = []
+    new_state_schema = _arrow_state_schema(new_cfg)
+    for part in batch["part"]:
+        t0 = time.perf_counter()
+        part = int(part)
+        state = read_partition_state_arrow(old_cfg, part)
+        if state is None:
+            continue
+        state = state.rename_columns(
+            [state_map.get(n, n) for n in state.column_names]
+        )
+        state = align_to_schema(state, new_state_schema)
+        rel = os.path.join("data", f"part-{part:05d}-{new_cfg.run_id}.parquet")
+        path = os.path.join(new_cfg.lake_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_parquet_atomic(state, path)
+        tombstones = int(pc.sum(state.column(DELETED)).as_py() or 0)
+        receipt = {
+            "part": part,
+            "run_id": new_cfg.run_id,
+            "files": [rel],
+            "watermark": int(old_cfg.prior_watermarks.get(part, -1)),
+            "rows": int(state.num_rows - tombstones),
+            "tombstones": tombstones,
+            "status": "PASS",
+            "metrics": {"altered": True},
+        }
+        atomic_write_json(
+            f"{new_cfg.lake_dir}/_staging/{new_cfg.run_id}/part-{part:05d}.json",
+            receipt,
+        )
+        out.append(
+            {
+                "part": part,
+                "rows": receipt["rows"],
+                "tombstones": tombstones,
+                "status": "PASS",
+                "file": rel,
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def alter_lake(
+    lake_dir: str,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> CompactResult:
+    """Schema evolution beyond additive: rename and/or drop payload columns.
+
+    Completes the evolution surface next to additive adds (``evolve_schema``)
+    and opt-in numeric widening (``replay(widen_types=True)``); the reference
+    fixes origin/target schemas per job (schema/CqlTable.java:408-428) and
+    leans on CQL DDL for renames/drops — here the lake owns its schema, so
+    ALTER is a lake maintenance commit.
+
+    ``drop`` alone is METADATA-ONLY (O(1), no data IO): the declared schema
+    loses the column, every reader aligns file -> declared schema so the
+    column (and its LWW bookkeeping) is projected away on read, and the next
+    full rewrite (compact_lake full sweep, alter_lake rename, reshard_lake)
+    purges the bytes.  Until then the name is held in
+    ``manifest.dropped_cols`` and re-adding it is refused — a re-add before
+    the purge would resurrect old cell values through merge-on-read.
+
+    ``rename`` REWRITES every partition copy-on-write (one embarrassingly
+    parallel pass, no exchange — at scale this is one sequential IO pass
+    like a compaction sweep): existing files physically carry the old column
+    name plus its ``__wt``/``__seq``/``__ttlx`` bookkeeping, and a
+    metadata-only rename would null-backfill the new name on read.  Cell
+    writetimes/seqs and tombstones ride along unchanged, so LWW semantics
+    against future events are byte-identical.  Key columns are immutable
+    (they define routing); renames of counter columns keep counter
+    semantics.  Time travel to pre-ALTER versions reads the old names via
+    the snapshot-pinned schema.  After a rename, incoming events must use
+    the new name — an event still carrying the old name is treated as a NEW
+    column by additive evolution (matching Cassandra, where a renamed
+    column's old name becomes free).
+    """
+    import time
+
+    import pyarrow as pa
+
+    t0 = time.perf_counter()
+    rename = dict(rename or {})
+    drop = list(dict.fromkeys(drop or []))
+    if not rename and not drop:
+        raise ValueError("alter_lake: nothing to do (no rename, no drop)")
+    manifest = Manifest.load(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest at {lake_dir}")
+    names = list(manifest.schema.names)
+    keys = set(manifest.key_cols)
+    for c in [*rename, *drop]:
+        if c not in names:
+            raise ValueError(f"alter_lake: unknown column {c!r}")
+        if c in keys:
+            raise ValueError(
+                f"alter_lake: {c!r} is a key column — key columns define"
+                " partition routing and are immutable"
+            )
+    both = set(rename) & set(drop)
+    if both:
+        raise ValueError(f"alter_lake: cannot both rename and drop {sorted(both)}")
+    targets = list(rename.values())
+    if len(set(targets)) != len(targets):
+        raise ValueError("alter_lake: duplicate rename targets")
+    taken = (set(names) - set(rename) - set(drop)) | set(manifest.dropped_cols)
+    for src, dst in rename.items():
+        if not dst or not isinstance(dst, str):
+            raise ValueError(f"alter_lake: invalid rename target {dst!r}")
+        if dst == src:
+            raise ValueError(f"alter_lake: rename {src!r} to itself")
+        if dst in taken:
+            raise ValueError(
+                f"alter_lake: rename target {dst!r} collides with an existing"
+                " or pending-purge column"
+            )
+        if dst.startswith("_") or "__" in dst:
+            raise ValueError(
+                f"alter_lake: rename target {dst!r} uses the reserved"
+                " bookkeeping namespace (leading '_' or '__')"
+            )
+    new_fields = [
+        (f.with_name(rename[f.name]) if f.name in rename else f)
+        for f in manifest.schema
+        if f.name not in drop
+    ]
+    new_schema = pa.schema(new_fields)
+    run_id = "alter-" + uuid.uuid4().hex[:8]
+    metrics = pd.DataFrame()
+    if rename:
+        bad = {
+            k: v.status
+            for k, v in manifest.partitions.items()
+            if v.status not in ("PASS", "DIFF_CORRECTED")
+        }
+        if bad:
+            raise RuntimeError(
+                f"alter_lake rename requires a fully committed lake;"
+                f" partitions not PASS: {bad}"
+            )
+        from cassandra_data_migrator_ray.schema import (
+            SEQ_SUFFIX,
+            TTLX_SUFFIX,
+            WT_SUFFIX,
+        )
+
+        old_cfg = MergeConfig(
+            lake_dir=lake_dir,
+            run_id=run_id,
+            payload_cols=manifest.payload_cols(),
+            payload_schema_json=schema_to_json(manifest.schema),
+            counter_cols=tuple(manifest.counter_cols),
+            key_cols=tuple(manifest.key_cols),
+            ttl_enabled=manifest.ttl_enabled,
+            prior_files={k: v.files for k, v in manifest.partitions.items()},
+            prior_watermarks=manifest.watermarks(),
+        )
+        new_cfg = MergeConfig(
+            lake_dir=lake_dir,
+            run_id=run_id,
+            payload_cols=[n for n in new_schema.names if n not in keys],
+            payload_schema_json=schema_to_json(new_schema),
+            counter_cols=tuple(
+                rename.get(c, c) for c in manifest.counter_cols if c not in drop
+            ),
+            key_cols=tuple(manifest.key_cols),
+            ttl_enabled=manifest.ttl_enabled,
+        )
+        state_map: dict[str, str] = {}
+        for src, dst in rename.items():
+            state_map[src] = dst
+            for suf in (WT_SUFFIX, SEQ_SUFFIX, TTLX_SUFFIX):
+                state_map[src + suf] = dst + suf
+        parts = sorted(k for k, v in manifest.partitions.items() if v.files)
+        if parts:
+            ds = ray.data.from_items(
+                [{"part": int(k)} for k in parts], override_num_blocks=len(parts)
+            )
+            metrics = ds.map_batches(
+                partial(_alter_part, old_cfg, new_cfg, state_map),
+                batch_format="pandas",
+                batch_size=None,
+            ).to_pandas()
+        # the rewrite aligned every partition to the new state schema, so any
+        # previously pending-purge bytes (metadata-only drops) are gone too
+        manifest.dropped_cols = []
+    elif drop and any(v.files for v in manifest.partitions.values()):
+        # only files already on disk can hold stale bytes; an empty lake's
+        # metadata drop leaves nothing to purge and no name to quarantine
+        manifest.dropped_cols = sorted(set(manifest.dropped_cols) | set(drop))
+    manifest.schema = new_schema
+    manifest.counter_cols = [
+        rename.get(c, c) for c in manifest.counter_cols if c not in drop
+    ]
+    manifest.commit_run(
+        run_id, extra={"type": "alter", "rename": rename, "drop": drop}
     )
     return CompactResult(run_id, metrics, time.perf_counter() - t0)

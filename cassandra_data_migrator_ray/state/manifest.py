@@ -166,6 +166,12 @@ class Manifest:
     num_parts: int
     salt: int = 1
     counter_cols: list[str] = field(default_factory=list)
+    # columns dropped by a metadata-only ALTER whose bytes still sit in
+    # partition files (pending purge): re-adding such a name before a full
+    # rewrite (compact_lake / alter_lake rename) would resurrect the old cell
+    # values through merge-on-read, so evolve_schema refuses it until the
+    # next full rewrite clears this list
+    dropped_cols: list[str] = field(default_factory=list)
     # primary-key columns of the lake table (reference PKFactory composes PKs
     # from origin columns, constants and exploded map keys,
     # data/PKFactory.java:106-133,241-322 — here transforms compose the key
@@ -209,6 +215,7 @@ class Manifest:
             "num_parts": self.num_parts,
             "salt": self.salt,
             "counter_cols": self.counter_cols,
+            "dropped_cols": self.dropped_cols,
             "key_cols": self.key_cols,
             "ttl_enabled": self.ttl_enabled,
             "snapshot_retention": self.snapshot_retention,
@@ -240,6 +247,7 @@ class Manifest:
             num_parts=j["num_parts"],
             salt=j.get("salt", 1),
             counter_cols=j.get("counter_cols", []),
+            dropped_cols=j.get("dropped_cols", []),
             key_cols=j.get("key_cols", ["conv_id", "turn_idx"]),
             ttl_enabled=j.get("ttl_enabled", False),
             snapshot_retention=j.get("snapshot_retention", 8),
@@ -319,6 +327,14 @@ class Manifest:
             if pa.types.is_null(f.type):
                 continue
             if f.name not in names:
+                if f.name in self.dropped_cols:
+                    raise ValueError(
+                        f"column {f.name!r} was dropped by ALTER but its bytes"
+                        " are still present in partition files (pending"
+                        " purge); re-adding it now would resurrect the old"
+                        " cell values through merge-on-read — run"
+                        " compact_lake() (full sweep) first"
+                    )
                 self.schema = self.schema.append(f)
                 changed = True
             else:
