@@ -400,6 +400,12 @@ def read_changes(
         )
         by_version: dict[int, list[str]] = {}
         for r in span:
+            if r.get("type") in ("compact", "reshard", "alter"):
+                # maintenance commits never change live row content
+                # (tombstone GC / placement / schema DDL) — nothing for a
+                # replica to apply; renames/drops in the span are threaded
+                # through the era-name mapping below instead
+                continue
             if not r.get("partitions"):
                 continue  # no-op commit (nothing merged) — nothing to apply
             files = _cdf_glob(lake_dir, r["run_id"])
@@ -426,6 +432,27 @@ def read_changes(
             return ray.data.from_arrow(_empty_cdf_table(manifest, True))
         import numpy as np
 
+        # ALTER chain: a feed file written before a rename/drop carries that
+        # ERA's column names.  Map every era name forward onto the CURRENT
+        # declared name (or to nothing, if a later ALTER dropped it) so a
+        # span crossing an ALTER unions cleanly and apply_changes lands the
+        # values in the current schema — without this, a renamed column
+        # would surface twice (old and new name, each half-null) and the
+        # replica would silently diverge from read_lake().
+        alters = sorted(
+            (r for r in manifest.runs if r.get("type") == "alter"),
+            key=lambda r: r.get("version", 0),
+        )
+
+        def _forward(name: str, feed_version: int) -> str | None:
+            for a in alters:
+                if a.get("version", 0) <= feed_version:
+                    continue
+                if name in (a.get("drop") or []):
+                    return None  # dropped after this feed: values are dead
+                name = (a.get("rename") or {}).get(name, name)
+            return name
+
         # one unified schema across the span: a run may additively evolve
         # the payload, and Ray's union does not reconcile block schemas.
         # Key/payload columns take the manifest's DECLARED type (a later run
@@ -434,23 +461,30 @@ def read_changes(
         # columns keep their first-seen type.
         fields: dict[str, pa.Field] = {}
         declared = {f.name: f for f in manifest.schema}
-        for fs in by_version.values():
+        for v, fs in by_version.items():
             for f in pq.read_schema(fs[0]):
-                fields.setdefault(f.name, declared.get(f.name, f))
+                cur = _forward(f.name, v)
+                if cur is not None:
+                    fields.setdefault(cur, declared.get(cur, f.with_name(cur)))
         unified = pa.schema(list(fields.values())).append(
             pa.field("_commit_version", pa.int64())
         )
 
         def _tag(v):
             def f(t: pa.Table) -> pa.Table:
+                era = {
+                    cur: n
+                    for n in t.column_names
+                    if (cur := _forward(n, v)) is not None
+                }
                 cols = []
                 for fld in unified:
                     if fld.name == "_commit_version":
                         cols.append(
                             pa.array(np.full(t.num_rows, v, dtype=np.int64))
                         )
-                    elif fld.name in t.column_names:
-                        cols.append(t.column(fld.name).cast(fld.type))
+                    elif fld.name in era:
+                        cols.append(t.column(era[fld.name]).cast(fld.type))
                     else:
                         cols.append(pa.nulls(t.num_rows, fld.type))
                 return pa.Table.from_arrays(cols, schema=unified)

@@ -306,3 +306,87 @@ class TestAlterRefusals:
         assert out["rename"] == {"tool": "fn"} and out["drop"] == ["ts"]
         m = Manifest.load(lake)
         assert "fn" in m.schema.names and "ts" not in m.schema.names
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAlterChangeFeed:
+    """Ranged change feeds across an ALTER: feed files written before the
+    ALTER carry that era's column names; read_changes maps every era name
+    forward onto the current declared schema, and maintenance commits
+    (alter/compact/reshard) are skipped as no-ops — so a replica applying
+    the span converges on the current state."""
+
+    def test_ranged_feed_across_rename(self, tmp_path):
+        from cassandra_data_migrator_ray.sources.lake import (
+            apply_changes,
+            read_changes,
+        )
+
+        full = gen_change_stream(n_convs=25, n_events=3000, seed=61).to_pandas()
+        third = len(full) // 3
+        lake = str(tmp_path / "lake")
+        replay(
+            pa.Table.from_pandas(
+                full[full.event_seq < third], preserve_index=False
+            ),
+            lake, num_parts=4, emit_changes=True,
+        )
+        v1 = Manifest.load(lake).version
+        replica = read_lake_pandas(lake)
+        replay(
+            pa.Table.from_pandas(
+                full[(full.event_seq >= third) & (full.event_seq < 2 * third)],
+                preserve_index=False,
+            ),
+            lake, emit_changes=True,
+        )
+        alter_lake(lake, rename={"text": "body"})
+        replay(
+            pa.Table.from_pandas(
+                full[full.event_seq >= 2 * third].rename(
+                    columns={"text": "body"}
+                ),
+                preserve_index=False,
+            ),
+            lake, emit_changes=True,
+        )
+        span = read_changes(lake, since_version=v1).to_pandas()
+        # era names are mapped forward: no split old/new columns
+        assert "body" in span.columns and "text" not in span.columns
+        # the alter commit itself contributes no rows
+        assert set(span["_commit_version"]) == {v1 + 1, v1 + 3}
+        got = apply_changes(
+            replica.rename(columns={"text": "body"}), span, KEY
+        )
+        want = read_lake_pandas(lake)
+        pd.testing.assert_frame_equal(
+            got.sort_values(KEY, ignore_index=True),
+            want.sort_values(KEY, ignore_index=True),
+            check_dtype=False,
+        )
+
+    def test_ranged_feed_across_drop_and_compact(self, tmp_path):
+        from cassandra_data_migrator_ray.sources.lake import read_changes
+
+        full = gen_change_stream(n_convs=20, n_events=1600, seed=67).to_pandas()
+        half = int(full.event_seq.median())
+        lake = str(tmp_path / "lake")
+        replay(
+            pa.Table.from_pandas(
+                full[full.event_seq < half], preserve_index=False
+            ),
+            lake, num_parts=3, emit_changes=True,
+        )
+        alter_lake(lake, drop=["tool"])
+        compact_lake(lake)  # purges bytes; also a feed-less commit in range
+        replay(
+            pa.Table.from_pandas(
+                full[full.event_seq >= half].drop(columns=["tool"]),
+                preserve_index=False,
+            ),
+            lake, emit_changes=True,
+        )
+        span = read_changes(lake, since_version=0).to_pandas()
+        # the dropped column is gone from EVERY era's rows
+        assert "tool" not in span.columns
+        assert len(span) > 0
