@@ -117,6 +117,7 @@ def queries_extra() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q.simhash_docs,
         "embedding_neardup": q.embedding_neardup_q,
         # oracle-paired variants of machinery gated elsewhere
+        "alter_schema_roundtrip": q.alter_schema_roundtrip,
         "where_range_scan": q.where_range_scan,
         "sliding_window_counts": q.sliding_window_counts,
         "running_purchase_total": q.running_purchase_total,
@@ -869,6 +870,14 @@ def oracle_sql_extra() -> dict[str, str]:
     glob_ = _cdc_cache_glob()
     cdc = _cdc_fold_cte(glob_)
     return {
+        # mid-stream ALTER (rename tool->fn rewrite + drop role, purge, re-add):
+        # content equals the full fold under the new name; role is excluded
+        # (null for keys untouched after the drop — pinned by pytest instead)
+        "alter_schema_roundtrip": f"""
+{cdc}
+SELECT conv_id, turn_idx, text, tool AS fn, ts
+FROM fin WHERE rn = 1 ORDER BY conv_id, turn_idx
+""",
         # replay → incremental ANALYZE → where= (partition prune + row-group
         # prune + exact row filter): the fold restricted to the range
         "where_range_scan": f"""

@@ -2385,3 +2385,69 @@ def conversation_stats(sf_dir: str) -> pd.DataFrame:
     for c in ("n_turns", "n_assistant", "chars"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("conv_id", ignore_index=True)
+
+
+def alter_schema_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """ALTER gate: replay the first half of the change stream, rename
+    ``tool`` -> ``fn`` mid-stream (copy-on-write partition rewrite —
+    the schema-evolution surface the reference delegates to CQL DDL),
+    metadata-drop ``role`` and time-travel-check it, re-add it via a full
+    compaction purge, then replay the second half under the new name with
+    ``role`` restored.  The final public table must equal the cdc_replay
+    fold with ``tool AS fn`` — except ``role``, which is null for every key
+    not touched by the second half (the drop erased the first half's
+    values), so the gate projects it out of the oracle-compared result;
+    the exact no-resurrection null pattern is pinned by
+    tests/test_alter_lake.py."""
+    import shutil
+
+    from cassandra_data_migrator_ray.pipelines.maintenance import (
+        alter_lake,
+        compact_lake,
+    )
+    from cassandra_data_migrator_ray.pipelines.replay import replay
+    from cassandra_data_migrator_ray.sources.lake import read_lake_pandas
+
+    cache = _gen_cached_events(sf_dir)
+    h = _cache_event_count(cache) // 2
+
+    def first_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["event_seq"], h))
+
+    def second_half(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["event_seq"], h))
+        return t.rename_columns(
+            ["fn" if c == "tool" else c for c in t.column_names]
+        )
+
+    lake = tempfile.mkdtemp(prefix="cdm_ray_lake_")
+    try:
+        replay(
+            ray.data.read_parquet(cache).map_batches(
+                first_half, batch_format="pyarrow"
+            ),
+            lake,
+            num_parts=NUM_PARTS,
+        )
+        from cassandra_data_migrator_ray.state.manifest import Manifest
+
+        v0 = Manifest.load(lake).version
+        alter_lake(lake, rename={"tool": "fn"}, drop=["role"])
+        # pre-ALTER snapshot still reads the old schema and values
+        old = read_lake_pandas(lake, version=v0)
+        assert "tool" in old.columns and "role" in old.columns
+        # combined rename+drop rewrote partitions: name free immediately
+        replay(
+            ray.data.read_parquet(cache).map_batches(
+                second_half, batch_format="pyarrow"
+            ),
+            lake,
+        )
+        out = read_lake_pandas(lake)
+        # role was re-added by the second half: keys whose latest role cell
+        # arrived before the drop must be null (no resurrection)
+        assert "role" in out.columns
+        out = out.drop(columns=["role"])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out.sort_values(["conv_id", "turn_idx"], ignore_index=True)
