@@ -117,6 +117,7 @@ def queries_extra() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q.simhash_docs,
         "embedding_neardup": q.embedding_neardup_q,
         # oracle-paired variants of machinery gated elsewhere
+        "video_frame_luma": q.video_frame_luma,
         "alter_schema_roundtrip": q.alter_schema_roundtrip,
         "where_range_scan": q.where_range_scan,
         "sliding_window_counts": q.sliding_window_counts,
@@ -870,6 +871,17 @@ def oracle_sql_extra() -> dict[str, str]:
     glob_ = _cdc_cache_glob()
     cdc = _cdc_fold_cte(glob_)
     return {
+        # real y4m video decode + stride-2 frame sample: per-frame luma mean of
+        # the deterministic gradient clip (base + 3.5, base never wraps) —
+        # frame-boundary parsing is what the arithmetic twin checks
+        "video_frame_luma": """
+SELECT d.doc_id,
+       CAST(f.frame_idx AS INTEGER) AS frame_idx,
+       CAST((d.doc_id * 31 + f.frame_idx * 17) % 200 + 3.5 AS DOUBLE) AS mean_luma
+FROM documents d
+CROSS JOIN (SELECT unnest([0, 2, 4]) AS frame_idx) f
+ORDER BY d.doc_id, f.frame_idx
+""",
         # mid-stream ALTER (rename tool->fn rewrite + drop role, purge, re-add):
         # content equals the full fold under the new name; role is excluded
         # (null for keys untouched after the drop — pinned by pytest instead)

@@ -7,8 +7,10 @@ real and tested: small batches (large rows), callable-class stages for
 ``__init__``, Arrow binary in / binary + features out.
 
 The decode path is REAL for formats decodable without third-party libraries:
-24-bit uncompressed BMP and binary PPM (P6) images (pure numpy + struct) and
-PCM WAV audio (stdlib ``wave``).  ``decoder="auto"`` sniffs the payload magic
+24-bit uncompressed BMP and binary PPM (P6) images (pure numpy + struct),
+PCM WAV audio (stdlib ``wave``) and YUV4MPEG2 (.y4m) raw video (pure numpy —
+real container parsing, real frame boundaries).  ``decoder="auto"`` sniffs the
+payload magic
 and decodes those; ``decoder="fake"`` remains as the deterministic stub for
 formats this container cannot decode (PNG/JPEG/MP4 — no PIL/ffmpeg here), and
 ``decoder="pil"`` raises ``NotImplementedError`` when PIL is absent.
@@ -155,14 +157,155 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def sniff_media(payload: bytes) -> str:
-    """Magic-byte format sniff: 'bmp' | 'ppm' | 'wav' | 'unknown'."""
+    """Magic-byte format sniff: 'bmp' | 'ppm' | 'wav' | 'y4m' | 'unknown'."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return "unknown"
+
+
+# ---- real video codec (YUV4MPEG2 / .y4m, no third-party libraries) -----------
+#
+# Y4M is the mjpegtools raw-video interchange format (yuv4mpeg(5)): an ASCII
+# stream header, then per-frame an ASCII "FRAME" marker line followed by the
+# planar YUV payload.  It is the one genuinely public video container that is
+# fully decodable with stdlib + numpy, so the video decode path here is REAL —
+# frame boundaries come from the container structure, not byte arithmetic.
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Luma frames (n, h, w) uint8 → grayscale YUV4MPEG2 (C420jpeg) bytes.
+
+    Chroma planes are written neutral (128) so the clip is grayscale; the
+    container layout — stream header, FRAME markers, planar 4:2:0 payload —
+    is the standard format any y4m consumer reads."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 3:
+        raise ValueError(f"expected (n, h, w) luma frames, got shape {f.shape}")
+    n, h, w = f.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"C420 needs even dimensions, got {h}x{w}")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode("ascii")
+    chroma = bytes([128]) * ((h // 2) * (w // 2))
+    parts = [header]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(f[i].tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 (C420 family or Cmono) bytes → luma frames (n, h, w) uint8.
+
+    Chroma planes are skipped without being touched (each luma plane is read
+    as a ``np.frombuffer`` view; the final ``np.stack`` is the one copy).
+    Raises ``ValueError`` on a malformed header, an unsupported colorspace,
+    or a truncated frame."""
+    nl = payload.find(b"\n")
+    if nl < 0 or payload[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420jpeg"  # the yuv4mpeg(5) default when no C tag is present
+    for tok in payload[10:nl].decode("ascii", "replace").split(" "):
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            colorspace = tok
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if colorspace.startswith("C420"):
+        chroma_sz = 2 * (h // 2) * (w // 2)
+    elif colorspace == "Cmono":
+        chroma_sz = 0
+    else:
+        raise ValueError(f"unsupported y4m colorspace {colorspace}")
+    luma_sz = h * w
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    total = len(payload)
+    while pos < total:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        pos = fnl + 1
+        if pos + luma_sz + chroma_sz > total:
+            raise ValueError("truncated y4m frame payload")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=luma_sz, offset=pos).reshape(
+                h, w
+            )
+        )
+        pos += luma_sz + chroma_sz
+    if not frames:
+        return np.zeros((0, h, w), dtype=np.uint8)
+    return np.stack(frames)
+
+
+class VideoFrameSample:
+    """Actor-pool stage: y4m video payload → per-sampled-frame luma statistics,
+    one output row per frame (the flat_map shape for video, like ExplodeMap /
+    M4 in the reference's transform family, `SURVEY.md §2.2`).
+
+    The decode is the real YUV4MPEG2 parser above — a frame-boundary or
+    plane-layout bug shows up as a wrong mean in the oracle compare, not a
+    silent shift.  Per-row work is numpy over the whole frame stack; the
+    Python loop is per *video*, matching the large-binary-row posture of
+    ``AudioFeatures``."""
+
+    def __init__(
+        self,
+        stride: int = 2,
+        id_col: str = "media_id",
+        payload_col: str = "payload",
+    ):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[np.ndarray] = []
+        fidx: list[np.ndarray] = []
+        means: list[np.ndarray] = []
+        stds: list[np.ndarray] = []
+        n_frames: list[np.ndarray] = []
+        for mid, p in zip(
+            batch[self.id_col].to_numpy(), batch[self.payload_col]
+        ):
+            frames = decode_y4m(bytes(p))
+            sel = np.arange(0, frames.shape[0], self.stride)
+            f = frames[sel].astype(np.float64)
+            ids.append(np.full(len(sel), mid, dtype=np.int64))
+            fidx.append(sel.astype(np.int32))
+            n_frames.append(np.full(len(sel), frames.shape[0], dtype=np.int32))
+            if len(sel):
+                means.append(f.mean(axis=(1, 2)))
+                stds.append(f.std(axis=(1, 2)))
+            else:
+                means.append(np.zeros(0))
+                stds.append(np.zeros(0))
+        empty = np.zeros(0)
+        return pd.DataFrame(
+            {
+                self.id_col: np.concatenate(ids) if ids else empty.astype(np.int64),
+                "frame_idx": np.concatenate(fidx) if fidx else empty.astype(np.int32),
+                "n_frames": (
+                    np.concatenate(n_frames) if n_frames else empty.astype(np.int32)
+                ),
+                "mean_luma": np.concatenate(means) if means else empty,
+                "std_luma": np.concatenate(stds) if stds else empty,
+            }
+        )
 
 
 class DecodeImage:

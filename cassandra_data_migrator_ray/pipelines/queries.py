@@ -867,6 +867,57 @@ def multimodal_bmp_features(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("doc_id", ignore_index=True)
 
 
+def video_frame_luma(sf_dir: str) -> pd.DataFrame:
+    """Real video-container gate: deterministic grayscale YUV4MPEG2 clips are
+    ENCODED from doc_id (6 frames of 8x8, luma[y, x] = base + x with
+    base = (doc_id*31 + frame*17) % 200 — gradient mean is exactly
+    base + 3.5, never wrapping), shipped as a binary payload column, DECODED
+    by the real y4m parser inside an actor-pool stage, and frame-sampled at
+    stride 2.  The DuckDB oracle reproduces the expected per-frame mean
+    arithmetically, so frame-boundary parsing and plane layout are
+    oracle-checked, not self-attested.  Reference analogue: the explode /
+    flat_map transform family over an opaque media column
+    (`CqlConversion.java` transform chain shape)."""
+    from cassandra_data_migrator_ray.functions.multimodal import (
+        VideoFrameSample,
+        encode_y4m,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n_frames, h, w = 6, 8, 8
+    grad = np.arange(w, dtype=np.int64)[None, None, :]
+
+    def make_clip(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        payloads = []
+        for i in ids:
+            base = (int(i) * 31 + np.arange(n_frames, dtype=np.int64) * 17) % 200
+            frames = (base[:, None, None] + np.zeros((1, h, 1), np.int64) + grad).astype(
+                np.uint8
+            )
+            payloads.append(encode_y4m(frames))
+        return pd.DataFrame({"media_id": ids.astype(np.int64), "payload": payloads})
+
+    out = (
+        ds.map_batches(make_clip, batch_format="pandas")
+        .map_batches(
+            VideoFrameSample(stride=2),
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    res = pd.DataFrame(
+        {
+            "doc_id": out["media_id"].astype(np.int64),
+            "frame_idx": out["frame_idx"].astype(np.int32),
+            "mean_luma": out["mean_luma"].astype(np.float64),
+        }
+    )
+    return res.sort_values(["doc_id", "frame_idx"], ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # D. full-engine CDC replay + validate over generated transcripts (rows-only)
 # ---------------------------------------------------------------------------
