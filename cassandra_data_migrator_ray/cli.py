@@ -208,6 +208,31 @@ def main(argv: list[str] | None = None) -> int:
     lg = sub.add_parser("lineage", help="file-level lineage: which run wrote each partition file")
     lg.add_argument("--lake", required=True)
 
+    cb = sub.add_parser(
+        "config-build",
+        help="generate a commented cdm.properties from CQL schema + size hints",
+    )
+    cb.add_argument("--origin-cql", required=True, help="file with CREATE TABLE, or '-' for stdin")
+    cb.add_argument("--target-cql", help="target CREATE TABLE file (defaults to origin)")
+    cb.add_argument("--rows", type=int, help="estimated row count")
+    cb.add_argument("--size-gb", type=float, help="estimated table size in GB")
+    cb.add_argument(
+        "--data-types",
+        default="",
+        help="comma list of flags: lobs,collections,udts,counters,timestamps,numerics",
+    )
+    cb.add_argument("--autocorrect-missing", action="store_true")
+    cb.add_argument("--autocorrect-mismatch", action="store_true")
+    cb.add_argument("-o", "--output", help="write here instead of stdout")
+
+    cv = sub.add_parser(
+        "config-validate",
+        help="lint a cdm.properties: resolve the plan, flag unknown keys",
+    )
+    cv.add_argument("properties")
+    cv.add_argument("--rows", type=int, help="row estimate for perfops lint")
+    cv.add_argument("--size-gb", type=float, help="size estimate for perfops lint")
+
     args = p.parse_args(argv)
     # the read-side metadata commands (lookup/changes/snapshots/vacuum) are
     # driver-side pyarrow/os work — skip the multi-second Ray startup
@@ -589,6 +614,54 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "config-build":
+            from cassandra_data_migrator_ray.config_builder import build_properties
+
+            cql = (
+                sys.stdin.read()
+                if args.origin_cql == "-"
+                else open(args.origin_cql).read()
+            )
+            target = open(args.target_cql).read() if args.target_cql else None
+            text = build_properties(
+                cql,
+                target,
+                row_count=args.rows,
+                table_size_gb=args.size_gb,
+                data_types=tuple(
+                    t.strip() for t in args.data_types.split(",") if t.strip()
+                ),
+                autocorrect_missing=args.autocorrect_missing,
+                autocorrect_mismatch=args.autocorrect_mismatch,
+            )
+            if args.output:
+                with open(args.output, "w") as f:
+                    f.write(text)
+            else:
+                print(text, end="")
+        elif args.cmd == "config-validate":
+            from cassandra_data_migrator_ray.config_builder import lint_properties
+
+            rep = lint_properties(
+                args.properties, row_count=args.rows, table_size_gb=args.size_gb
+            )
+            print(
+                json.dumps(
+                    {
+                        "ok": rep.ok,
+                        "transforms": rep.transforms,
+                        "replay_kwargs": {
+                            k: str(v) for k, v in rep.replay_kwargs.items()
+                        },
+                        "unknown_keys": rep.unknown,
+                        "transport_keys": sorted(rep.transport),
+                        "warnings": rep.warnings,
+                        "notes": rep.notes,
+                    },
+                    indent=2,
+                )
+            )
+            return 0 if rep.ok else 1
         return 0
     finally:
         if ray is not None:

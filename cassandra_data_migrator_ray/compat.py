@@ -272,11 +272,23 @@ def plan_from_properties(props: dict[str, str] | str) -> Plan:
         plan.replay_kwargs["num_parts"] = int(np_)
     rate = take("perfops.ratelimit.target")
     take("perfops.ratelimit.origin")
+    # engine extension: size the normalize actor pool explicitly (no CDM
+    # analogue — the reference's limiter is per Spark executor)
+    nc = take("perfops.normalizeConcurrency")
+    if nc and int(nc) > 0:
+        plan.replay_kwargs["normalize_concurrency"] = int(nc)
     if rate and float(rate) > 0:
-        plan.replay_kwargs["rate_limit_rows_per_s"] = float(rate)
+        # reference semantics: ratelimit.target is the TOTAL ops/s for the
+        # job (per CDM VM).  The engine limiter is per-actor, so split the
+        # total across the normalize pool; default the pool to 1 actor so a
+        # properties-driven run works out of the box (a rate-limited job is
+        # throughput-capped anyway — one actor sustains any sane limit).
+        n_actors = plan.replay_kwargs.setdefault("normalize_concurrency", 1)
+        plan.replay_kwargs["rate_limit_rows_per_s"] = float(rate) / n_actors
         plan.notes.append(
-            "ratelimit.target is PER-ACTOR here (reference: per executor); "
-            "set normalize_concurrency to make the total explicit"
+            f"ratelimit.target={rate} total, split across "
+            f"{n_actors} normalize actor(s) "
+            "(set spark.cdm.perfops.normalizeConcurrency to resize the pool)"
         )
 
     # --- autocorrect / guardrail -------------------------------------------------

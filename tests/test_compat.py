@@ -64,6 +64,9 @@ class TestPlanFromProperties:
         assert plan.replay_kwargs["run_id"] == "auto"
         assert plan.replay_kwargs["rerun_multiplier"] == 4
         assert plan.replay_kwargs["rate_limit_rows_per_s"] == 20000.0
+        # reference ratelimit is a job TOTAL: with no explicit pool size the
+        # normalize pool defaults to 1 actor so total == per-actor rate
+        assert plan.replay_kwargs["normalize_concurrency"] == 1
         assert plan.autocorrect_missing and not plan.autocorrect_mismatch
         assert plan.guardrail_kb == 10.0
         # transport keys ignored WITH reasons; unknown keys flagged
@@ -221,3 +224,18 @@ class TestCliProperties:
         from cassandra_data_migrator_ray.state.manifest import Manifest
 
         assert Manifest.load(lake).num_parts == 8
+
+
+class TestRatelimitPoolSplit:
+    def test_total_rate_splits_across_explicit_pool(self):
+        from cassandra_data_migrator_ray.compat import plan_from_properties
+
+        plan = plan_from_properties(
+            {
+                "spark.cdm.perfops.ratelimit.target": "20000",
+                "spark.cdm.perfops.normalizeConcurrency": "4",
+            }
+        )
+        assert plan.replay_kwargs["normalize_concurrency"] == 4
+        assert plan.replay_kwargs["rate_limit_rows_per_s"] == 5000.0
+        assert not any("unrecognized" in r for r in plan.ignored.values())

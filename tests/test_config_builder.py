@@ -1,0 +1,200 @@
+"""cdm-config-builder analogue: CQL parse → best-practices → properties text
+→ round-trip through plan_from_properties (the reference builder's semantic
+core, cdm-config-builder/src/utils/{parseCqlSchema,bestPracticesRules,
+generateProperties}.js — no Ray needed anywhere here)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from cassandra_data_migrator_ray.compat import plan_from_properties
+from cassandra_data_migrator_ray.config_builder import (
+    build_properties,
+    lint_properties,
+    parse_cql_schema,
+    recommend,
+)
+
+CQL = """
+CREATE TABLE IF NOT EXISTS shop."orders" (
+  tenant_id uuid,
+  order_id timeuuid,
+  line_no int,
+  items map<text, frozen<line_item>>,
+  note text,
+  total decimal,
+  created timestamp,
+  attachment blob,
+  PRIMARY KEY ((tenant_id, order_id), line_no)
+) WITH CLUSTERING ORDER BY (line_no DESC);
+"""
+
+
+class TestParseCql:
+    def test_composite_pk_and_flags(self):
+        s = parse_cql_schema(CQL)
+        assert s.keyspace_table == "shop.orders"
+        assert s.partition_keys == ["tenant_id", "order_id"]
+        assert s.clustering_keys == ["line_no"]
+        assert not s.is_partition_key_only
+        assert s.has_collections and s.has_udts and s.has_frozen
+        assert s.has_blobs and s.has_timestamps and s.has_numerics
+        assert not s.has_counters
+        assert dict(s.columns)["items"] == "map<text, frozen<line_item>>"
+
+    def test_inline_pk(self):
+        s = parse_cql_schema("CREATE TABLE ks.t (id uuid PRIMARY KEY, v text)")
+        assert s.partition_keys == ["id"]
+        assert s.is_partition_key_only
+
+    def test_counter_table(self):
+        s = parse_cql_schema(
+            "CREATE TABLE ks.c (k text, hits counter, PRIMARY KEY (k))"
+        )
+        assert s.has_counters and s.has_numerics
+
+    def test_errors(self):
+        with pytest.raises(ValueError, match="CREATE TABLE"):
+            parse_cql_schema("SELECT 1")
+        with pytest.raises(ValueError, match="no PRIMARY KEY"):
+            parse_cql_schema("CREATE TABLE ks.t (id uuid, v text)")
+        with pytest.raises(ValueError, match="undefined columns"):
+            parse_cql_schema("CREATE TABLE ks.t (id uuid, PRIMARY KEY (nope))")
+
+
+class TestRecommend:
+    def test_pk_only_batches_one(self):
+        s = parse_cql_schema("CREATE TABLE ks.t (id uuid PRIMARY KEY, v text)")
+        rec = recommend(s)
+        assert rec.props["spark.cdm.perfops.batchSize"] == 1
+
+    def test_lobs_drive_batch_fetch_rate(self):
+        rec = recommend(None, data_types=("lobs",))
+        assert rec.props["spark.cdm.perfops.batchSize"] == 1
+        assert rec.props["spark.cdm.perfops.fetchSizeInRows"] == 100
+        assert rec.props["spark.cdm.perfops.ratelimit.origin"] == 5000
+
+    def test_tiny_rows_batch_20(self):
+        s = parse_cql_schema(
+            "CREATE TABLE ks.t (id uuid, seq int, v text, PRIMARY KEY (id, seq))"
+        )
+        # 10 GB / 100M rows ~ 0.1 KB/row
+        rec = recommend(s, row_count=100_000_000, table_size_gb=10)
+        assert rec.props["spark.cdm.perfops.batchSize"] == 20
+
+    def test_large_table_parts_and_trackrun(self):
+        rec = recommend(None, row_count=2_000_000_000, table_size_gb=2000)
+        assert rec.props["spark.cdm.perfops.numParts"] >= 50_000
+        assert rec.props["spark.cdm.trackRun"] is True
+        assert rec.props["spark.cdm.perfops.ratelimit.origin"] == 40_000
+        assert any("multi-node" in n for n in rec.notes)
+
+    def test_counter_autocorrect_off(self):
+        s = parse_cql_schema(
+            "CREATE TABLE ks.c (k text, hits counter, PRIMARY KEY (k))"
+        )
+        rec = recommend(s)
+        assert rec.props["spark.cdm.autocorrect.missing.counter"] is False
+
+    def test_collection_only_payload_enables_usecollections(self):
+        s = parse_cql_schema(
+            "CREATE TABLE ks.t (id uuid, tags set<text>, PRIMARY KEY (id))"
+        )
+        rec = recommend(s)
+        assert rec.props["spark.cdm.schema.ttlwritetime.calc.useCollections"] is True
+
+
+class TestBuildRoundTrip:
+    def _load(self, text: str) -> dict:
+        # same parser the engine uses on real files
+        import re
+
+        out = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line[0] in "#!":
+                continue
+            m = re.match(r"^(\S+)\s*[=:\s]\s*(.*)$", line)
+            if m:
+                out[m.group(1)] = m.group(2).strip()
+        return out
+
+    def test_zero_unrecognized_keys(self):
+        text = build_properties(
+            CQL,
+            row_count=500_000_000,
+            table_size_gb=400,
+            explode_map=("items", "item_key", "item_value"),
+            constant_columns={"region": "'emea'"},
+            extract_json=("note", "sku:sku_col"),
+            autocorrect_missing=True,
+        )
+        plan = plan_from_properties(self._load(text))
+        unknown = {
+            k: r for k, r in plan.ignored.items() if "unrecognized" in r
+        }
+        assert not unknown, unknown
+        names = [type(t).__name__ for t in plan.transforms]
+        assert "Constant" in names and "ExplodeMap" in names and "ExtractJson" in names
+        assert plan.replay_kwargs["num_parts"] >= 1000
+        assert plan.replay_kwargs["run_id"] == "auto"  # trackRun+autoRerun
+        assert plan.autocorrect_missing and not plan.autocorrect_mismatch
+
+    def test_rename_from_positional_target_schema(self):
+        target = CQL.replace("note text", "comment text")
+        text = build_properties(CQL, target)
+        plan = plan_from_properties(self._load(text))
+        renames = [t for t in plan.transforms if type(t).__name__ == "Rename"]
+        assert renames and renames[0].mapping == {"note": "comment"}
+
+
+class TestLint:
+    def test_typo_flagged(self):
+        rep = lint_properties(
+            {
+                "spark.cdm.perfops.numPartz": "64",
+                "spark.cdm.perfops.numParts": "64",
+            }
+        )
+        assert not rep.ok
+        assert "spark.cdm.perfops.numPartz" in rep.unknown
+
+    def test_perfops_warnings(self):
+        rep = lint_properties(
+            {"spark.cdm.perfops.numParts": "100"},
+            row_count=500_000_000,
+            table_size_gb=500,
+        )
+        assert rep.ok
+        assert any("numParts" in w for w in rep.warnings)
+        assert any("trackRun" in w for w in rep.warnings)
+
+
+class TestCli:
+    def test_build_then_validate(self, tmp_path):
+        cql = tmp_path / "t.cql"
+        cql.write_text(CQL)
+        props = tmp_path / "cdm.properties"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "cassandra_data_migrator_ray",
+                "config-build", "--origin-cql", str(cql),
+                "--rows", "200000000", "--size-gb", "150",
+                "-o", str(props),
+            ],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "trackRun" in props.read_text()
+        r2 = subprocess.run(
+            [
+                sys.executable, "-m", "cassandra_data_migrator_ray",
+                "config-validate", str(props),
+            ],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r2.returncode == 0, r2.stderr
+        rep = json.loads(r2.stdout)
+        assert rep["ok"] and not rep["unknown_keys"]
