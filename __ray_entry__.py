@@ -118,6 +118,7 @@ def queries_extra() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.embedding_neardup_q,
         # oracle-paired variants of machinery gated elsewhere
         "video_frame_luma": q.video_frame_luma,
+        "ann_topk_ivfpq_planted": q.ann_topk_ivfpq_planted,
         "alter_schema_roundtrip": q.alter_schema_roundtrip,
         "where_range_scan": q.where_range_scan,
         "sliding_window_counts": q.sliding_window_counts,
@@ -871,6 +872,31 @@ def oracle_sql_extra() -> dict[str, str]:
     glob_ = _cdc_cache_glob()
     cdc = _cdc_fold_cte(glob_)
     return {
+        # IVF-PQ ADC search over planted integer codebook points: scores are
+        # exact integers (CRT-unique per vec_id), so the code-table search
+        # must reproduce brute-force inner-product ordering bit-for-bit
+        "ann_topk_ivfpq_planted": """
+WITH corpus AS (
+  SELECT vec_id,
+         [CAST(((vec_id*3)%13) AS DOUBLE),
+          CAST((((vec_id*3)%13)*((vec_id*3)%13))%13 AS DOUBLE),
+          CAST(((vec_id*5)%16)*100 AS DOUBLE),
+          CAST((((vec_id*5)%16)*((vec_id*5)%16))%16 AS DOUBLE),
+          CAST(((vec_id*7)%9)*10000 AS DOUBLE),
+          CAST((((vec_id*7)%9)*((vec_id*7)%9))%9 AS DOUBLE),
+          CAST(((vec_id*2)%11)*1000000 AS DOUBLE),
+          CAST((((vec_id*2)%11)*((vec_id*2)%11))%11 AS DOUBLE)] AS v
+  FROM embeddings
+)
+SELECT CAST(0 AS BIGINT) AS query_id,
+       CAST(row_number() OVER (ORDER BY s DESC, vec_id) - 1 AS BIGINT) AS rank,
+       vec_id
+FROM (
+  SELECT vec_id,
+         list_inner_product(v, [1.0, 0, 1, 0, 1, 0, 1, 0]) AS s
+  FROM corpus
+) ORDER BY s DESC, vec_id LIMIT 10
+""",
         # real y4m video decode + stride-2 frame sample: per-frame luma mean of
         # the deterministic gradient clip (base + 3.5, base never wraps) —
         # frame-boundary parsing is what the arithmetic twin checks

@@ -130,3 +130,80 @@ class TopKMerger:
             np.take_along_axis(self.scores, order, axis=1),
             np.take_along_axis(self.ids, order, axis=1),
         )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compact codes for billion-vector ANN
+# --------------------------------------------------------------------------
+#
+# PQ splits each d-dim vector into m subvectors and replaces each with the
+# index of its nearest per-subspace centroid: a vector becomes m uint8 codes
+# (e.g. 768 float32 -> 16 bytes, a 192x shrink).  Query-time scoring is ADC
+# (asymmetric distance computation): one (m, ksub) table of exact
+# query-to-centroid dot products per query, then a table lookup + sum per
+# coded vector — no float vector is ever read at query time.  (Jegou,
+# Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+# IEEE TPAMI 2011 — public method.)
+
+
+def pq_train(
+    vectors: np.ndarray, m: int = 8, ksub: int = 256, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Per-subspace codebooks (m, ksub, d//m) via kmeans_lite on a sample.
+    ``d`` must be divisible by ``m``; ``ksub`` <= 256 keeps codes uint8."""
+    v = np.asarray(vectors, dtype=np.float64)
+    n, d = v.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if ksub > 256:
+        raise ValueError("ksub > 256 does not fit uint8 codes")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = v[:, j * dsub : (j + 1) * dsub]
+        cents = kmeans_lite(sub, ksub, iters=iters, seed=seed + j)
+        if len(cents) < ksub:  # fewer points than ksub: pad by repetition
+            pad = cents[np.arange(ksub - len(cents)) % len(cents)]
+            cents = np.vstack([cents, pad])
+        books[j] = cents
+    return books
+
+
+def pq_encode(vectors: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n, m) uint8: nearest per-subspace centroid index."""
+    v = np.asarray(vectors, dtype=np.float64)
+    m, ksub, dsub = codebooks.shape
+    codes = np.empty((len(v), m), dtype=np.uint8)
+    for j in range(m):
+        sub = v[:, j * dsub : (j + 1) * dsub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+        d2 = (codebooks[j] ** 2).sum(1)[None, :] - 2.0 * (sub @ codebooks[j].T)
+        codes[:, j] = d2.argmin(1)
+    return codes
+
+
+def pq_decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 -> (n, d) reconstruction."""
+    m, ksub, dsub = codebooks.shape
+    return np.concatenate(
+        [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+def adc_tables(queries: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(q, d) -> (q, m, ksub) exact query-to-centroid dot products.  ADC
+    score of a coded vector = sum_j table[q, j, code_j] = <query,
+    reconstruction> — exact inner product with the quantized vector."""
+    q = np.asarray(queries, dtype=np.float64)
+    m, ksub, dsub = codebooks.shape
+    return np.stack(
+        [q[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )
+
+
+def adc_scores(codes: np.ndarray, table_q: np.ndarray) -> np.ndarray:
+    """(n, m) codes x one query's (m, ksub) table -> (n,) scores, pure
+    table-lookup + sum (the PQ hot loop; no vector math)."""
+    m = codes.shape[1]
+    return table_q[np.arange(m)[None, :], codes].sum(axis=1)

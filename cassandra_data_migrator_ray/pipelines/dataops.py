@@ -22,6 +22,7 @@ Orchestration shapes (scale notes per pipeline):
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 
 import numpy as np
@@ -1219,6 +1220,254 @@ def ann_topk_ivf(
     # same reduction policy as brute-force ann_topk: the candidate shuffle
     # goes distributed from 256 queries up so the driver only ever holds the
     # final q × k frame
+    if merge == "auto":
+        merge = "distributed" if qn.shape[0] >= 256 else "driver"
+    if merge == "distributed":
+        return _merge_topk_distributed(cand_ds, k, id_col, query_ids)
+    return _merge_topk(cand_ds.to_pandas(), k, id_col, query_ids)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: compact-code ANN (the billion-vector path)
+# --------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    ds: ray.data.Dataset,
+    path: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 32,
+    m: int = 8,
+    ksub: int = 256,
+    train_sample: int = 4096,
+    refine_iters: int = 0,
+    normalize: bool = True,
+    materialize: "str | bool" = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train an IVF-PQ index: coarse centroids (same trainer as IVF) plus
+    per-subspace PQ codebooks, both from one unbiased hash-of-id sample.
+
+    Codebooks quantize the (optionally normalized) vectors DIRECTLY, not
+    coarse residuals — simpler, and exact on any corpus whose vectors sit on
+    codebook points; classic residual/OPQ encoding recovers a few recall
+    points at the cost of per-list codebooks and is intentionally out of
+    scope.  ``normalize=True`` trains/encodes on unit vectors so ADC inner
+    products rank by cosine; ``False`` ranks by raw inner product.
+
+    With ``path``, the index persists as one parquet file (centroid +
+    codebook rows, params in file metadata, atomic tmp+rename) for the
+    train-once / query-many shape.  Returns ``(centroids, codebooks)``."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from cassandra_data_migrator_ray.functions.similarity import pq_train
+
+    if materialize == "auto":
+        ds = _ensure_multipass(ds)
+    elif materialize:
+        ds = ds.materialize()
+    cents = _train_ivf_centroids(
+        ds, vec_col, id_col, n_centroids, train_sample, refine_iters
+    )
+    # PQ codebooks from the same hash sample the coarse trainer used
+    total = max(1, ds.count())
+    frac = min(1.0, train_sample / total)
+
+    def hash_sample(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return batch[h < np.uint64(frac * (1 << 24))]
+
+    sample = ds.map_batches(hash_sample, batch_format="pandas").to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(min(train_sample, total)).to_pandas()
+    sv = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+    if normalize:
+        sv /= np.linalg.norm(sv, axis=1, keepdims=True).clip(min=1e-12)
+    books = pq_train(sv, m=m, ksub=ksub)
+
+    if path is not None:
+        meta = {
+            "n_centroids": int(cents.shape[0]),
+            "dim": int(cents.shape[1]),
+            "m": int(m),
+            "ksub": int(ksub),
+            "normalize": bool(normalize),
+            "vec_col": vec_col,
+            "metric": "cosine" if normalize else "ip",
+        }
+        dsub = cents.shape[1] // m
+        rows = {
+            "kind": ["centroid"] * len(cents)
+            + ["codebook"] * (m * books.shape[1]),
+            "i": list(range(len(cents)))
+            + [j for j in range(m) for _ in range(books.shape[1])],
+            "t": [0] * len(cents) + list(range(books.shape[1])) * m,
+            "vector": list(cents) + [books[j][t] for j in range(m) for t in range(books.shape[1])],
+        }
+        tbl = pa.table(
+            {
+                "kind": pa.array(rows["kind"]),
+                "i": pa.array(rows["i"], pa.int32()),
+                "t": pa.array(rows["t"], pa.int32()),
+                "vector": pa.array([list(v) for v in rows["vector"]], pa.list_(pa.float64())),
+            }
+        ).replace_schema_metadata({b"ivfpq_index_meta": json.dumps(meta).encode()})
+        assert dsub == books.shape[2]
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return cents, books
+
+
+def load_ivfpq_index(path: str) -> tuple[np.ndarray, np.ndarray, dict]:
+    """(centroids, codebooks, meta) from a :func:`build_ivfpq_index` file."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    meta = json.loads(tbl.schema.metadata[b"ivfpq_index_meta"].decode())
+    df = tbl.to_pandas()
+    cd = df[df["kind"] == "centroid"].sort_values("i")
+    cents = np.vstack(cd["vector"].to_numpy()).astype(np.float64)
+    m, ksub = meta["m"], meta["ksub"]
+    books = np.empty((m, ksub, meta["dim"] // m), dtype=np.float64)
+    cb = df[df["kind"] == "codebook"]
+    for j in range(m):
+        sub = cb[cb["i"] == j].sort_values("t")
+        books[j] = np.vstack(sub["vector"].to_numpy())
+    return cents, books, meta
+
+
+def encode_ivfpq(
+    ds: ray.data.Dataset,
+    index: "str | tuple[np.ndarray, np.ndarray]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalize: bool = True,
+) -> ray.data.Dataset:
+    """One corpus pass → the compact code table: ``(id, centroid_id,
+    codes)`` with ``codes`` an m-byte binary — m bytes per vector instead of
+    8·d, the table that replaces the raw vectors at query time (a 768-dim
+    float64 corpus shrinks ~768×).  Index is broadcast once (ray.put)."""
+    from cassandra_data_migrator_ray.functions.similarity import pq_encode
+
+    if isinstance(index, str):
+        cents, books, meta = load_ivfpq_index(index)
+        normalize = meta["normalize"]
+    else:
+        cents, books = index
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
+    iref = ray.put((cn, books))
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        c, b = ray.get(iref)
+        vecs = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+        if normalize:
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(min=1e-12)
+        assign = (vecs @ c.T).argmax(1).astype(np.int32)
+        codes = pq_encode(vecs, b)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy().astype(np.int64),
+                "centroid_id": assign,
+                "codes": [r.tobytes() for r in codes],
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pandas")
+
+
+def ann_topk_ivfpq(
+    codes: "ray.data.Dataset | str",
+    queries: np.ndarray,
+    index: "str | tuple[np.ndarray, np.ndarray]",
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_ids: np.ndarray | None = None,
+    nprobe: int = 8,
+    normalize: bool = True,
+    merge: str = "auto",
+) -> pd.DataFrame:
+    """ADC top-k over a :func:`encode_ivfpq` code table: (query_id, rank,
+    id, score).
+
+    Per batch the work is a table lookup + sum per coded row (adc_scores) —
+    no float vector is read; the scan input is the m-bytes-per-vector code
+    table (pass the parquet dir it was written to, or the Dataset).  The
+    (q, m, ksub) ADC tables and the per-query probe mask are broadcast once;
+    candidate reduction reuses the ann_topk merge policy (distributed
+    groupby(qi) from 256 queries, driver sees q × k rows).  Recall follows
+    PQ reconstruction quality: exact when vectors sit on codebook points,
+    else tune m/ksub/nprobe."""
+    from cassandra_data_migrator_ray.functions.similarity import (
+        adc_scores,
+        adc_tables,
+    )
+
+    if isinstance(index, str):
+        cents, books, meta = load_ivfpq_index(index)
+        normalize = meta["normalize"]
+    else:
+        cents, books = index
+    if isinstance(codes, str):
+        codes = ray.data.read_parquet(codes)
+    queries = np.asarray(queries, dtype=np.float64)
+    if queries.ndim == 1:
+        queries = queries[None, :]
+    qn = (
+        queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
+        if normalize
+        else queries
+    )
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
+    qc = qn @ cn.T
+    np_eff = min(nprobe, cn.shape[0])
+    probe_idx = np.argpartition(-qc, np_eff - 1, axis=1)[:, :np_eff]
+    probe_mask = np.zeros((qn.shape[0], cn.shape[0]), dtype=bool)
+    np.put_along_axis(probe_mask, probe_idx, True, axis=1)
+    tables = adc_tables(qn, books)  # (q, m, ksub)
+    bref = ray.put((tables, probe_mask))
+    m = books.shape[0]
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        T, mask = ray.get(bref)
+        cds = np.frombuffer(
+            b"".join(batch["codes"]), dtype=np.uint8
+        ).reshape(len(batch), m)
+        assign = batch["centroid_id"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        frames = []
+        for qi in range(T.shape[0]):
+            keep = mask[qi, assign]
+            if not keep.any():
+                continue
+            s = adc_scores(cds[keep], T[qi])
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qi": np.full(kk, qi, dtype=np.int64),
+                        "score": s[top],
+                        id_col: ids[keep][top].astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "qi": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                    id_col: pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    cand_ds = codes.map_batches(per_batch, batch_format="pandas")
     if merge == "auto":
         merge = "distributed" if qn.shape[0] >= 256 else "driver"
     if merge == "distributed":

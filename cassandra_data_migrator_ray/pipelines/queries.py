@@ -918,6 +918,64 @@ def video_frame_luma(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["doc_id", "frame_idx"], ignore_index=True)
 
 
+def ann_topk_ivfpq_planted(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ (product-quantization) gate with an exact-integer oracle.
+
+    Corpus vectors are planted as exact PQ codebook points with integer
+    coordinates — subspace j's code is t_j = (vec_id * P_j) % M_j with
+    pairwise-coprime moduli M = (13, 16, 9, 11), codebook point
+    (t * B_j, t^2 % M_j) with B = (1, 100, 10^4, 10^6) — so PQ encoding is
+    lossless and, against query (1,0,1,0,1,0,1,0), the inner-product score is
+    t_0 + 100·t_1 + 10^4·t_2 + 10^6·t_3: an integer, CRT-unique per vec_id
+    below lcm(M) = 20592 (no ties anywhere).  The distributed
+    encode→ADC-table-lookup→merge path must reproduce DuckDB's brute-force
+    list_inner_product ordering exactly.  Scale posture: the searched input
+    is the m-bytes-per-vector code table, not the float vectors."""
+    from cassandra_data_migrator_ray.pipelines.dataops import (
+        ann_topk_ivfpq,
+        encode_ivfpq,
+    )
+
+    M = np.array([13, 16, 9, 11])
+    P = np.array([3, 5, 7, 2])
+    B = np.array([1, 100, 10_000, 1_000_000])
+    books = np.zeros((4, 16, 2))
+    for j in range(4):
+        t = np.arange(16)
+        books[j, :, 0] = t * B[j]
+        books[j, :, 1] = (t * t) % M[j]
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        t = (ids[:, None] * P[None, :]) % M[None, :]  # (n, 4)
+        v = np.empty((len(ids), 8))
+        for j in range(4):
+            v[:, 2 * j] = t[:, j] * B[j]
+            v[:, 2 * j + 1] = (t[:, j] * t[:, j]) % M[j]
+        return pd.DataFrame({"vec_id": ids, "embedding": list(v)})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        plant, batch_format="pandas"
+    )
+    # coarse centroids: the planted vectors of ids 0..3 (any 4 points work —
+    # nprobe covers every list, so coarse routing cannot lose recall)
+    t0 = (np.arange(4)[:, None] * P[None, :]) % M[None, :]
+    cents = np.empty((4, 8))
+    for j in range(4):
+        cents[:, 2 * j] = t0[:, j] * B[j]
+        cents[:, 2 * j + 1] = (t0[:, j] * t0[:, j]) % M[j]
+    q = np.array([[1.0, 0, 1, 0, 1, 0, 1, 0]])
+    got = ann_topk_ivfpq(
+        encode_ivfpq(ds, (cents, books), normalize=False),
+        q,
+        (cents, books),
+        k=10,
+        nprobe=4,
+        normalize=False,
+    )
+    return got[["query_id", "rank", "vec_id"]].astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # D. full-engine CDC replay + validate over generated transcripts (rows-only)
 # ---------------------------------------------------------------------------
