@@ -196,6 +196,8 @@ def run_bench() -> dict:
             "simhash_docs",
             "ann_topk_embeddings",
             "ann_topk_ivf_embeddings",
+            "ann_topk_ivfpq_planted",
+            "video_frame_luma",
             "token_count_docs",
             "quality_docs",
             "langid_docs",
