@@ -208,6 +208,31 @@ def main(argv: list[str] | None = None) -> int:
     lg = sub.add_parser("lineage", help="file-level lineage: which run wrote each partition file")
     lg.add_argument("--lake", required=True)
 
+    ann = sub.add_parser(
+        "ann", help="IVF-PQ similarity search: build/encode an index, search it"
+    )
+    ann_sub = ann.add_subparsers(dest="ann_cmd", required=True)
+    ai = ann_sub.add_parser("index", help="train + persist index, encode corpus to a code table")
+    ai.add_argument("--input", required=True, help="parquet with id + vector columns")
+    ai.add_argument("--index", required=True, help="index parquet file to write")
+    ai.add_argument("--codes", required=True, help="fresh dir for the code table")
+    ai.add_argument("--vec-col", default="embedding")
+    ai.add_argument("--id-col", default="vec_id")
+    ai.add_argument("--n-centroids", type=int, default=64)
+    ai.add_argument("-m", type=int, default=8, help="PQ subspaces (bytes per vector)")
+    ai.add_argument("--ksub", type=int, default=256)
+    ai.add_argument("--train-sample", type=int, default=20000)
+    ai.add_argument("--metric", choices=["cosine", "ip"], default="cosine")
+    asr = ann_sub.add_parser("search", help="ADC top-k over an encoded code table")
+    asr.add_argument("--codes", required=True)
+    asr.add_argument("--index", required=True)
+    asr.add_argument("--queries", required=True,
+                     help="parquet with id + vector columns holding the queries")
+    asr.add_argument("--vec-col", default="embedding")
+    asr.add_argument("--id-col", default="vec_id")
+    asr.add_argument("-k", type=int, default=10)
+    asr.add_argument("--nprobe", type=int, default=8)
+
     cb = sub.add_parser(
         "config-build",
         help="generate a commented cdm.properties from CQL schema + size hints",
@@ -238,7 +263,7 @@ def main(argv: list[str] | None = None) -> int:
     # driver-side pyarrow/os work — skip the multi-second Ray startup
     needs_ray = args.cmd in {
         "migrate", "validate", "diff-lakes", "guardrail", "compact", "reshard",
-        "analyze", "fsck", "tail", "metrics", "dedup", "alter",
+        "analyze", "fsck", "tail", "metrics", "dedup", "alter", "ann",
     }  # lineage/lookup/changes/snapshots/vacuum are driver-side metadata
     ray = _init_ray(args.num_cpus) if needs_ray else None
     try:
@@ -614,6 +639,59 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "ann":
+            import numpy as np
+
+            import ray.data as rd
+
+            from cassandra_data_migrator_ray.pipelines.dataops import (
+                ann_topk_ivfpq,
+                build_ivfpq_index,
+                encode_ivfpq,
+            )
+
+            if args.ann_cmd == "index":
+                ds = rd.read_parquet(args.input, columns=[args.id_col, args.vec_col])
+                cents, books = build_ivfpq_index(
+                    ds,
+                    args.index,
+                    vec_col=args.vec_col,
+                    id_col=args.id_col,
+                    n_centroids=args.n_centroids,
+                    m=args.m,
+                    ksub=args.ksub,
+                    train_sample=args.train_sample,
+                    normalize=args.metric == "cosine",
+                )
+                encode_ivfpq(
+                    ds, args.index, vec_col=args.vec_col, id_col=args.id_col,
+                    out_dir=args.codes,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "index": args.index,
+                            "codes": args.codes,
+                            "n_centroids": int(cents.shape[0]),
+                            "bytes_per_vector": int(books.shape[0]),
+                        }
+                    )
+                )
+            else:  # search
+                qdf = rd.read_parquet(
+                    args.queries, columns=[args.id_col, args.vec_col]
+                ).to_pandas()
+                qmat = np.vstack(qdf[args.vec_col].to_numpy()).astype(np.float64)
+                res = ann_topk_ivfpq(
+                    args.codes,
+                    qmat,
+                    args.index,
+                    k=args.k,
+                    id_col=args.id_col,
+                    query_ids=qdf[args.id_col].to_numpy().astype(np.int64),
+                    nprobe=args.nprobe,
+                )
+                print(res.to_json(orient="records"))
         elif args.cmd == "config-build":
             from cassandra_data_migrator_ray.config_builder import build_properties
 

@@ -1348,11 +1348,18 @@ def encode_ivfpq(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     normalize: bool = True,
-) -> ray.data.Dataset:
+    out_dir: str | None = None,
+) -> "ray.data.Dataset | str":
     """One corpus pass → the compact code table: ``(id, centroid_id,
     codes)`` with ``codes`` an m-byte binary — m bytes per vector instead of
     8·d, the table that replaces the raw vectors at query time (a 768-dim
-    float64 corpus shrinks ~768×).  Index is broadcast once (ray.put)."""
+    float64 corpus shrinks ~768×).  Index is broadcast once (ray.put).
+
+    With ``out_dir`` the table is written as parquet and the path returned;
+    a non-empty ``out_dir`` is REFUSED — a prior run's files would
+    interleave with this write's uuid-named output and a later search would
+    silently score two generations of codes (the same stale-file hazard the
+    dedup CLI and export_sorted guard against)."""
     from cassandra_data_migrator_ray.functions.similarity import pq_encode
 
     if isinstance(index, str):
@@ -1378,7 +1385,17 @@ def encode_ivfpq(
             }
         )
 
-    return ds.map_batches(enc, batch_format="pandas")
+    out = ds.map_batches(enc, batch_format="pandas")
+    if out_dir is not None:
+        if os.path.isdir(out_dir) and os.listdir(out_dir):
+            raise ValueError(
+                f"encode_ivfpq: out_dir {out_dir!r} is not empty — a prior "
+                "write's files would interleave with this one and search "
+                "would score two generations of codes; point at a fresh dir"
+            )
+        out.write_parquet(out_dir)
+        return out_dir
+    return out
 
 
 def ann_topk_ivfpq(

@@ -163,3 +163,84 @@ class TestIvfPqPipeline:
         out = encode_ivfpq(self._ds(vecs), (vecs[:4], books), normalize=False).to_pandas()
         assert set(out.columns) == {"vec_id", "centroid_id", "codes"}
         assert all(len(c) == books.shape[0] for c in out["codes"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEncodeOutDirGuard:
+    def test_refuses_non_empty_dir(self, tmp_path):
+        from cassandra_data_migrator_ray.pipelines.dataops import encode_ivfpq
+
+        vecs, books, _ = planted_corpus(n=20)
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": np.arange(20, dtype=np.int64), "embedding": list(vecs)}
+            )
+        )
+        out = tmp_path / "codes"
+        got = encode_ivfpq(ds, (vecs[:2], books), normalize=False, out_dir=str(out))
+        assert got == str(out)
+        with pytest.raises(ValueError, match="not empty"):
+            encode_ivfpq(ds, (vecs[:2], books), normalize=False, out_dir=str(out))
+
+
+class TestAnnCli:
+    def test_index_then_search(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys
+
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        rng = np.random.default_rng(31)
+        centers = rng.standard_normal((4, 8)) * 3
+        vecs = centers[rng.integers(0, 4, 300)] + rng.standard_normal((300, 8)) * 0.2
+        queries = rng.standard_normal((2, 8))
+        vecs[0] = queries[0] * 2.0  # planted nearests
+        vecs[1] = queries[1] * 2.0
+        corpus = tmp_path / "corpus.parquet"
+        pqt.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(300), pa.int64()),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+                }
+            ),
+            str(corpus),
+        )
+        qfile = tmp_path / "queries.parquet"
+        pqt.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([100, 200], pa.int64()),
+                    "embedding": pa.array(list(queries), pa.list_(pa.float64())),
+                }
+            ),
+            str(qfile),
+        )
+        idx, codes = str(tmp_path / "idx.parquet"), str(tmp_path / "codes")
+        r = subprocess.run(
+            [sys.executable, "-m", "cassandra_data_migrator_ray", "--num-cpus", "4",
+             "ann", "index",
+             "--input", str(corpus), "--index", idx, "--codes", codes,
+             "--n-centroids", "4", "-m", "4", "--ksub", "16",
+             "--train-sample", "300"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+        info = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert info["bytes_per_vector"] == 4
+        r2 = subprocess.run(
+            [sys.executable, "-m", "cassandra_data_migrator_ray", "--num-cpus", "4",
+             "ann", "search",
+             "--codes", codes, "--index", idx, "--queries", str(qfile),
+             "-k", "3", "--nprobe", "4"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r2.returncode == 0, r2.stderr
+        rows = _json.loads(r2.stdout.strip().splitlines()[-1])
+        by_q = {}
+        for row in rows:
+            by_q.setdefault(row["query_id"], []).append(row)
+        assert by_q[100][0]["vec_id"] == 0
+        assert by_q[200][0]["vec_id"] == 1
