@@ -253,11 +253,18 @@ def plan_from_properties(props: dict[str, str] | str) -> Plan:
     # --- run tracking ----------------------------------------------------------
     if (take("trackRun", "false") or "").lower() == "true":
         run_id = take("trackRun.runId")
-        if run_id:
+        prev = take("trackRun.previousRunId")
+        auto_rerun = (take("trackRun.autoRerun", "false") or "").lower() == "true"
+        if prev and prev != "0":
+            # reference prevRunId semantics (TargetUpsertRunDetailsStatement
+            # .java:133-148): an explicit rerun id must exist or the job
+            # aborts (RunNotStartedException); prevRunId=0 means "latest"
+            plan.replay_kwargs["run_id"] = prev
+            plan.replay_kwargs["require_existing_run"] = True
+        elif run_id:
             plan.replay_kwargs["run_id"] = run_id
-        elif (take("trackRun.autoRerun", "false") or "").lower() == "true":
+        elif prev == "0" or auto_rerun:
             plan.replay_kwargs["run_id"] = "auto"
-        take("trackRun.previousRunId")
         rm = take("trackRun.rerunMultiplier")
         if rm and int(rm) > 1:
             plan.replay_kwargs["rerun_multiplier"] = int(rm)

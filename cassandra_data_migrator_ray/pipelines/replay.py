@@ -15,6 +15,7 @@ one row per partition (never row-level data on the driver).
 
 from __future__ import annotations
 
+import os
 import math
 import time
 import uuid
@@ -55,6 +56,14 @@ def _merge_staged_batch(
         for i in range(len(batch))
     ]
     return pd.concat(outs, ignore_index=True)
+
+
+class RunNotStartedError(ValueError):
+    """An explicit rerun targeted a run_id with no trace in this lake —
+    neither a committed ledger entry nor a staging directory.  Reference:
+    job/RunNotStartedException.java via TargetUpsertRunDetailsStatement
+    .java:133-148 (prevRunId lookup finds no run_info row → abort instead
+    of silently starting a fresh run under the typo'd id)."""
 
 
 def latest_incomplete_run(lake_dir: str, grace_s: float = 300.0) -> str | None:
@@ -140,6 +149,7 @@ def replay(
     chaos_dir: str | None = None,
     widen_types: bool = False,
     analyze: bool = False,
+    require_existing_run: bool = False,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -348,6 +358,17 @@ def replay(
             lake_dir,
             grace_s=float(_os.environ.get("CDM_RAY_RESUME_GRACE_S", "300")),
         )
+    elif run_id and require_existing_run:
+        # reference prevRunId semantics: an explicit rerun id must name a
+        # run this lake has seen; a typo must NOT silently start a fresh run
+        committed = any(r.get("run_id") == run_id for r in manifest.runs)
+        staged = os.path.isdir(os.path.join(lake_dir, "_staging", str(run_id)))
+        if not committed and not staged:
+            raise RunNotStartedError(
+                f"run {run_id!r} was never started in lake {lake_dir!r} "
+                "(no ledger entry, no staging dir) — check the id, or drop "
+                "require_existing_run to start a fresh run under this name"
+            )
     run_id = run_id or uuid.uuid4().hex[:12]
 
     norm = Normalize(
@@ -390,8 +411,6 @@ def replay(
     if shuffle == "staging":
         # lakehouse exchange: map-only partitioned staging write, then one
         # independent compaction task per touched partition (stages/staging.py)
-        import os
-
         from cassandra_data_migrator_ray.stages.staging import (
             StageWriter,
             merge_staged_partition,

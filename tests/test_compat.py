@@ -239,3 +239,47 @@ class TestRatelimitPoolSplit:
         assert plan.replay_kwargs["normalize_concurrency"] == 4
         assert plan.replay_kwargs["rate_limit_rows_per_s"] == 5000.0
         assert not any("unrecognized" in r for r in plan.ignored.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRunNotStarted:
+    def test_explicit_rerun_of_unknown_run_aborts(self, tmp_path):
+        """Reference RunNotStartedException parity: previousRunId naming a
+        run the lake never saw must abort, not silently start fresh;
+        prevRunId=0 means 'latest incomplete' (auto)."""
+        from cassandra_data_migrator_ray.compat import plan_from_properties
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+        from cassandra_data_migrator_ray.pipelines.replay import (
+            RunNotStartedError,
+            replay,
+        )
+
+        plan = plan_from_properties(
+            {
+                "spark.cdm.trackRun": "true",
+                "spark.cdm.trackRun.previousRunId": "nope123",
+            }
+        )
+        assert plan.replay_kwargs == {
+            "run_id": "nope123", "require_existing_run": True,
+        }
+        ev = gen_change_stream(n_convs=10, n_events=300, seed=9)
+        lake = str(tmp_path / "lake")
+        with pytest.raises(RunNotStartedError, match="never started"):
+            replay(ev, lake, num_parts=2, **plan.replay_kwargs)
+
+        # a real run commits; rerunning it by explicit id is then legal
+        r = replay(ev, lake, num_parts=2, run_id="realrun")
+        r2 = replay(
+            ev, lake, num_parts=2, run_id="realrun", require_existing_run=True
+        )
+        assert len(r2.metrics) == 0  # watermark skips the redelivery
+
+        # prevRunId=0 resolves to auto (latest incomplete), never aborts
+        plan0 = plan_from_properties(
+            {
+                "spark.cdm.trackRun": "true",
+                "spark.cdm.trackRun.previousRunId": "0",
+            }
+        )
+        assert plan0.replay_kwargs == {"run_id": "auto"}
