@@ -1419,7 +1419,13 @@ def ann_topk_ivfpq(
     candidate reduction reuses the ann_topk merge policy (distributed
     groupby(qi) from 256 queries, driver sees q × k rows).  Recall follows
     PQ reconstruction quality: exact when vectors sit on codebook points,
-    else tune m/ksub/nprobe."""
+    else tune m/ksub/nprobe.
+
+    Query-set sizing: per batch the scorer loops over queries (each
+    iteration vectorized over the batch), and the broadcast ADC tables are
+    q·m·ksub float64 — fine to ~10^4 queries; shard larger query workloads
+    into chunks of a few thousand and union the results (each chunk is an
+    independent scan of the code table)."""
     from cassandra_data_migrator_ray.functions.similarity import (
         adc_scores,
         adc_tables,
