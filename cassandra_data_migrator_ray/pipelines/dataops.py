@@ -1408,9 +1408,20 @@ def ann_topk_ivfpq(
     nprobe: int = 8,
     normalize: bool = True,
     merge: str = "auto",
+    rerank: "ray.data.Dataset | None" = None,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
 ) -> pd.DataFrame:
     """ADC top-k over a :func:`encode_ivfpq` code table: (query_id, rank,
     id, score).
+
+    ``rerank``: the standard PQ deployment — pass the ORIGINAL vector
+    dataset and the search returns the exact-scored top-k of the
+    ``shortlist``-sized ADC candidate set per query.  The shortlist ids
+    (bounded: q × shortlist) are gathered through the broadcast-membership
+    point-lookup (:func:`_gather_column` — one column-pruned corpus pass,
+    no shuffle), so quantization error decides only which candidates enter
+    the shortlist, never their final order.
 
     Per batch the work is a table lookup + sum per coded row (adc_scores) —
     no float vector is read; the scan input is the m-bytes-per-vector code
@@ -1455,6 +1466,7 @@ def ann_topk_ivfpq(
     tables = adc_tables(qn, books)  # (q, m, ksub)
     bref = ray.put((tables, probe_mask))
     m = books.shape[0]
+    k_adc = max(k, shortlist) if rerank is not None else k
 
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
         T, mask = ray.get(bref)
@@ -1469,7 +1481,7 @@ def ann_topk_ivfpq(
             if not keep.any():
                 continue
             s = adc_scores(cds[keep], T[qi])
-            kk = min(k, len(s))
+            kk = min(k_adc, len(s))
             top = np.argpartition(-s, kk - 1)[:kk]
             frames.append(
                 pd.DataFrame(
@@ -1494,8 +1506,47 @@ def ann_topk_ivfpq(
     if merge == "auto":
         merge = "distributed" if qn.shape[0] >= 256 else "driver"
     if merge == "distributed":
-        return _merge_topk_distributed(cand_ds, k, id_col, query_ids)
-    return _merge_topk(cand_ds.to_pandas(), k, id_col, query_ids)
+        adc_top = _merge_topk_distributed(cand_ds, k_adc, id_col, query_ids)
+    else:
+        adc_top = _merge_topk(cand_ds.to_pandas(), k_adc, id_col, query_ids)
+    if rerank is None:
+        return adc_top
+
+    # exact rescoring of the bounded shortlist (q × shortlist ids): one
+    # broadcast-membership pass over the original vectors, then a driver
+    # matmul on shortlist-sized matrices only
+    vec_by_id = _gather_column(
+        rerank, id_col, vec_col, adc_top[id_col].unique()
+    )
+    qid_of = (
+        (lambda qi: int(query_ids[qi]))
+        if query_ids is not None
+        else (lambda qi: qi)
+    )
+    out_frames = []
+    for qi in range(qn.shape[0]):
+        sub = adc_top[adc_top["query_id"] == qid_of(qi)]
+        if not len(sub):
+            continue
+        ids = sub[id_col].to_numpy()
+        mat = np.vstack(vec_by_id.loc[ids].to_numpy()).astype(np.float64)
+        if normalize:
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+        s = mat @ qn[qi]
+        order = np.lexsort((ids, -s))[:k]  # score desc, id asc
+        out_frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(order), qid_of(qi), dtype=np.int64),
+                    "rank": np.arange(len(order), dtype=np.int64),
+                    id_col: ids[order],
+                    "score": s[order],
+                }
+            )
+        )
+    if not out_frames:
+        return adc_top.head(0)
+    return pd.concat(out_frames, ignore_index=True)
 
 
 def embedding_neardup(

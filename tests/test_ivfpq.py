@@ -244,3 +244,37 @@ class TestAnnCli:
             by_q.setdefault(row["query_id"], []).append(row)
         assert by_q[100][0]["vec_id"] == 0
         assert by_q[200][0]["vec_id"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRerank:
+    def test_shortlist_rerank_recovers_exact_topk(self):
+        """The PQ deployment shape: ADC shortlist + exact rescoring.  On the
+        near-tie clustered corpus where raw ADC top-10 identity is NOT
+        preserved (see shortlist-recall test), rerank over a 400-candidate
+        shortlist must return the exact cosine top-10 bit-for-bit."""
+        rng = np.random.default_rng(4)
+        centers = rng.standard_normal((8, 16)) * 4
+        vecs = centers[rng.integers(0, 8, 2000)] + rng.standard_normal((2000, 16)) * 0.3
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": np.arange(2000, dtype=np.int64), "embedding": list(vecs)}
+            )
+        ).repartition(4)
+        cents, books = build_ivfpq_index(
+            ds, None, n_centroids=8, m=4, ksub=32, train_sample=2000
+        )
+        q = centers[:2] + rng.standard_normal((2, 16)) * 0.3
+        got = ann_topk_ivfpq(
+            encode_ivfpq(ds, (cents, books)), q, (cents, books),
+            k=10, nprobe=8, rerank=ds, shortlist=400,
+        )
+        want = ann_topk(ds, q, k=10)
+        pd.testing.assert_frame_equal(
+            got[["query_id", "rank", "vec_id"]].reset_index(drop=True),
+            want[["query_id", "rank", "vec_id"]].reset_index(drop=True),
+        )
+        # exact scores, not quantized ones
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy()
+        )
