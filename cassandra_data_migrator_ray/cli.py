@@ -310,15 +310,25 @@ def main(argv: list[str] | None = None) -> int:
                     kwargs["num_parts"] = plan.replay_kwargs["num_parts"]
                 if args.run_id is None and not args.resume:
                     kwargs["run_id"] = plan.replay_kwargs.get("run_id")
-                for k in ("rerun_multiplier", "rate_limit_rows_per_s", "ttl"):
+                for k in (
+                    "rerun_multiplier",
+                    "rate_limit_rows_per_s",
+                    "ttl",
+                    "normalize_concurrency",
+                    "require_existing_run",
+                ):
                     if k in plan.replay_kwargs:
                         kwargs[k] = plan.replay_kwargs[k]
                 if kwargs.get("rate_limit_rows_per_s"):
-                    # the throttle is per-actor and needs an actor pool
-                    kwargs["normalize_concurrency"] = 4
+                    # compat already split ratelimit.target (the job TOTAL)
+                    # across the normalize pool it recorded — forward that
+                    # pool size verbatim; overriding it here would multiply
+                    # the configured cap (the limiter is per-actor)
+                    nc = kwargs.get("normalize_concurrency") or 1
                     print(
-                        "note: ratelimit → normalize_concurrency=4 actors "
-                        f"(total ≈ {4 * kwargs['rate_limit_rows_per_s']:.0f} rows/s)",
+                        f"note: ratelimit → {nc} normalize actor(s) × "
+                        f"{kwargs['rate_limit_rows_per_s']:.0f} rows/s "
+                        f"(total ≈ {nc * kwargs['rate_limit_rows_per_s']:.0f})",
                         file=_sys.stderr,
                     )
                 for key, why in plan.ignored.items():

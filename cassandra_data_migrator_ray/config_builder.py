@@ -370,7 +370,9 @@ def build_properties(
         if comment:
             lines.append(f"# {comment}")
         v = _BOOL[value] if isinstance(value, bool) else value
-        lines.append(f"{key:<52}{v}")
+        # explicit separator: a 52+-char key would otherwise concatenate
+        # into its value and parse back as a single valueless key
+        lines.append(f"{key:<51} {v}")
 
     def section(title: str) -> None:
         lines.append("")
@@ -393,17 +395,25 @@ def build_properties(
         ),
     )
     prop("spark.cdm.schema.target.keyspaceTable", target_schema.keyspace_table)
+    # rename inference: positional pairing is the only signal two CREATE
+    # TABLEs carry, but declaration order is not semantic — a pair counts as
+    # a rename only when NEITHER side's name exists in the other schema
+    # (reordered or truncated column lists must not emit swap mappings)
     origin_names = [n for n, _ in origin_schema.columns]
-    renames = {
-        o: t
-        for o, t in zip(origin_names, [n for n, _ in target_schema.columns])
-        if o != t
-    }
-    if target_schema is not origin_schema and renames:
+    target_names = [n for n, _ in target_schema.columns]
+    renames = {}
+    if target_schema is not origin_schema and len(origin_names) == len(target_names):
+        oset, tset = set(origin_names), set(target_names)
+        renames = {
+            o: t
+            for o, t in zip(origin_names, target_names)
+            if o != t and o not in tset and t not in oset
+        }
+    if renames:
         prop(
             "spark.cdm.schema.origin.column.names.to.target",
             ",".join(f"{o}:{t}" for o, t in renames.items()),
-            "origin and target column names differ positionally",
+            "positionally-paired columns whose names exist in only one schema",
         )
 
     section("Performance")

@@ -1016,6 +1016,30 @@ def _merge_topk(
     )
 
 
+def _hash_sample(
+    ds: ray.data.Dataset, id_col: str, train_sample: int
+) -> pd.DataFrame:
+    """Unbiased hash-of-id sample of ~``train_sample`` rows: one counted
+    pass + one broadcast-free filter pass (``limit()`` would sample only the
+    first blocks).  Shared by the IVF coarse trainer and the PQ codebook
+    trainer so an index build draws its sample exactly once."""
+    total = max(1, ds.count())
+    frac = min(1.0, train_sample / total)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)  # top 24 bits
+        return batch[h < np.uint64(frac * (1 << 24))]
+
+    sample = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(min(train_sample, total)).to_pandas()
+    # block arrival order is nondeterministic (cluster size / parallelism
+    # change it) and kmeans init is order-sensitive — sort so the SAME
+    # corpus always trains the SAME index, whatever executed the sample
+    return sample.sort_values(id_col, kind="mergesort", ignore_index=True)
+
+
 def _train_ivf_centroids(
     ds: ray.data.Dataset,
     vec_col: str,
@@ -1023,6 +1047,7 @@ def _train_ivf_centroids(
     n_centroids: int,
     train_sample: int,
     refine_iters: int,
+    sample: pd.DataFrame | None = None,
 ) -> np.ndarray:
     """Coarse-centroid training: unbiased hash-of-id sample → kmeans_lite →
     optional distributed Lloyd refinement.  Returns L2-normalized (C, d)."""
@@ -1031,17 +1056,8 @@ def _train_ivf_centroids(
         kmeans_refine_distributed,
     )
 
-    total = max(1, ds.count())
-    frac = min(1.0, train_sample / total)
-
-    def hash_sample(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy().astype(np.uint64)
-        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)  # top 24 bits
-        return batch[h < np.uint64(frac * (1 << 24))]
-
-    sample = ds.map_batches(hash_sample, batch_format="pandas").to_pandas()
-    if len(sample) == 0:
-        sample = ds.limit(min(train_sample, total)).to_pandas()
+    if sample is None:
+        sample = _hash_sample(ds, id_col, train_sample)
     sv = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
     sv /= np.linalg.norm(sv, axis=1, keepdims=True).clip(min=1e-12)
     cents = kmeans_lite(sv, n_centroids)
@@ -1268,21 +1284,13 @@ def build_ivfpq_index(
         ds = _ensure_multipass(ds)
     elif materialize:
         ds = ds.materialize()
+    # ONE sample drawn for both trainers — the coarse kmeans and the PQ
+    # codebooks (a second draw would re-scan the whole corpus)
+    sample = _hash_sample(ds, id_col, train_sample)
     cents = _train_ivf_centroids(
-        ds, vec_col, id_col, n_centroids, train_sample, refine_iters
+        ds, vec_col, id_col, n_centroids, train_sample, refine_iters,
+        sample=sample,
     )
-    # PQ codebooks from the same hash sample the coarse trainer used
-    total = max(1, ds.count())
-    frac = min(1.0, train_sample / total)
-
-    def hash_sample(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy().astype(np.uint64)
-        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-        return batch[h < np.uint64(frac * (1 << 24))]
-
-    sample = ds.map_batches(hash_sample, batch_format="pandas").to_pandas()
-    if len(sample) == 0:
-        sample = ds.limit(min(train_sample, total)).to_pandas()
     sv = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
     if normalize:
         sv /= np.linalg.norm(sv, axis=1, keepdims=True).clip(min=1e-12)
@@ -1481,14 +1489,23 @@ def ann_topk_ivfpq(
             if not keep.any():
                 continue
             s = adc_scores(cds[keep], T[qi])
+            kept_ids = ids[keep]
             kk = min(k_adc, len(s))
-            top = np.argpartition(-s, kk - 1)[:kk]
+            # deterministic (score desc, id asc) cut — argpartition alone
+            # truncates TIED boundary scores arbitrarily, which diverges
+            # from the oracle's ORDER BY s DESC, id whenever scores repeat
+            # (quantized ADC scores repeat constantly); bound the lexsort
+            # to the boundary-tie candidate set, not the whole batch
+            part = np.argpartition(-s, kk - 1)[:kk]
+            cand = np.flatnonzero(s >= s[part].min())
+            order = np.lexsort((kept_ids[cand], -s[cand]))[:kk]
+            top = cand[order]
             frames.append(
                 pd.DataFrame(
                     {
                         "qi": np.full(kk, qi, dtype=np.int64),
                         "score": s[top],
-                        id_col: ids[keep][top].astype(np.int64),
+                        id_col: kept_ids[top].astype(np.int64),
                     }
                 )
             )

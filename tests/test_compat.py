@@ -283,3 +283,54 @@ class TestRunNotStarted:
             }
         )
         assert plan0.replay_kwargs == {"run_id": "auto"}
+
+
+class TestCliPropertiesForwarding:
+    def test_prev_run_guard_and_ratelimit_pool_reach_replay(self, tmp_path):
+        """The CLI migrate --properties path must forward the plan's
+        require_existing_run (typo'd previousRunId aborts, review finding)
+        and its normalize pool size (total rate stays the configured cap,
+        not pool× it)."""
+        import json as _json
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        from cassandra_data_migrator_ray.gen import gen_change_stream
+
+        ev = gen_change_stream(n_convs=10, n_events=400, seed=3)
+        events = str(tmp_path / "events.parquet")
+        pq.write_table(ev, events)
+
+        props = tmp_path / "cdm.properties"
+        props.write_text(
+            "spark.cdm.trackRun true\n"
+            "spark.cdm.trackRun.previousRunId typo999\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-m", "cassandra_data_migrator_ray",
+             "--num-cpus", "4", "migrate", "--events", events,
+             "--lake", str(tmp_path / "lake"), "--num-parts", "2",
+             "--properties", str(props)],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode != 0
+        assert "never started" in (r.stderr + r.stdout)
+
+        props2 = tmp_path / "cdm2.properties"
+        props2.write_text(
+            "spark.cdm.perfops.ratelimit.target 20000\n"
+            "spark.cdm.perfops.normalizeConcurrency 4\n"
+        )
+        r2 = subprocess.run(
+            [sys.executable, "-m", "cassandra_data_migrator_ray",
+             "--num-cpus", "4", "migrate", "--events", events,
+             "--lake", str(tmp_path / "lake2"), "--num-parts", "2",
+             "--properties", str(props2)],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r2.returncode == 0, r2.stderr
+        assert "4 normalize actor(s) × 5000 rows/s (total ≈ 20000)" in r2.stderr
+        out = _json.loads(r2.stdout.strip().splitlines()[-1])
+        assert out["rows"] > 0

@@ -198,3 +198,40 @@ class TestCli:
         assert r2.returncode == 0, r2.stderr
         rep = json.loads(r2.stdout)
         assert rep["ok"] and not rep["unknown_keys"]
+
+
+class TestReviewFindings:
+    def test_reordered_target_schema_emits_no_swap(self):
+        """Declaration order is not semantic: identical columns in a
+        different order must not produce a rename mapping (a positional zip
+        would emit a data-swapping a:b,b:a)."""
+        origin = "CREATE TABLE ks.t (id uuid, a text, b text, PRIMARY KEY (id))"
+        target = "CREATE TABLE ks.t (id uuid, b text, a text, PRIMARY KEY (id))"
+        text = build_properties(origin, target)
+        assert "names.to.target" not in text
+
+    def test_genuine_rename_still_inferred(self):
+        origin = "CREATE TABLE ks.t (id uuid, note text, PRIMARY KEY (id))"
+        target = "CREATE TABLE ks.t (id uuid, comment text, PRIMARY KEY (id))"
+        plan = plan_from_properties(
+            TestBuildRoundTrip._load(TestBuildRoundTrip(), build_properties(origin, target))
+        )
+        renames = [t for t in plan.transforms if type(t).__name__ == "Rename"]
+        assert renames and renames[0].mapping == {"note": "comment"}
+
+    def test_long_keys_keep_a_separator(self):
+        from cassandra_data_migrator_ray.compat import load_properties
+        import tempfile, os
+
+        long_key = "spark.cdm.feature.constantColumns.names" + ".x" * 10
+        text = build_properties(
+            "CREATE TABLE ks.t (id uuid PRIMARY KEY, v text)",
+            extra_props={long_key: "val1"},
+        )
+        f = tempfile.NamedTemporaryFile("w", suffix=".properties", delete=False)
+        f.write(text); f.close()
+        try:
+            props = load_properties(f.name)
+        finally:
+            os.unlink(f.name)
+        assert props[long_key] == "val1"
