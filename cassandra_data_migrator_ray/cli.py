@@ -232,6 +232,16 @@ def main(argv: list[str] | None = None) -> int:
     asr.add_argument("--id-col", default="vec_id")
     asr.add_argument("-k", type=int, default=10)
     asr.add_argument("--nprobe", type=int, default=8)
+    asr.add_argument(
+        "--rerank", metavar="VECTORS",
+        help="parquet with the ORIGINAL id + vector columns: exact-rescore "
+        "the ADC shortlist so quantization decides only candidate entry, "
+        "never final order (the standard PQ deployment)",
+    )
+    asr.add_argument(
+        "--shortlist", type=int, default=100,
+        help="ADC candidates per query fed to --rerank (default 100)",
+    )
 
     cb = sub.add_parser(
         "config-build",
@@ -692,6 +702,13 @@ def main(argv: list[str] | None = None) -> int:
                     args.queries, columns=[args.id_col, args.vec_col]
                 ).to_pandas()
                 qmat = np.vstack(qdf[args.vec_col].to_numpy()).astype(np.float64)
+                rerank_ds = (
+                    rd.read_parquet(
+                        args.rerank, columns=[args.id_col, args.vec_col]
+                    )
+                    if args.rerank
+                    else None
+                )
                 res = ann_topk_ivfpq(
                     args.codes,
                     qmat,
@@ -700,6 +717,9 @@ def main(argv: list[str] | None = None) -> int:
                     id_col=args.id_col,
                     query_ids=qdf[args.id_col].to_numpy().astype(np.int64),
                     nprobe=args.nprobe,
+                    rerank=rerank_ds,
+                    shortlist=args.shortlist,
+                    vec_col=args.vec_col,
                 )
                 print(res.to_json(orient="records"))
         elif args.cmd == "config-build":

@@ -256,14 +256,24 @@ def plan_from_properties(props: dict[str, str] | str) -> Plan:
         prev = take("trackRun.previousRunId")
         auto_rerun = (take("trackRun.autoRerun", "false") or "").lower() == "true"
         if prev and prev != "0":
-            # reference prevRunId semantics (TargetUpsertRunDetailsStatement
-            # .java:133-148): an explicit rerun id must exist or the job
-            # aborts (RunNotStartedException); prevRunId=0 means "latest"
+            # reference prevRunId semantics (BasePartitionJob.scala:42-57):
+            # an explicit non-zero prevRunId asks to resume that run's
+            # pending partitions; if the run was never started the job
+            # WARNS and falls back to a fresh full run (the statement layer
+            # raises RunNotStartedException, the job catches it) — see
+            # replay(require_existing_run=True)
             plan.replay_kwargs["run_id"] = prev
             plan.replay_kwargs["require_existing_run"] = True
         elif run_id:
             plan.replay_kwargs["run_id"] = run_id
-        elif prev == "0" or auto_rerun:
+        elif auto_rerun:
+            # prevRunId=0 means "not a rerun" in the reference; auto-
+            # discovery of the latest incomplete run happens ONLY when
+            # autoRerun=true (BasePartitionJob.scala:42-46: getPreviousRunId
+            # is called iff prevRunId==0 && autoRerun).  An explicit "0"
+            # without autoRerun is simply discarded — the shipped
+            # cdm-detailed.properties template carries `previousRunId 0`
+            # uncommented, and template-derived configs must start fresh.
             plan.replay_kwargs["run_id"] = "auto"
         rm = take("trackRun.rerunMultiplier")
         if rm and int(rm) > 1:

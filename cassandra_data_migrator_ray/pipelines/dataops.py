@@ -1532,9 +1532,22 @@ def ann_topk_ivfpq(
     # exact rescoring of the bounded shortlist (q × shortlist ids): one
     # broadcast-membership pass over the original vectors, then a driver
     # matmul on shortlist-sized matrices only
-    vec_by_id = _gather_column(
-        rerank, id_col, vec_col, adc_top[id_col].unique()
+    want_ids = adc_top[id_col].unique()
+    vec_by_id = _gather_column(rerank, id_col, vec_col, want_ids)
+    missing = np.setdiff1d(
+        np.asarray(want_ids, dtype=np.int64),
+        vec_by_id.index.to_numpy(dtype=np.int64),
     )
+    if missing.size:
+        shown = ", ".join(str(i) for i in missing[:10])
+        more = f" (+{missing.size - 10} more)" if missing.size > 10 else ""
+        raise ValueError(
+            f"rerank dataset is missing {missing.size} shortlist id(s) "
+            f"present in the code table: {shown}{more} — the code table was "
+            "likely encoded from a superset of the vectors supplied for "
+            "rerank, or is stale; re-run encode_ivfpq over the same corpus "
+            "you pass as rerank="
+        )
     qid_of = (
         (lambda qi: int(query_ids[qi]))
         if query_ids is not None

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import math
+import warnings
 import time
 import uuid
 from dataclasses import dataclass
@@ -61,9 +62,12 @@ def _merge_staged_batch(
 class RunNotStartedError(ValueError):
     """An explicit rerun targeted a run_id with no trace in this lake —
     neither a committed ledger entry nor a staging directory.  Reference:
-    job/RunNotStartedException.java via TargetUpsertRunDetailsStatement
-    .java:133-148 (prevRunId lookup finds no run_info row → abort instead
-    of silently starting a fresh run under the typo'd id)."""
+    job/RunNotStartedException.java, thrown by
+    TargetUpsertRunDetailsStatement.java:133-148 when the prevRunId lookup
+    finds no run_info row.  The reference JOB catches it, warns, and runs
+    fresh (BasePartitionJob.scala:50-55); ``replay()`` mirrors that by
+    default and raises this only under
+    ``require_existing_run="abort"`` (engine extension)."""
 
 
 def latest_incomplete_run(lake_dir: str, grace_s: float = 300.0) -> str | None:
@@ -149,7 +153,7 @@ def replay(
     chaos_dir: str | None = None,
     widen_types: bool = False,
     analyze: bool = False,
-    require_existing_run: bool = False,
+    require_existing_run: bool | str = False,
 ) -> ReplayResult:
     """Replay a change stream into the lake (exactly-once, resumable).
 
@@ -359,16 +363,31 @@ def replay(
             grace_s=float(_os.environ.get("CDM_RAY_RESUME_GRACE_S", "300")),
         )
     elif run_id and require_existing_run:
-        # reference prevRunId semantics: an explicit rerun id must name a
-        # run this lake has seen; a typo must NOT silently start a fresh run
+        # reference prevRunId semantics: an explicit rerun id should name a
+        # run this lake has seen.  The statement layer raises
+        # (TargetUpsertRunDetailsStatement.java:133-148 throws
+        # RunNotStartedException when the prevRunId lookup finds no run_info
+        # row); the JOB layer catches it, warns, and runs fresh
+        # (BasePartitionJob.scala:50-55) — mirrored here: warn + fresh run
+        # under a NEW id by default, hard abort only with
+        # require_existing_run="abort" (engine extension for operators who
+        # prefer a typo'd id to fail loudly).
         committed = any(r.get("run_id") == run_id for r in manifest.runs)
         staged = os.path.isdir(os.path.join(lake_dir, "_staging", str(run_id)))
         if not committed and not staged:
-            raise RunNotStartedError(
+            err = RunNotStartedError(
                 f"run {run_id!r} was never started in lake {lake_dir!r} "
-                "(no ledger entry, no staging dir) — check the id, or drop "
-                "require_existing_run to start a fresh run under this name"
+                "(no ledger entry, no staging dir)"
             )
+            if require_existing_run == "abort":
+                raise err
+            warnings.warn(
+                f"{err} — starting a fresh run instead (reference "
+                "BasePartitionJob.scala:50-55 behavior; pass "
+                'require_existing_run="abort" to fail instead)',
+                stacklevel=2,
+            )
+            run_id = None
     run_id = run_id or uuid.uuid4().hex[:12]
 
     norm = Normalize(

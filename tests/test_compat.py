@@ -243,10 +243,12 @@ class TestRatelimitPoolSplit:
 
 @pytest.mark.usefixtures("ray_session")
 class TestRunNotStarted:
-    def test_explicit_rerun_of_unknown_run_aborts(self, tmp_path):
-        """Reference RunNotStartedException parity: previousRunId naming a
-        run the lake never saw must abort, not silently start fresh;
-        prevRunId=0 means 'latest incomplete' (auto)."""
+    def test_explicit_rerun_of_unknown_run_warns_and_runs_fresh(self, tmp_path):
+        """Reference RunNotStartedException parity (BasePartitionJob.scala:
+        50-55): previousRunId naming a run the lake never saw WARNS and
+        falls back to a fresh run — the statement layer throws, the job
+        catches.  Strict abort stays available as an engine extension
+        (require_existing_run="abort")."""
         from cassandra_data_migrator_ray.compat import plan_from_properties
         from cassandra_data_migrator_ray.gen import gen_change_stream
         from cassandra_data_migrator_ray.pipelines.replay import (
@@ -265,24 +267,42 @@ class TestRunNotStarted:
         }
         ev = gen_change_stream(n_convs=10, n_events=300, seed=9)
         lake = str(tmp_path / "lake")
-        with pytest.raises(RunNotStartedError, match="never started"):
-            replay(ev, lake, num_parts=2, **plan.replay_kwargs)
+        with pytest.warns(UserWarning, match="never started"):
+            r0 = replay(ev, lake, num_parts=2, **plan.replay_kwargs)
+        # fresh run under a NEW id, fully committed — not the typo'd id
+        assert r0.run_id != "nope123"
+        assert len(r0.metrics) > 0
 
-        # a real run commits; rerunning it by explicit id is then legal
-        r = replay(ev, lake, num_parts=2, run_id="realrun")
+        # engine extension: "abort" restores the hard failure
+        with pytest.raises(RunNotStartedError, match="never started"):
+            replay(
+                ev, str(tmp_path / "lake2"), num_parts=2,
+                run_id="nope123", require_existing_run="abort",
+            )
+
+        # a committed run CAN be rerun by explicit id
         r2 = replay(
-            ev, lake, num_parts=2, run_id="realrun", require_existing_run=True
+            ev, lake, num_parts=2, run_id=r0.run_id, require_existing_run=True
         )
         assert len(r2.metrics) == 0  # watermark skips the redelivery
 
-        # prevRunId=0 resolves to auto (latest incomplete), never aborts
+        # prevRunId=0 means "not a rerun" (reference): discarded without
+        # autoRerun; auto-discovery only when autoRerun=true
         plan0 = plan_from_properties(
             {
                 "spark.cdm.trackRun": "true",
                 "spark.cdm.trackRun.previousRunId": "0",
             }
         )
-        assert plan0.replay_kwargs == {"run_id": "auto"}
+        assert plan0.replay_kwargs == {}
+        plan0a = plan_from_properties(
+            {
+                "spark.cdm.trackRun": "true",
+                "spark.cdm.trackRun.previousRunId": "0",
+                "spark.cdm.trackRun.autoRerun": "true",
+            }
+        )
+        assert plan0a.replay_kwargs == {"run_id": "auto"}
 
 
 class TestCliPropertiesForwarding:
@@ -315,8 +335,12 @@ class TestCliPropertiesForwarding:
              "--properties", str(props)],
             capture_output=True, text=True, timeout=300,
         )
-        assert r.returncode != 0
+        # reference BasePartitionJob.scala:50-55: unknown prevRunId WARNS
+        # and runs fresh — the job succeeds, the warning is visible
+        assert r.returncode == 0, r.stderr
         assert "never started" in (r.stderr + r.stdout)
+        out1 = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert out1["rows"] > 0 and out1["run_id"] != "typo999"
 
         props2 = tmp_path / "cdm2.properties"
         props2.write_text(

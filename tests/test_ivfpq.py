@@ -245,6 +245,27 @@ class TestAnnCli:
         assert by_q[100][0]["vec_id"] == 0
         assert by_q[200][0]["vec_id"] == 1
 
+        # --rerank exposes the exact-shortlist path from the CLI (advice
+        # finding): scores must be EXACT cosines, not ADC approximations —
+        # the planted colinear twin scores exactly 1.0
+        r3 = subprocess.run(
+            [sys.executable, "-m", "cassandra_data_migrator_ray", "--num-cpus", "4",
+             "ann", "search",
+             "--codes", codes, "--index", idx, "--queries", str(qfile),
+             "-k", "3", "--nprobe", "4",
+             "--rerank", str(corpus), "--shortlist", "50"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r3.returncode == 0, r3.stderr
+        rows3 = _json.loads(r3.stdout.strip().splitlines()[-1])
+        by_q3 = {}
+        for row in rows3:
+            by_q3.setdefault(row["query_id"], []).append(row)
+        assert by_q3[100][0]["vec_id"] == 0
+        assert by_q3[200][0]["vec_id"] == 1
+        assert abs(by_q3[100][0]["score"] - 1.0) < 1e-9
+        assert abs(by_q3[200][0]["score"] - 1.0) < 1e-9
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRerank:
@@ -278,3 +299,25 @@ class TestRerank:
         np.testing.assert_allclose(
             got["score"].to_numpy(), want["score"].to_numpy()
         )
+
+    def test_rerank_missing_shortlist_ids_raises(self):
+        """A rerank dataset missing shortlist ids (stale code table, or codes
+        encoded from a superset) must fail with a named-ids ValueError, not
+        an opaque pandas KeyError (advice finding, dataops.py rerank)."""
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((200, 8))
+        df = pd.DataFrame(
+            {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs)}
+        )
+        ds = ray.data.from_pandas(df).repartition(2)
+        cents, books = build_ivfpq_index(
+            ds, None, n_centroids=4, m=4, ksub=16, train_sample=200
+        )
+        codes = encode_ivfpq(ds, (cents, books))
+        # rerank over HALF the corpus: some shortlist ids must be missing
+        half = ray.data.from_pandas(df.iloc[:100])
+        with pytest.raises(ValueError, match="missing .* shortlist id"):
+            ann_topk_ivfpq(
+                codes, vecs[:2], (cents, books),
+                k=5, nprobe=4, rerank=half, shortlist=150,
+            )
