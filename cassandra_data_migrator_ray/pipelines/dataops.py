@@ -1954,14 +1954,29 @@ def dedup_apply(
     pairs: ray.data.Dataset,
     id_col: str = "doc_id",
     mode: str = "driver",
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """The corpus with every non-keeper duplicate dropped: cluster the
     verified pairs, keep the min-id document of each cluster (plus every
-    unpaired document), filter the corpus with ONE broadcast membership pass
-    (``ray.put`` once, ``np.isin`` per batch) — the corpus itself never
-    shuffles.  The drop set is bounded by the duplicate count; a corpus whose
-    drop set outgrows one process should route through the hash-partitioned
-    anti-join in ``pipelines/diff.py`` instead."""
+    unpaired document), and filter the corpus.
+
+    - ``mode="driver"`` (default): drop ids are collected once and
+      broadcast (``ray.put`` once, ``np.isin`` per batch) — the corpus
+      never shuffles.  Right while the drop set (bounded by duplicate
+      count, not corpus size) fits one process.
+    - ``mode="distributed"``: END-TO-END distributed — clustering runs the
+      label-propagation path and the apply is a hash-partitioned ANTI-JOIN
+      (:func:`join_by_key` ``how="left"`` + null-marker filter, the same
+      co-partitioned machinery as the reference's DiffData existence join,
+      `DiffJobSession.java:134-161`): the drop ids stay a Dataset start to
+      finish and the driver never holds a member or drop array.  Cost: the
+      corpus shuffles once on ``id_col`` — the right trade when a
+      30 %-duplicate web crawl puts billions of int64 drop ids (tens of GB)
+      beyond one process.  ``num_partitions`` forwards to the join's
+      exchange sizing.
+    """
+    if mode == "distributed":
+        return _dedup_apply_distributed(ds, pairs, id_col, num_partitions)
     members = cluster_pairs(pairs, mode=mode).to_pandas()
     if members.empty:  # no pairs → nothing to drop (empty frame is schema-less)
         return ds
@@ -1980,6 +1995,49 @@ def dedup_apply(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _dedup_apply_distributed(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str,
+    num_partitions: int | None,
+) -> ray.data.Dataset:
+    """Anti-join apply: corpus LEFT-joins the (Dataset-resident) drop ids on
+    ``id_col`` and keeps the rows whose marker came back null.  Only int
+    (id, marker) rows ride the small side of the exchange; the driver sees
+    no ids."""
+    marker = "__dedup_drop"
+
+    def non_keepers(t: pa.Table) -> pa.Table:
+        gone = t.filter(pc.not_equal(t["node_id"], t["cluster_id"]))
+        return pa.table(
+            {
+                id_col: pc.cast(gone["node_id"], pa.int64()),
+                marker: pa.array(
+                    np.ones(len(gone), dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    drop_ds = (
+        cluster_pairs(pairs, mode="distributed")
+        .map_batches(non_keepers, batch_format="pyarrow")
+        .materialize()  # bounded by duplicate count; object-store resident
+    )
+    if drop_ds.count() == 0:
+        return ds
+    if marker in ds.schema().names:
+        raise ValueError(f"corpus already has a {marker!r} column")
+    orig_cols = list(ds.schema().names)
+    joined = join_by_key(
+        ds, drop_ds, on=id_col, how="left", num_partitions=num_partitions
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t[marker])).select(orig_cols)
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
 def dedup_near(
     ds: ray.data.Dataset,
     method: str = "minhash",
@@ -1995,10 +2053,12 @@ def dedup_near(
     for text), "simhash" (Hamming), or "embedding" (cosine; then
     ``text_col``/``id_col`` default to the embeddings schema unless given).
     Detector knobs (threshold, num_perm, max_hamming, n_bands, verify, ...)
-    pass through; ``cluster_mode`` picks the driver union-find or the
-    distributed label propagation.  Each stage keeps its own scale shape:
-    detection shuffles ids+hashes only, clustering shuffles int rows only,
-    and the final filter is one broadcast membership pass over the corpus.
+    pass through; ``cluster_mode`` picks the driver union-find + broadcast
+    filter, or the fully distributed path (label propagation + anti-join
+    apply — no member/drop array ever on the driver).  Each stage keeps its
+    own scale shape: detection shuffles ids+hashes only, clustering
+    shuffles int rows only, and the final filter is one broadcast
+    membership pass (driver mode) or one corpus co-partition (distributed).
     """
     if method == "exact":
         # exact pairs are born distributed (one hash groupby, no collect step)

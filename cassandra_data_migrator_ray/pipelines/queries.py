@@ -433,11 +433,12 @@ def neardup_cluster_docs(sf_dir: str) -> pd.DataFrame:
 
 def dedup_apply_docs(sf_dir: str) -> pd.DataFrame:
     """The deduplicated corpus: cluster exact-dup chain pairs, keep the
-    min-id doc per cluster plus every unpaired doc, filter with one broadcast
-    membership pass (the corpus never shuffles).  Clustering runs the
-    DISTRIBUTED label-propagation path so the gate exercises the no-pairs-
-    on-driver pipeline end to end (the driver kernel is equality-tested in
-    pytest)."""
+    min-id doc per cluster plus every unpaired doc, drop the rest.  Runs
+    END-TO-END distributed: label-propagation clustering AND the anti-join
+    apply (corpus co-partitioned on doc_id, drop ids stay a Dataset, the
+    driver never holds a member/drop array — the round-4 `weak` finding).
+    The driver union-find + broadcast-filter kernel is equality-tested
+    against this path in pytest."""
     from cassandra_data_migrator_ray.pipelines.dataops import (
         dedup_apply,
         exact_dup_pairs,
