@@ -349,6 +349,7 @@ def dedup_minhash_lsh(
     max_bucket: int = 64,
     verify: str = "driver",
     collect: str = "driver",
+    auto_driver_max_docs: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -373,9 +374,24 @@ def dedup_minhash_lsh(
     filter) — the pair list stays a Dataset end to end and the result can
     flow straight into ``cluster_pairs``/``dedup_apply`` without the driver
     ever holding a pair.  Implies distributed verification.
+
+    ``collect="auto"`` sizes the route from the corpus: a plain-source
+    corpus of ≤ ``auto_driver_max_docs`` rows (metadata-cheap count) takes
+    the driver-collect path — at small scale the distributed route's extra
+    exchanges are pure fixed overhead (3× slower at 5k docs) while the
+    pair list is trivially driver-sized — and anything larger, or any
+    transform-bearing lineage whose count would cost a full execution,
+    escalates to ``"distributed"``.  The two routes are equality-tested.
     """
     from cassandra_data_migrator_ray.functions.dedup import _shingle_hashes
 
+    if collect == "auto":
+        n = ds.count() if _is_plain_source(ds) else None
+        collect = (
+            "driver"
+            if n is not None and n <= auto_driver_max_docs
+            else "distributed"
+        )
     if collect == "distributed":
         ds = _ensure_multipass(ds)  # bands pass + payload pass
 
@@ -439,24 +455,30 @@ def dedup_minhash_lsh(
     need = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
     texts = _gather_column(ds, id_col, text_col, need)
 
-    # vectorized verify: hashed shingle set per candidate doc (one reduceat
-    # pass), then sorted-array intersections per pair
+    # fully vectorized verify (no per-pair Python loop): hashed shingle set
+    # per candidate doc (one reduceat pass), then ONE global lexsort of the
+    # per-pair set concatenation — adjacent equal values within a pair are
+    # exactly the intersections, counted with a bincount
     hashes, offsets = _shingle_hashes(texts.fillna("").astype(str), shingle_k)
-    sets = {
-        int(i): np.unique(hashes[offsets[j] : offsets[j + 1]])
-        for j, i in enumerate(texts.index)
-    }
+    # per-doc unique sorted hash segments via ONE global (doc, hash) lexsort
+    doc_of = np.repeat(
+        np.arange(len(texts), dtype=np.int64), np.diff(offsets)
+    )
+    order = np.lexsort((hashes, doc_of))
+    h_s, d_s = hashes[order], doc_of[order]
+    if len(h_s):
+        keep_m = np.r_[True, (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        uhashes, ud = h_s[keep_m], d_s[keep_m]
+    else:
+        uhashes, ud = h_s, d_s
+    sizes = np.bincount(ud, minlength=len(texts)).astype(np.int64)
+    uoff = np.r_[np.int64(0), np.cumsum(sizes)]
     a_ids = pairs["id_a"].to_numpy()
     b_ids = pairs["id_b"].to_numpy()
-    jac = np.empty(len(pairs), dtype=np.float64)
-    for j in range(len(pairs)):
-        sa, sb = sets.get(int(a_ids[j])), sets.get(int(b_ids[j]))
-        if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-            jac[j] = 1.0 if (sa is not None and sb is not None) else 0.0
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = len(sa) + len(sb) - inter
-        jac[j] = inter / max(1, union)
+    idx = pd.Index(texts.index)
+    ra = idx.get_indexer(a_ids)  # -1 = doc missing from the corpus
+    rb = idx.get_indexer(b_ids)
+    jac = _jaccard_vectorized(uhashes, uoff, sizes, ra, rb)
     ok = jac >= threshold
     out = pd.DataFrame(
         {
@@ -707,6 +729,64 @@ def _verify_pairs_ds(
     if out.count() == 0:
         return ray.data.from_pandas(empty)
     return out
+
+
+def _jaccard_vectorized(
+    uhashes: np.ndarray,
+    uoff: np.ndarray,
+    sizes: np.ndarray,
+    ra: np.ndarray,
+    rb: np.ndarray,
+) -> np.ndarray:
+    """Jaccard for P pairs of doc rows in one pass, no per-pair loop.
+
+    ``uhashes`` holds each doc's UNIQUE sorted shingle hashes concatenated
+    (doc row j occupies ``uhashes[uoff[j]:uoff[j+1]]``, ``sizes[j]`` long);
+    ``ra``/``rb`` are the two doc rows per pair (−1 = doc missing from the
+    corpus → jaccard 0, matching the loop this replaced).  Both pair-side
+    segments are gathered with the repeat-offset trick, lexsorted by
+    (pair, value) once, and adjacent equal values within a pair — each side
+    is already unique — are exactly the intersections, counted per pair
+    with a bincount.  Memory and time are pair-set-size proportional, the
+    same work the old loop touched one pair at a time."""
+    n_pairs = len(ra)
+    present = (ra >= 0) & (rb >= 0)
+    la = np.where(ra >= 0, sizes[np.clip(ra, 0, None)], 0)
+    lb = np.where(rb >= 0, sizes[np.clip(rb, 0, None)], 0)
+
+    def seg_take(rows: np.ndarray, lens: np.ndarray):
+        starts = np.where(rows >= 0, uoff[np.clip(rows, 0, None)], 0)
+        total = int(lens.sum())
+        if total == 0:
+            return (
+                np.empty(0, dtype=uhashes.dtype),
+                np.empty(0, dtype=np.int64),
+            )
+        out_start = np.r_[np.int64(0), np.cumsum(lens)][:-1]
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_start, lens)
+            + np.repeat(starts, lens)
+        )
+        return uhashes[pos], np.repeat(np.arange(n_pairs, dtype=np.int64), lens)
+
+    va, pa_of_a = seg_take(ra, np.where(present, la, 0))
+    vb, pa_of_b = seg_take(rb, np.where(present, lb, 0))
+    v = np.concatenate([va, vb])
+    p = np.concatenate([pa_of_a, pa_of_b])
+    if len(v):
+        order = np.lexsort((v, p))
+        v, p = v[order], p[order]
+        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n_pairs).astype(np.int64)
+    else:
+        inter = np.zeros(n_pairs, dtype=np.int64)
+    union = la + lb - inter
+    jac = np.zeros(n_pairs, dtype=np.float64)
+    nz = present & (union > 0)
+    jac[nz] = inter[nz] / union[nz]
+    jac[present & (union == 0)] = 1.0  # two empty shingle sets are identical
+    return jac
 
 
 def _jaccard_payload_fn(text_col: str, shingle_k: int):

@@ -671,15 +671,19 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
-    """collect='distributed' routes the gate through the full no-pairs-on-
-    driver pipeline (pair-dedup groupby + Bloom-broadcast verify); the
-    driver-collect twin is equality-tested in pytest."""
+    """collect='auto' is the production route: driver-collect below the
+    corpus-size threshold (at gate sf the distributed route's extra
+    exchanges are pure fixed overhead — 3× the wall time for the same 256
+    pairs), escalating to the full no-pairs-on-driver pipeline (pair-dedup
+    groupby + Bloom-broadcast verify) above it.  The distributed twin is
+    equality-tested in pytest (test_minhash_distributed_collect_matches_
+    driver) and in the auto-escalation test."""
     from cassandra_data_migrator_ray.pipelines.dataops import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         threshold=0.5,
-        collect="distributed",
+        collect="auto",
     ).to_pandas()
     return _pairs_or_empty(pairs, "jaccard")
 

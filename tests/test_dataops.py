@@ -212,6 +212,34 @@ class TestDedupPipelines:
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 10
 
+    def test_minhash_collect_auto_picks_by_scale(self):
+        """collect='auto': a small plain-source corpus takes the driver-
+        collect route (the distributed exchanges are fixed overhead at this
+        scale); forcing the threshold to 0 escalates to the distributed
+        route — both must equal the explicit-mode results."""
+        from cassandra_data_migrator_ray.pipelines.dataops import dedup_minhash_lsh
+
+        ds = ray.data.from_pandas(docs_df())
+        want = (
+            dedup_minhash_lsh(ds, threshold=0.5, collect="driver")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        auto_small = (
+            dedup_minhash_lsh(ds, threshold=0.5, collect="auto")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(auto_small, want)
+        auto_big = (
+            dedup_minhash_lsh(
+                ds, threshold=0.5, collect="auto", auto_driver_max_docs=0
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(auto_big, want)
+
     def test_dedup_simhash(self):
         from cassandra_data_migrator_ray.pipelines.dataops import dedup_simhash
 
