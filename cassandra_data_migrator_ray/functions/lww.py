@@ -350,6 +350,14 @@ def fold_events_arrow(
         out[ROW_TTLX] = pa.array(
             np.where(exists, sttlx[np.clip(last_up, 0, None)], NO_EXPIRY)
         )
+    # staged slices may carry dictionary-encoded payload strings (stages/
+    # staging.py dict_cols): every gather above then moved int32 indices;
+    # decode ONCE here on the winner-sized output so state schema, merge
+    # and parquet write see plain strings downstream
+    for c in (*key_cols, *payload_cols):
+        v = out.get(c)
+        if v is not None and pa.types.is_dictionary(v.type):
+            out[c] = pc.cast(v, v.type.value_type)
     return pa.table(out)
 
 

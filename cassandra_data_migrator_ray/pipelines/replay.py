@@ -452,6 +452,53 @@ def replay(
         # task size of 2 halves concurrent merge processes without changing
         # the job shape across cluster sizes.  Env-tunable, default 1.
         merge_cpus = float(os.environ.get("CDM_MERGE_NUM_CPUS", "1"))
+        # dictionary-encode string payload columns through the staged
+        # slices (stage-2 take/fold then moves int32 indices, not string
+        # bytes; decode happens once on the winner-sized fold output).
+        # DEFAULT OFF by measurement: interleaved 60M-event A/Bs at 32
+        # workers (BENCH/BASELINE.md round 5) showed "all" COSTS ~8%
+        # stage-2 fold CPU (the dominant `text` column is mostly unique,
+        # so indices + embedded dictionary ≈ the original bytes plus
+        # encode/unify), and even the cardinality-probed "auto" (role/
+        # tool-style enums only, distinct ratio ≤ 25% over a 50k prefix)
+        # is a wall-clock wash-to-loss here — lz4 already absorbs the
+        # repetitive bytes.  The knob stays for payload mixes dominated by
+        # low-cardinality strings.  CDM_STAGED_DICT: "off" (default),
+        # "auto" (the prefix probe), "all"/"1" (every string payload col).
+        dict_env = os.environ.get("CDM_STAGED_DICT", "off")
+        str_cols = [
+            f.name
+            for f in manifest.schema
+            if f.name not in key_cols
+            and (pa.types.is_string(f.type) or pa.types.is_large_string(f.type))
+        ]
+        if dict_env in ("0", "off", "") or not str_cols:
+            dict_cols = ()
+        elif dict_env in ("1", "all"):
+            dict_cols = tuple(str_cols)
+        else:
+            sample_ds = ds
+            for t in transforms or []:
+                sample_ds = sample_ds.map_batches(
+                    t, batch_format="pyarrow", batch_size=batch_size
+                )
+            probe_cols = [
+                c for c in str_cols if c in sample_ds.schema().names
+            ]
+            head = (
+                sample_ds.limit(50_000).select_columns(probe_cols).to_pandas()
+                if probe_cols
+                else None
+            )
+            dict_cols = (
+                tuple(
+                    c
+                    for c in probe_cols
+                    if head[c].nunique(dropna=True) <= 0.25 * len(head)
+                )
+                if head is not None and len(head)
+                else ()
+            )
         t_s1 = time.perf_counter()
         stats = folded.map_batches(
             StageWriter(
@@ -459,6 +506,7 @@ def replay(
                 coarse_factor,
                 staged_compression,
                 chaos_dir=chaos_dir,
+                dict_cols=dict_cols,
             ),
             batch_format="pyarrow",
             batch_size=stage_batch,
@@ -466,7 +514,40 @@ def replay(
         t_s1 = time.perf_counter() - t_s1
         parts = sorted(int(p) for p in stats["part"].unique()) if len(stats) else []
         t_s2 = time.perf_counter()
-        if parts and rerun_multiplier > 1:
+        # automatic hot-partition sub-fold: stage 2 folds one dir key's
+        # staged slice in a single task, and auto-salting only caps EXPECTED
+        # skew — a pathological partition (salt miss, post-hoc data change)
+        # could still outgrow one task's memory.  When a dir key's staged
+        # bytes exceed CDM_SUBFOLD_BYTES (default 2 GiB; 0 disables), that
+        # key is routed through the rerun-multiplier sub-slice machinery
+        # (fold event_seq%m row slices → merge partials) with m sized from
+        # the overage — data-dependent, never CPU-dependent, so the job is
+        # identical across cluster sizes.  Driver cost: one listdir per dir
+        # key (≤ coarse dirs, bounded at ~256).
+        auto_m = 0
+        auto_over: set[int] = set()
+        if parts and rerun_multiplier == 1:
+            subfold_bytes = int(
+                os.environ.get("CDM_SUBFOLD_BYTES", str(2 << 30))
+            )
+            if subfold_bytes > 0:
+                worst = 0
+                for k in parts:
+                    pdir = os.path.join(staging_events, f"part={k:05d}")
+                    try:
+                        sz = sum(
+                            e.stat().st_size
+                            for e in os.scandir(pdir)
+                            if e.name.startswith("blk-")
+                        )
+                    except OSError:
+                        continue
+                    if sz > subfold_bytes:
+                        auto_over.add(k)
+                        worst = max(worst, sz)
+                if auto_over:
+                    auto_m = min(16, -(-worst // subfold_bytes))
+        if parts and (rerun_multiplier > 1 or auto_m > 1):
             from cassandra_data_migrator_ray.stages.staging import (
                 fold_staged_subslice,
                 merge_partials_partition,
@@ -483,8 +564,12 @@ def replay(
                     for i in range(coarse_factor)
                 )
             ] if coarse_factor > 1 else [k for k in parts if k not in done]
+            if rerun_multiplier == 1:
+                # auto mode subdivides ONLY the oversized dir keys; the rest
+                # take the normal one-task-per-key fold below
+                pend = [k for k in pend if k in auto_over]
             skip = [k for k in parts if k not in pend]
-            m = int(rerun_multiplier)
+            m = int(rerun_multiplier) if rerun_multiplier > 1 else int(auto_m)
             frames = []
             if pend:
                 sub_ds = ray.data.from_items(
@@ -547,7 +632,11 @@ def replay(
         import os as _os
 
         if _os.environ.get("CDM_RAY_DEBUG_TIMING"):
-            print(f"[replay] stage1={t_s1:.1f}s stage2={t_s2:.1f}s", flush=True)
+            print(
+                f"[replay] stage1={t_s1:.1f}s stage2={t_s2:.1f}s"
+                f" subfold_m={auto_m} subfold_parts={len(auto_over)}",
+                flush=True,
+            )
     else:
         metrics_ds = folded.groupby(PART_COL).map_groups(
             partial(merge_partition_group, cfg), batch_format="pandas"

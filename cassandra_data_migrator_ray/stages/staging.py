@@ -86,7 +86,17 @@ class StageWriter:
         compression: str | None = "auto",
         bytes_fingerprint: bool = False,
         chaos_dir: str | None = None,
+        dict_cols: tuple = (),
     ):
+        # dictionary-encode these (string payload) columns PER SLICE before
+        # the IPC write: stage 2's split/`take`/winner gathers then move
+        # int32 indices instead of string bytes (the fold's hot path is
+        # take-shaped), and the fold decodes once on the winner-sized
+        # output.  Per-slice (not per-batch) encoding keeps each slice's
+        # embedded dictionary to its OWN values — encoding the whole batch
+        # once would embed the full batch dictionary in every one of up to
+        # 256 slice files (huge write amplification).
+        self.dict_cols = tuple(dict_cols)
         self.staging_dir = staging_dir
         self.coarse_factor = max(1, int(coarse_factor))
         # tests only: crash one stage-1 worker AFTER it staged its slices
@@ -168,6 +178,17 @@ class StageWriter:
             slice_tbl = sorted_tbl.slice(lo, hi - lo)
             if self.coarse_factor == 1:
                 slice_tbl = slice_tbl.drop_columns([PART_COL])
+            for c in self.dict_cols:
+                ci = slice_tbl.schema.get_field_index(c)
+                if ci >= 0 and not pa.types.is_dictionary(
+                    slice_tbl.schema.field(ci).type
+                ):
+                    import pyarrow.compute as pc
+
+                    enc = pc.dictionary_encode(slice_tbl.column(ci))
+                    slice_tbl = slice_tbl.set_column(
+                        ci, pa.field(c, enc.type), enc
+                    )
             # Arrow IPC, not parquet: staged slices are transient and tiny —
             # IPC has near-zero open/parse cost and mmaps zero-copy on tmpfs
             tmp = os.path.join(pdir, f".tmp-{os.getpid()}-{i}.arrow")
