@@ -1271,3 +1271,50 @@ class TestTopkByKey:
             tiebreak="id",
         ).to_pandas().sort_values("rk")
         assert got["v"].tolist() == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCollectAutoOtherDetectors:
+    def test_simhash_and_embedding_collect_auto(self):
+        """collect='auto' on the simhash and embedding detectors matches the
+        explicit driver route on a small corpus and the distributed route
+        when forced (plain-source count gate, same rule as minhash)."""
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            dedup_simhash,
+            embedding_neardup,
+        )
+
+        ds = ray.data.from_pandas(docs_df())
+        want = (
+            dedup_simhash(ds, max_hamming=0, collect="driver")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        got = (
+            dedup_simhash(ds, max_hamming=0, collect="auto")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert len(got) > 0
+
+        rng = np.random.default_rng(13)
+        vecs = rng.standard_normal((60, 16))
+        vecs[30:] = vecs[:30]  # 30 exact twins
+        eds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": np.arange(60, dtype=np.int64), "embedding": list(vecs)}
+            )
+        )
+        w2 = (
+            embedding_neardup(eds, threshold=0.99, collect="driver")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        g2 = (
+            embedding_neardup(eds, threshold=0.99, collect="auto")
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(g2, w2)
+        assert len(g2) >= 30
