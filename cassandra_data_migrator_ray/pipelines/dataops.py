@@ -348,7 +348,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.8,
     max_bucket: int = 64,
     verify: str = "driver",
-    collect: str = "driver",
+    collect: str = "auto",
     auto_driver_max_docs: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
@@ -830,7 +830,7 @@ def dedup_simhash(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 256,
-    collect: str = "driver",
+    collect: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash banding (4×16-bit bands) + Hamming verify.
 
@@ -1682,7 +1682,7 @@ def embedding_neardup(
     bits_per_band: int | None = None,
     max_bucket: int = 512,
     verify: str = "driver",
-    collect: str = "driver",
+    collect: str = "auto",
 ) -> ray.data.Dataset:
     """Cosine near-dup pairs via BANDED random-hyperplane LSH + exact verify.
 
@@ -1909,6 +1909,7 @@ def cluster_pairs(
     id_b: str = "id_b",
     mode: str = "driver",
     max_rounds: int = 64,
+    auto_driver_max_pairs: int = 5_000_000,
 ) -> ray.data.Dataset:
     """(node_id, cluster_id) for every node in ``pairs``; cluster_id = the
     component's minimum node id (canonical, order-independent).
@@ -1923,6 +1924,11 @@ def cluster_pairs(
       O(component diameter) rounds (near-dup components are shallow; chain
       graphs are the worst case).  Only (node, label) and (u, v) int rows
       shuffle; nothing but per-round label sums touch the driver.
+    - ``mode="auto"``: driver kernel when the pair list is a plain in-memory
+      /source dataset of ≤ ``auto_driver_max_pairs`` rows (metadata-cheap
+      count); label propagation otherwise — including any transform-bearing
+      lineage (detector ``collect="distributed"`` output), whose count would
+      cost a full execution and whose existence already signals scale.
     """
     empty = pd.DataFrame(
         {
@@ -1930,6 +1936,13 @@ def cluster_pairs(
             "cluster_id": pd.Series([], dtype=np.int64),
         }
     )
+    if mode == "auto":
+        n = pairs.count() if _is_plain_source(pairs) else None
+        mode = (
+            "driver"
+            if n is not None and n <= auto_driver_max_pairs
+            else "distributed"
+        )
     if mode == "distributed":
         return _cluster_pairs_distributed(pairs, id_a, id_b, max_rounds, empty)
     df = pairs.select_columns([id_a, id_b]).to_pandas()
@@ -2048,17 +2061,18 @@ def dedup_apply(
     ds: ray.data.Dataset,
     pairs: ray.data.Dataset,
     id_col: str = "doc_id",
-    mode: str = "driver",
+    mode: str = "auto",
     num_partitions: int | None = None,
+    auto_broadcast_max_drop: int = 10_000_000,
 ) -> ray.data.Dataset:
     """The corpus with every non-keeper duplicate dropped: cluster the
     verified pairs, keep the min-id document of each cluster (plus every
     unpaired document), and filter the corpus.
 
-    - ``mode="driver"`` (default): drop ids are collected once and
-      broadcast (``ray.put`` once, ``np.isin`` per batch) — the corpus
-      never shuffles.  Right while the drop set (bounded by duplicate
-      count, not corpus size) fits one process.
+    - ``mode="driver"``: drop ids are collected once and broadcast
+      (``ray.put`` once, ``np.isin`` per batch) — the corpus never
+      shuffles.  Right while the drop set (bounded by duplicate count, not
+      corpus size) fits one process.
     - ``mode="distributed"``: END-TO-END distributed — clustering runs the
       label-propagation path and the apply is a hash-partitioned ANTI-JOIN
       (:func:`join_by_key` ``how="left"`` + null-marker filter, the same
@@ -2069,15 +2083,49 @@ def dedup_apply(
       30 %-duplicate web crawl puts billions of int64 drop ids (tens of GB)
       beyond one process.  ``num_partitions`` forwards to the join's
       exchange sizing.
+    - ``mode="auto"`` (default): size-gated composition of the two.  Small
+      plain pair lists take the driver route outright; otherwise clustering
+      runs distributed and the apply route is picked from the DROP COUNT
+      (one scalar on the driver): ≤ ``auto_broadcast_max_drop`` ids are
+      gathered and broadcast (the corpus still never shuffles — 10M int64
+      ids is 80 MB, trivially broadcastable), more switches to the
+      anti-join.  The default is therefore safe at every scale without a
+      knob: tiny jobs never pay exchange overhead, huge drop sets never
+      land on the driver.
     """
-    if mode == "distributed":
-        return _dedup_apply_distributed(ds, pairs, id_col, num_partitions)
-    members = cluster_pairs(pairs, mode=mode).to_pandas()
-    if members.empty:  # no pairs → nothing to drop (empty frame is schema-less)
+    if mode == "driver":
+        members = cluster_pairs(pairs, mode="driver").to_pandas()
+        if members.empty:  # no pairs → nothing to drop
+            return ds
+        drop = members.loc[
+            members["node_id"] != members["cluster_id"], "node_id"
+        ].to_numpy(np.int64)
+        return _broadcast_drop(ds, id_col, drop)
+    if mode not in ("distributed", "auto"):
+        raise ValueError(f"unknown dedup_apply mode: {mode!r}")
+    if mode == "auto":
+        n_pairs = pairs.count() if _is_plain_source(pairs) else None
+        if n_pairs is not None and n_pairs <= 5_000_000:
+            return dedup_apply(ds, pairs, id_col=id_col, mode="driver")
+    drop_ds = _drop_ids_distributed(pairs, id_col)
+    n_drop = drop_ds.count()
+    if n_drop == 0:
         return ds
-    drop = members.loc[
-        members["node_id"] != members["cluster_id"], "node_id"
-    ].to_numpy(np.int64)
+    if mode == "auto" and n_drop <= auto_broadcast_max_drop:
+        drop = (
+            drop_ds.select_columns([id_col])
+            .to_pandas()[id_col]
+            .to_numpy(np.int64)
+        )
+        return _broadcast_drop(ds, id_col, drop)
+    return _anti_join_drop(ds, drop_ds, id_col, num_partitions)
+
+
+def _broadcast_drop(
+    ds: ray.data.Dataset, id_col: str, drop: np.ndarray
+) -> ray.data.Dataset:
+    """Membership-filter apply: ``ray.put`` the sorted drop ids once, filter
+    every corpus batch with ``np.isin`` — the corpus never shuffles."""
     if len(drop) == 0:
         return ds
     ref = ray.put(np.sort(drop))
@@ -2090,9 +2138,37 @@ def dedup_apply(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def _dedup_apply_distributed(
+_DROP_MARKER = "__dedup_drop"
+
+
+def _drop_ids_distributed(
+    pairs: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset:
+    """Non-keeper ids as a materialized Dataset (id, marker) — clustering via
+    distributed label propagation; nothing but per-round label sums touch
+    the driver."""
+
+    def non_keepers(t: pa.Table) -> pa.Table:
+        gone = t.filter(pc.not_equal(t["node_id"], t["cluster_id"]))
+        return pa.table(
+            {
+                id_col: pc.cast(gone["node_id"], pa.int64()),
+                _DROP_MARKER: pa.array(
+                    np.ones(len(gone), dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    return (
+        cluster_pairs(pairs, mode="distributed")
+        .map_batches(non_keepers, batch_format="pyarrow")
+        .materialize()  # bounded by duplicate count; object-store resident
+    )
+
+
+def _anti_join_drop(
     ds: ray.data.Dataset,
-    pairs: ray.data.Dataset,
+    drop_ds: ray.data.Dataset,
     id_col: str,
     num_partitions: int | None,
 ) -> ray.data.Dataset:
@@ -2100,35 +2176,15 @@ def _dedup_apply_distributed(
     ``id_col`` and keeps the rows whose marker came back null.  Only int
     (id, marker) rows ride the small side of the exchange; the driver sees
     no ids."""
-    marker = "__dedup_drop"
-
-    def non_keepers(t: pa.Table) -> pa.Table:
-        gone = t.filter(pc.not_equal(t["node_id"], t["cluster_id"]))
-        return pa.table(
-            {
-                id_col: pc.cast(gone["node_id"], pa.int64()),
-                marker: pa.array(
-                    np.ones(len(gone), dtype=np.int8), pa.int8()
-                ),
-            }
-        )
-
-    drop_ds = (
-        cluster_pairs(pairs, mode="distributed")
-        .map_batches(non_keepers, batch_format="pyarrow")
-        .materialize()  # bounded by duplicate count; object-store resident
-    )
-    if drop_ds.count() == 0:
-        return ds
-    if marker in ds.schema().names:
-        raise ValueError(f"corpus already has a {marker!r} column")
+    if _DROP_MARKER in ds.schema().names:
+        raise ValueError(f"corpus already has a {_DROP_MARKER!r} column")
     orig_cols = list(ds.schema().names)
     joined = join_by_key(
         ds, drop_ds, on=id_col, how="left", num_partitions=num_partitions
     )
 
     def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_null(t[marker])).select(orig_cols)
+        return t.filter(pc.is_null(t[_DROP_MARKER])).select(orig_cols)
 
     return joined.map_batches(keep, batch_format="pyarrow")
 
@@ -2138,7 +2194,7 @@ def dedup_near(
     method: str = "minhash",
     text_col: str = "text",
     id_col: str = "doc_id",
-    cluster_mode: str = "driver",
+    cluster_mode: str = "auto",
     **detector_kwargs,
 ) -> ray.data.Dataset:
     """Detect → cluster → apply in one call: the corpus with near-duplicates
@@ -2148,12 +2204,13 @@ def dedup_near(
     for text), "simhash" (Hamming), or "embedding" (cosine; then
     ``text_col``/``id_col`` default to the embeddings schema unless given).
     Detector knobs (threshold, num_perm, max_hamming, n_bands, verify, ...)
-    pass through; ``cluster_mode`` picks the driver union-find + broadcast
-    filter, or the fully distributed path (label propagation + anti-join
-    apply — no member/drop array ever on the driver).  Each stage keeps its
-    own scale shape: detection shuffles ids+hashes only, clustering
-    shuffles int rows only, and the final filter is one broadcast
-    membership pass (driver mode) or one corpus co-partition (distributed).
+    pass through; ``cluster_mode``: ``"driver"`` (union-find + broadcast
+    filter), ``"distributed"`` (label propagation + anti-join apply — no
+    member/drop array ever on the driver), or ``"auto"`` (the default:
+    size-gated, see :func:`dedup_apply`).  Each stage keeps its own scale
+    shape: detection shuffles ids+hashes only, clustering shuffles int rows
+    only, and the final filter is one broadcast membership pass or one
+    corpus co-partition, picked by drop count.
     """
     if method == "exact":
         # exact pairs are born distributed (one hash groupby, no collect step)

@@ -1318,3 +1318,50 @@ class TestCollectAutoOtherDetectors:
         )
         pd.testing.assert_frame_equal(g2, w2)
         assert len(g2) >= 30
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupApplyAuto:
+    def test_auto_routes_all_equal(self):
+        """mode="auto" (the new default): small plain pair lists take the
+        driver route; a transform-bearing pair lineage forces distributed
+        clustering and then picks broadcast vs anti-join by DROP COUNT.
+        All three resolutions must produce the identical corpus."""
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            dedup_apply,
+            exact_dup_pairs,
+        )
+
+        rng = np.random.default_rng(23)
+        n = 2000
+        pool = [f"t{i}" for i in range(1200)]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [pool[i] for i in rng.integers(0, 1200, n)],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(8)
+        pairs = exact_dup_pairs(ds)
+
+        def frame(d):
+            return d.to_pandas().sort_values("doc_id", ignore_index=True)
+
+        want = frame(dedup_apply(ds, pairs, mode="driver"))
+        assert len(want) < n
+        # default auto on a small plain pair list → driver route
+        got_auto = frame(dedup_apply(ds, pairs))
+        pd.testing.assert_frame_equal(got_auto, want, check_dtype=False)
+        # non-plain pair lineage → distributed clustering, drop count small
+        # → broadcast apply (corpus unshuffled)
+        lazy_pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
+        got_bcast = frame(dedup_apply(ds, lazy_pairs, mode="auto"))
+        pd.testing.assert_frame_equal(got_bcast, want, check_dtype=False)
+        # forced-zero broadcast budget → anti-join apply
+        got_join = frame(
+            dedup_apply(
+                ds, lazy_pairs, mode="auto", auto_broadcast_max_drop=0,
+                num_partitions=4,
+            )
+        )
+        pd.testing.assert_frame_equal(got_join, want, check_dtype=False)
