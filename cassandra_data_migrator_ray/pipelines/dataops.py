@@ -2064,6 +2064,7 @@ def dedup_apply(
     mode: str = "auto",
     num_partitions: int | None = None,
     auto_broadcast_max_drop: int = 10_000_000,
+    auto_driver_max_pairs: int = 5_000_000,
 ) -> ray.data.Dataset:
     """The corpus with every non-keeper duplicate dropped: cluster the
     verified pairs, keep the min-id document of each cluster (plus every
@@ -2100,16 +2101,25 @@ def dedup_apply(
         drop = members.loc[
             members["node_id"] != members["cluster_id"], "node_id"
         ].to_numpy(np.int64)
+        LAST_RUN_STATS["dedup_apply"] = {
+            "route": "driver_broadcast", "n_drop": int(len(drop)),
+        }
         return _broadcast_drop(ds, id_col, drop)
     if mode not in ("distributed", "auto"):
         raise ValueError(f"unknown dedup_apply mode: {mode!r}")
     if mode == "auto":
-        n_pairs = pairs.count() if _is_plain_source(pairs) else None
-        if n_pairs is not None and n_pairs <= 5_000_000:
+        # pin the pair list once (object-store resident, spillable, bounded
+        # by duplicate density — NOT driver memory) so the routing count is
+        # metadata-cheap even for detector lineages, and the cluster pass
+        # below never re-executes the detector chain
+        if not _is_plain_source(pairs):
+            pairs = pairs.materialize()
+        if pairs.count() <= auto_driver_max_pairs:
             return dedup_apply(ds, pairs, id_col=id_col, mode="driver")
     drop_ds = _drop_ids_distributed(pairs, id_col)
     n_drop = drop_ds.count()
     if n_drop == 0:
+        LAST_RUN_STATS["dedup_apply"] = {"route": "noop", "n_drop": 0}
         return ds
     if mode == "auto" and n_drop <= auto_broadcast_max_drop:
         drop = (
@@ -2117,7 +2127,14 @@ def dedup_apply(
             .to_pandas()[id_col]
             .to_numpy(np.int64)
         )
+        LAST_RUN_STATS["dedup_apply"] = {
+            "route": "distributed_cluster_broadcast_apply",
+            "n_drop": int(n_drop),
+        }
         return _broadcast_drop(ds, id_col, drop)
+    LAST_RUN_STATS["dedup_apply"] = {
+        "route": "distributed_anti_join", "n_drop": int(n_drop),
+    }
     return _anti_join_drop(ds, drop_ds, id_col, num_partitions)
 
 

@@ -1349,19 +1349,34 @@ class TestDedupApplyAuto:
 
         want = frame(dedup_apply(ds, pairs, mode="driver"))
         assert len(want) < n
+        from cassandra_data_migrator_ray.pipelines.dataops import LAST_RUN_STATS
+
         # default auto on a small plain pair list → driver route
         got_auto = frame(dedup_apply(ds, pairs))
         pd.testing.assert_frame_equal(got_auto, want, check_dtype=False)
-        # non-plain pair lineage → distributed clustering, drop count small
-        # → broadcast apply (corpus unshuffled)
+        assert LAST_RUN_STATS["dedup_apply"]["route"] == "driver_broadcast"
+        # detector lineages are pinned + counted, so small ones STILL take
+        # the driver route
         lazy_pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
-        got_bcast = frame(dedup_apply(ds, lazy_pairs, mode="auto"))
+        got_lazy = frame(dedup_apply(ds, lazy_pairs, mode="auto"))
+        pd.testing.assert_frame_equal(got_lazy, want, check_dtype=False)
+        assert LAST_RUN_STATS["dedup_apply"]["route"] == "driver_broadcast"
+        # forced-zero pair budget → distributed clustering; drop count small
+        # → broadcast apply (corpus unshuffled)
+        got_bcast = frame(
+            dedup_apply(ds, lazy_pairs, mode="auto", auto_driver_max_pairs=0)
+        )
         pd.testing.assert_frame_equal(got_bcast, want, check_dtype=False)
+        assert (
+            LAST_RUN_STATS["dedup_apply"]["route"]
+            == "distributed_cluster_broadcast_apply"
+        )
         # forced-zero broadcast budget → anti-join apply
         got_join = frame(
             dedup_apply(
-                ds, lazy_pairs, mode="auto", auto_broadcast_max_drop=0,
-                num_partitions=4,
+                ds, lazy_pairs, mode="auto", auto_driver_max_pairs=0,
+                auto_broadcast_max_drop=0, num_partitions=4,
             )
         )
         pd.testing.assert_frame_equal(got_join, want, check_dtype=False)
+        assert LAST_RUN_STATS["dedup_apply"]["route"] == "distributed_anti_join"
