@@ -1380,3 +1380,58 @@ class TestDedupApplyAuto:
         )
         pd.testing.assert_frame_equal(got_join, want, check_dtype=False)
         assert LAST_RUN_STATS["dedup_apply"]["route"] == "distributed_anti_join"
+
+
+class TestJaccardVectorizedProperty:
+    def test_matches_per_pair_reference(self):
+        """The one-lexsort Jaccard kernel must agree with a per-pair
+        set-arithmetic reference across random shapes: empty sets, missing
+        docs (-1 rows), duplicate pairs, single-element and disjoint sets."""
+        from hypothesis import given, settings, strategies as st
+
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            _jaccard_vectorized,
+        )
+
+        @settings(max_examples=80, deadline=None)
+        @given(
+            docs=st.lists(
+                st.lists(st.integers(0, 50), min_size=0, max_size=12),
+                min_size=1,
+                max_size=10,
+            ),
+            pair_picks=st.lists(
+                st.tuples(st.integers(-1, 9), st.integers(-1, 9)),
+                min_size=1,
+                max_size=20,
+            ),
+        )
+        def run(docs, pair_picks):
+            sets = [np.unique(np.array(d, dtype=np.int64)) for d in docs]
+            sizes = np.array([len(s) for s in sets], dtype=np.int64)
+            uoff = np.r_[np.int64(0), np.cumsum(sizes)]
+            uhashes = (
+                np.concatenate(sets) if sets else np.empty(0, np.int64)
+            )
+            nd = len(docs)
+            ra = np.array(
+                [a if -1 <= a < nd else -1 for a, _ in pair_picks], dtype=np.int64
+            )
+            rb = np.array(
+                [b if -1 <= b < nd else -1 for _, b in pair_picks], dtype=np.int64
+            )
+            ra = np.where(ra < nd, ra, -1)
+            rb = np.where(rb < nd, rb, -1)
+            got = _jaccard_vectorized(uhashes, uoff, sizes, ra, rb)
+            for j in range(len(ra)):
+                if ra[j] < 0 or rb[j] < 0:
+                    want = 0.0
+                else:
+                    sa, sb = set(sets[ra[j]]), set(sets[rb[j]])
+                    if not sa and not sb:
+                        want = 1.0
+                    else:
+                        want = len(sa & sb) / max(1, len(sa | sb))
+                assert abs(got[j] - want) < 1e-12, (j, got[j], want)
+
+        run()
