@@ -124,9 +124,9 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--max-hamming", type=int, default=3,
                     help="simhash bit distance")
     dd.add_argument("--distributed", action="store_true",
-                    help="keep pair lists off the driver (Bloom-broadcast "
-                         "verify + label-propagation clustering) — the "
-                         "high-dup-density path")
+                    help="FORCE the no-pairs-on-driver path (Bloom-broadcast "
+                         "verify + label-propagation clustering + anti-join "
+                         "apply); default is size-gated auto routing")
 
     c = sub.add_parser("compact", help="rewrite partitions dropping tombstones")
     c.add_argument("--lake", required=True)
@@ -639,12 +639,15 @@ def main(argv: list[str] | None = None) -> int:
                 "minhash", "embedding", "simhash"
             ):
                 kwargs["collect"] = "distributed"
+            # default: the library's size-gated auto routing (driver kernels
+            # below the thresholds, no-pairs-on-driver above); --distributed
+            # forces the scale path end to end
             kept = dedup_near(
                 ds,
                 method=args.method,
                 text_col=args.text_col,
                 id_col=args.id_col,
-                cluster_mode="distributed" if args.distributed else "driver",
+                cluster_mode="distributed" if args.distributed else "auto",
                 **kwargs,
             )
             kept.write_parquet(args.output)
