@@ -1972,71 +1972,95 @@ def _cluster_pairs_distributed(
         )
 
     edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_pandas(empty)
+    # Scale rule learned by measurement: at 10^6 nodes BOTH a per-node
+    # groupby().map_groups round (one interpreter call per node) AND Ray
+    # Data's native per-key aggregate (groupby("node").min — per-group
+    # Python aggregation states inside the blocks) take MINUTES per pass.
+    # Every step here therefore exchanges on a BOUNDED partition id
+    # (≤ nparts groups) and runs numpy sort/reduceat kernels inside each
+    # partition — the same partition-level-groups-only shape as the staged
+    # exchange and join_by_key.
+    nparts = int(max(8, min(256, n_edges // 250_000 or 8)))
+    from cassandra_data_migrator_ray.stages.staging import _hash64 as _mix64
 
-    def init_labels(group: pd.DataFrame) -> pd.DataFrame:
-        u = group["u"].iloc[0]
+    def _tag_part(col: str):
+        def tag(t: pa.Table) -> pa.Table:
+            k = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            p = (_mix64(k) % np.uint64(nparts)).astype(np.int64)
+            return t.append_column("__p", pa.array(p))
+
+        return tag
+
+    def _fold_min(key_in: str, val_in: str, group: pd.DataFrame) -> pd.DataFrame:
+        node = group[key_in].to_numpy(np.int64)
+        lab = group[val_in].to_numpy(np.int64)
+        order = np.lexsort((lab, node))
+        sn, sl = node[order], lab[order]
+        starts = np.flatnonzero(np.r_[True, sn[1:] != sn[:-1]])
         return pd.DataFrame(
+            {"node": sn[starts], "label": np.minimum.reduceat(sl, starts)}
+        )
+
+    # init: label(u) = min(u, min over neighbors) — one bounded exchange
+    def init_fold(group: pd.DataFrame) -> pd.DataFrame:
+        out = _fold_min("u", "v", group)
+        out["label"] = np.minimum(out["node"].to_numpy(), out["label"].to_numpy())
+        return out
+
+    # repartition BEFORE each materialize: the sort-shuffle's output block
+    # count tracks its INPUT block count, and the per-round union feeds the
+    # previous round's blocks back in — without the bound, blocks double
+    # every round (measured 96 → 2016 in 5 rounds at constant 810k rows)
+    # and per-block fixed costs turn the loop exponential.
+    labels = (
+        edges.map_batches(_tag_part("u"), batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(init_fold, batch_format="pandas")
+        .repartition(nparts)
+        .materialize()
+    )
+
+    def as_u(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "node": np.array([u], dtype=np.int64),
-                "label": np.array([min(u, group["v"].min())], dtype=np.int64),
+                "u": pc.cast(t["node"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
             }
         )
 
-    labels = (
-        edges.groupby("u").map_groups(init_labels, batch_format="pandas").materialize()
-    )
+    def proposals(t: pa.Table) -> pa.Table:
+        # edge (u, v) carrying label(u): neighbor v receives the proposal
+        return pa.table(
+            {
+                "node": pc.cast(t["v"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
+            }
+        )
+
     prev_sum = None
     for _ in range(max_rounds):
-        # one exchange per round: edge rows keyed by u meet u's label row;
-        # the group emits u's label as a PROPOSAL to every neighbor v and
-        # keeps u's own row; a second groupby takes the min per node
-        def tag_label(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "key": pc.cast(t["node"], pa.int64()),
-                    "other": pa.nulls(len(t), pa.int64()),
-                    "label": pc.cast(t["label"], pa.int64()),
-                }
-            )
-
-        def tag_edge(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "key": pc.cast(t["u"], pa.int64()),
-                    "other": pc.cast(t["v"], pa.int64()),
-                    "label": pa.nulls(len(t), pa.int64()),
-                }
-            )
-
-        def propose(group: pd.DataFrame) -> pd.DataFrame:
-            lab = group["label"].min()  # the node's current label row
-            nbrs = group["other"].dropna().to_numpy(np.int64)
-            key = np.int64(group["key"].iloc[0])
-            return pd.DataFrame(
-                {
-                    "node": np.concatenate([nbrs, [key]]),
-                    "label": np.full(len(nbrs) + 1, np.int64(lab)),
-                }
-            )
-
-        def fold_min(group: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "node": group["node"].iloc[:1].to_numpy(np.int64),
-                    "label": np.array([group["label"].min()], dtype=np.int64),
-                }
-            )
-
-        union = labels.map_batches(tag_label, batch_format="pyarrow").union(
-            edges.map_batches(tag_edge, batch_format="pyarrow")
-        )
+        # per round: one co-partitioned vectorized join (edges ⨝ labels on
+        # u, partition-level pandas merge inside join_by_key) emits each
+        # node's label to every neighbor, then one bounded exchange folds
+        # proposals ∪ own labels with a numpy reduceat min per partition
+        prop = join_by_key(
+            edges,
+            labels.map_batches(as_u, batch_format="pyarrow"),
+            on="u",
+            how="inner",
+            num_partitions=nparts,
+        ).map_batches(proposals, batch_format="pyarrow")
         labels = (
-            union.groupby("key")
-            .map_groups(propose, batch_format="pandas")
-            .groupby("node")
-            .map_groups(fold_min, batch_format="pandas")
+            labels.union(prop)
+            .map_batches(_tag_part("node"), batch_format="pyarrow")
+            .groupby("__p")
+            .map_groups(
+                partial(_fold_min, "node", "label"), batch_format="pandas"
+            )
+            .repartition(nparts)
             .materialize()
         )
         # labels are nonnegative and only ever DECREASE: an unchanged sum is
