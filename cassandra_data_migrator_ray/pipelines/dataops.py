@@ -200,6 +200,107 @@ def _bucket_candidate_pairs(
     return pd.concat(frames, ignore_index=True)
 
 
+_BUCKET_NPARTS = 128
+
+
+def _bucket_pairs_partition(
+    group: pd.DataFrame, id_col: str, max_bucket: int
+) -> pd.DataFrame:
+    """One PARTITION of LSH buckets → candidate (id_a, id_b) pairs.
+
+    Identical semantics to the per-bucket kernel this replaced (unique
+    sorted ids per bucket, consecutive ``max_bucket`` chunks, aggregated
+    dropped-cross-chunk-pairs metric row id_a=-1), but processed for ALL
+    buckets of the partition in numpy: one lexsort, segment arithmetic, and
+    per-SIZE-CLASS ``triu_indices`` expansion — no interpreter call per
+    bucket.  (Scale lesson from the clustering rewrite: at 10^6+ buckets a
+    per-group Python callback is the stage's dominant cost.)"""
+    ids = group[id_col].to_numpy().astype(np.int64)
+    band = group["band"].to_numpy().astype(np.int64)
+    bh = group["band_hash"].to_numpy().astype(np.int64)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+        }
+    )
+    if len(ids) == 0:
+        return empty
+    order = np.lexsort((ids, bh, band))
+    sid, sb, sh = ids[order], band[order], bh[order]
+    nb = np.zeros(len(sid), dtype=bool)
+    nb[0] = True
+    nb[1:] = (sb[1:] != sb[:-1]) | (sh[1:] != sh[:-1])
+    # drop duplicate ids within a bucket (first occurrence kept; a bucket's
+    # first row is never a duplicate, so the boundary mask stays valid)
+    keep = nb | np.r_[False, sid[1:] != sid[:-1]]
+    sid, nb = sid[keep], nb[keep]
+    n = len(sid)
+    starts = np.flatnonzero(nb)
+    sizes = np.diff(np.r_[starts, n])
+    # consecutive max_bucket chunks within each bucket
+    li = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    ci = li // max_bucket
+    sbm = nb.copy()
+    sbm[1:] |= ci[1:] != ci[:-1]
+    s_starts = np.flatnonzero(sbm)
+    s_sizes = np.diff(np.r_[s_starts, n])
+    frames = []
+    for m in np.unique(s_sizes):
+        if m < 2:
+            continue
+        segs = s_starts[s_sizes == m]
+        ii, jj = np.triu_indices(int(m), k=1)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "id_a": sid[(segs[:, None] + ii[None, :]).ravel()],
+                    "id_b": sid[(segs[:, None] + jj[None, :]).ravel()],
+                }
+            )
+        )
+    dropped = int(
+        (sizes * (sizes - 1) // 2).sum() - (s_sizes * (s_sizes - 1) // 2).sum()
+    )
+    if dropped:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "id_a": np.array([-1], dtype=np.int64),
+                    "id_b": np.array([dropped], dtype=np.int64),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True) if frames else empty
+
+
+def _bucket_pairs_stage(
+    cand_rows: ray.data.Dataset, id_col: str, max_bucket: int
+) -> ray.data.Dataset:
+    """(band, band_hash, id) rows → candidate pairs via ONE bounded exchange
+    (≤ _BUCKET_NPARTS partition groups, buckets co-located by hash) and the
+    vectorized per-partition kernel above."""
+    from cassandra_data_migrator_ray.stages.staging import _hash64 as _mix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        key = bh + np.uint64(0x9E3779B97F4A7C15) * band
+        p = (_mix64(key) % np.uint64(_BUCKET_NPARTS)).astype(np.int64)
+        return t.append_column("__p", pa.array(p))
+
+    return (
+        cand_rows.map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(
+            partial(_bucket_pairs_partition, id_col=id_col, max_bucket=max_bucket),
+            batch_format="pandas",
+        )
+    )
+
+
 def _collect_candidates(cand: ray.data.Dataset, stats_key: str) -> pd.DataFrame:
     """Materialize the deduped candidate pair list (small relative to the
     corpus) and split out truncation metric rows."""
@@ -402,13 +503,10 @@ def dedup_minhash_lsh(
             }
         )
 
-    cand = (
-        ds.map_batches(sig_and_bands, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(
-            partial(_bucket_candidate_pairs, id_col=id_col, max_bucket=max_bucket),
-            batch_format="pandas",
-        )
+    cand = _bucket_pairs_stage(
+        ds.map_batches(sig_and_bands, batch_format="pandas"),
+        id_col,
+        max_bucket,
     )
     empty = pd.DataFrame(
         {
@@ -1754,13 +1852,8 @@ def embedding_neardup(
             )
         return pd.concat(frames, ignore_index=True)
 
-    cand = (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(
-            partial(_bucket_candidate_pairs, id_col=id_col, max_bucket=max_bucket),
-            batch_format="pandas",
-        )
+    cand = _bucket_pairs_stage(
+        ds.map_batches(bucketize, batch_format="pandas"), id_col, max_bucket
     )
     empty = pd.DataFrame(
         {

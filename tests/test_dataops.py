@@ -1435,3 +1435,58 @@ class TestJaccardVectorizedProperty:
                 assert abs(got[j] - want) < 1e-12, (j, got[j], want)
 
         run()
+
+
+class TestBucketPairsPartitionKernel:
+    def test_matches_per_bucket_kernel(self):
+        """The partition-level vectorized bucket kernel must produce exactly
+        the per-bucket kernel's pair multiset and aggregate dropped-pairs
+        metric across random bucket shapes (dup ids, oversized buckets,
+        singletons, many tiny buckets)."""
+        from hypothesis import given, settings, strategies as st
+
+        from cassandra_data_migrator_ray.pipelines.dataops import (
+            _bucket_candidate_pairs,
+            _bucket_pairs_partition,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            rows=st.lists(
+                st.tuples(
+                    st.integers(0, 3),      # band
+                    st.integers(0, 5),      # band_hash
+                    st.integers(0, 40),     # id
+                ),
+                min_size=0,
+                max_size=200,
+            ),
+            max_bucket=st.sampled_from([2, 3, 8, 64]),
+        )
+        def run(rows, max_bucket):
+            df = pd.DataFrame(rows, columns=["band", "band_hash", "doc_id"])
+            got = _bucket_pairs_partition(df, "doc_id", max_bucket)
+            wants = []
+            for _, g in df.groupby(["band", "band_hash"]):
+                wants.append(_bucket_candidate_pairs(g, "doc_id", max_bucket))
+            want = (
+                pd.concat(wants, ignore_index=True)
+                if wants
+                else got.head(0)
+            )
+
+            def norm(d):
+                pairs = d[d["id_a"] >= 0].sort_values(
+                    ["id_a", "id_b"], ignore_index=True
+                )
+                dropped = int(d.loc[d["id_a"] < 0, "id_b"].sum())
+                return pairs, dropped
+
+            gp, gd = norm(got)
+            wp, wd = norm(want)
+            pd.testing.assert_frame_equal(
+                gp, wp.astype(gp.dtypes.to_dict()), check_dtype=False
+            )
+            assert gd == wd
+
+        run()
