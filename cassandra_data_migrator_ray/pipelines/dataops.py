@@ -87,20 +87,24 @@ def dedup_exact(
         return out[[id_col, text_col, "text_hash", "n_dups"]]
 
     def final_fold(group: pd.DataFrame) -> pd.DataFrame:
+        # one PARTITION of text groups (co-located by hash): every op below
+        # is a C-level pandas kernel over the whole partition — no per-text
+        # Python.  Grouping on (hash, text) keeps the collision guard: two
+        # texts colliding on text_hash stay separate groups.
         group = group.sort_values(id_col, kind="mergesort")
-        # guard against cross-batch hash collisions: group on the actual text
-        # (dropna=False — the null-text group is a legitimate document class)
         group = group.copy()
-        group["n_dups"] = group.groupby(text_col, sort=False, dropna=False)[
+        keys = ["text_hash", text_col]
+        group["n_dups"] = group.groupby(keys, sort=False, dropna=False)[
             "n_dups"
         ].transform("sum")
-        out = group.drop_duplicates(subset=[text_col], keep="first")
+        out = group.drop_duplicates(subset=keys, keep="first")
         return out[[id_col, text_col, "n_dups"]]
 
     if carry_text:
         return (
             ds.map_batches(partial_fold, batch_format="pandas")
-            .groupby("text_hash")
+            .map_batches(_tag_part_cols(["text_hash"]), batch_format="pyarrow")
+            .groupby("__p")
             .map_groups(final_fold, batch_format="pandas")
         )
 
@@ -127,17 +131,17 @@ def dedup_exact(
         return out
 
     def final_fold_hash(group: pd.DataFrame) -> pd.DataFrame:
+        # one PARTITION of (h1, h2) groups — C-level groupby within
         group = group.sort_values(id_col, kind="mergesort")
-        return pd.DataFrame(
-            {
-                id_col: group[id_col].iloc[:1].to_numpy(),
-                "n_dups": np.array([int(group["n_dups"].sum())], dtype=np.int64),
-            }
-        )
+        g = group.groupby(["h1", "h2"], sort=False, as_index=False)
+        out = g.first()[[id_col]]
+        out["n_dups"] = g["n_dups"].sum()["n_dups"].to_numpy(np.int64)
+        return out
 
     return (
         ds.map_batches(partial_fold_hash, batch_format="pandas")
-        .groupby(["h1", "h2"])
+        .map_batches(_tag_part_cols(["h1", "h2"]), batch_format="pyarrow")
+        .groupby("__p")
         .map_groups(final_fold_hash, batch_format="pandas")
     )
 
@@ -201,6 +205,26 @@ def _bucket_candidate_pairs(
 
 
 _BUCKET_NPARTS = 128
+
+
+def _tag_part_cols(cols: list, nparts: int = 128):
+    """Append a bounded partition id derived from one or more int64 hash/key
+    columns — the partition-level-groups-only exchange shape (every
+    ``groupby(__p).map_groups`` downstream sees ≤ ``nparts`` groups and
+    vectorizes WITHIN the partition, instead of paying one interpreter call
+    per key at data-scaling key cardinality)."""
+    from cassandra_data_migrator_ray.stages.staging import _hash64 as _mix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        acc = np.zeros(t.num_rows, dtype=np.uint64)
+        for i, c in enumerate(cols):
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            acc ^= _mix64(v + np.int64(2 * i + 1))
+        p = (acc % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("__p", pa.array(p))
+
+    return tag
+
 
 
 def _bucket_pairs_partition(
@@ -350,7 +374,11 @@ def _dedup_pairs_distributed(
         return pd.DataFrame({"dropped": np.array([m["id_b"].sum()], dtype=np.int64)})
 
     def _first_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group[group["id_a"] >= 0].iloc[:1][cols]
+        # one PARTITION of pairs: a C-level drop_duplicates replaces the
+        # per-pair interpreter call (pair duplicates across bands carry
+        # identical payload columns, so keep="first" is exact)
+        real = group[group["id_a"] >= 0]
+        return real.drop_duplicates(subset=["id_a", "id_b"], keep="first")[cols]
 
     verified = verified.materialize()  # pair-proportional — two passes below
     if verified.count() == 0:
@@ -361,7 +389,10 @@ def _dedup_pairs_distributed(
         or 0
     )
     out = (
-        verified.groupby(["id_a", "id_b"])
+        verified.map_batches(
+            _tag_part_cols(["id_a", "id_b"]), batch_format="pyarrow"
+        )
+        .groupby("__p")
         .map_groups(_first_pair, batch_format="pandas")
         .materialize()
     )
@@ -957,7 +988,13 @@ def dedup_simhash(
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
+    def verify_partition(group: pd.DataFrame) -> pd.DataFrame:
+        # one PARTITION of buckets (co-located by (band, band_hash) hash):
+        # lexsort + segment arithmetic + per-size-class triu expansion, the
+        # vectorized Hamming check on the expanded pairs — no interpreter
+        # call per bucket (same rewrite as _bucket_pairs_partition, whose
+        # chunk/dedup/metric semantics are hypothesis-pinned against the
+        # per-bucket reference kernel)
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series([], dtype=np.int64),
@@ -967,47 +1004,55 @@ def dedup_simhash(
         )
         if len(group) < 2:
             return empty
-        group = (
-            group.drop_duplicates(subset=[id_col])
-            .sort_values(id_col, kind="mergesort")
-        )
-        n = len(group)
-        # oversized buckets: chunked all-pairs (never silent truncation) +
-        # a metric row counting the cross-chunk pairs not compared
-        chunks = (
-            [group]
-            if n <= max_bucket
-            else [group.iloc[i : i + max_bucket] for i in range(0, n, max_bucket)]
-        )
+        ids = group[id_col].to_numpy().astype(np.int64)
+        band_a = group["band"].to_numpy().astype(np.int64)
+        bh = group["band_hash"].to_numpy().astype(np.int64)
+        shv = group["simhash"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, bh, band_a))
+        sid, sb, sh_, ssh = ids[order], band_a[order], bh[order], shv[order]
+        nb = np.zeros(len(sid), dtype=bool)
+        nb[0] = True
+        nb[1:] = (sb[1:] != sb[:-1]) | (sh_[1:] != sh_[:-1])
+        keep = nb | np.r_[False, sid[1:] != sid[:-1]]
+        sid, nb, ssh = sid[keep], nb[keep], ssh[keep]
+        n = len(sid)
+        starts = np.flatnonzero(nb)
+        sizes = np.diff(np.r_[starts, n])
+        li = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        ci = li // max_bucket
+        sbm = nb.copy()
+        sbm[1:] |= ci[1:] != ci[:-1]
+        s_starts = np.flatnonzero(sbm)
+        s_sizes = np.diff(np.r_[s_starts, n])
         frames = []
-        for g in chunks:
-            m = len(g)
+        for m in np.unique(s_sizes):
             if m < 2:
                 continue
-            ids = g[id_col].to_numpy()
-            sh = g["simhash"].to_numpy()
-            ii, jj = np.triu_indices(m, k=1)
-            ham = hamming64(sh[ii], sh[jj])
+            segs = s_starts[s_sizes == m]
+            ii, jj = np.triu_indices(int(m), k=1)
+            ai = (segs[:, None] + ii[None, :]).ravel()
+            bi = (segs[:, None] + jj[None, :]).ravel()
+            ham = hamming64(ssh[ai], ssh[bi])
             ok = ham <= max_hamming
             frames.append(
                 pd.DataFrame(
                     {
-                        "id_a": np.minimum(ids[ii][ok], ids[jj][ok]).astype(np.int64),
-                        "id_b": np.maximum(ids[ii][ok], ids[jj][ok]).astype(np.int64),
+                        "id_a": sid[ai][ok],  # ids ascend within a segment
+                        "id_b": sid[bi][ok],
                         "hamming": ham[ok].astype(np.int64),
                     }
                 )
             )
-        if n > max_bucket:
-            total = n * (n - 1) // 2
-            kept = sum(
-                len(g) * (len(g) - 1) // 2 for g in chunks
-            )
+        dropped = int(
+            (sizes * (sizes - 1) // 2).sum()
+            - (s_sizes * (s_sizes - 1) // 2).sum()
+        )
+        if dropped:
             frames.append(
                 pd.DataFrame(
                     {
                         "id_a": np.array([-1], dtype=np.int64),
-                        "id_b": np.array([total - kept], dtype=np.int64),
+                        "id_b": np.array([dropped], dtype=np.int64),
                         "hamming": np.array([-1], dtype=np.int64),
                     }
                 )
@@ -1016,8 +1061,11 @@ def dedup_simhash(
 
     verified = (
         ds.map_batches(bands, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(verify, batch_format="pandas")
+        .map_batches(
+            _tag_part_cols(["band", "band_hash"]), batch_format="pyarrow"
+        )
+        .groupby("__p")
+        .map_groups(verify_partition, batch_format="pandas")
     )
     if collect == "distributed":
         return _dedup_pairs_distributed(
@@ -1952,23 +2000,38 @@ def exact_dup_pairs(
         return batch
 
     def chain(group: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, g in group.groupby(text_col, sort=False, dropna=False):
-            ids = np.sort(g[id_col].to_numpy())
-            if len(ids) > 1:
-                frames.append(pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]}))
-        if not frames:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=np.int64),
-                    "id_b": pd.Series([], dtype=np.int64),
-                }
-            )
-        return pd.concat(frames, ignore_index=True)
+        # one PARTITION of text groups: sort by (hash, text, id), segment on
+        # (hash, text) change (both-null text rows compare equal), and emit
+        # consecutive-id pairs per segment — fully vectorized, no per-text
+        # Python.  Sorting by text inside a hash keeps the collision guard.
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        group = group.sort_values(
+            ["text_hash", text_col, id_col], kind="mergesort", na_position="last"
+        )
+        sh = group["text_hash"].to_numpy(np.int64)
+        stx = group[text_col].to_numpy(dtype=object)
+        sid = group[id_col].to_numpy(np.int64)
+        tnull = pd.isna(group[text_col]).to_numpy()
+        tdiff = stx[1:] != stx[:-1]
+        tdiff &= ~(tnull[1:] & tnull[:-1])
+        same_seg = (sh[1:] == sh[:-1]) & ~tdiff
+        if not same_seg.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": sid[:-1][same_seg], "id_b": sid[1:][same_seg]}
+        )
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("text_hash")
+        .map_batches(_tag_part_cols(["text_hash"]), batch_format="pyarrow")
+        .groupby("__p")
         .map_groups(chain, batch_format="pandas")
     )
 
