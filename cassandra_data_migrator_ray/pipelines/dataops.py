@@ -429,6 +429,7 @@ def _collect_and_verify_distributed(
     threshold: float,
     score_col: str,
     empty: pd.DataFrame,
+    score_vec=None,
 ) -> ray.data.Dataset:
     """The shared ``collect="distributed"`` protocol: dedup the candidate
     pair Dataset (pair-proportional groupby, driver sees two scalars) and
@@ -447,6 +448,7 @@ def _collect_and_verify_distributed(
         threshold,
         score_col,
         empty,
+        score_vec=score_vec,
     )
 
 
@@ -558,6 +560,7 @@ def dedup_minhash_lsh(
             threshold,
             "jaccard",
             empty,
+            score_vec=_jaccard_score_vec,
         )
     pairs = _collect_candidates(cand, "minhash_lsh")
     if pairs.empty:
@@ -573,6 +576,7 @@ def dedup_minhash_lsh(
             threshold,
             "jaccard",
             empty,
+            score_vec=_jaccard_score_vec,
         )
 
     need = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
@@ -613,43 +617,153 @@ def dedup_minhash_lsh(
     return ray.data.from_pandas(out if len(out) else empty)
 
 
-def _attach_payload(group: pd.DataFrame) -> pd.DataFrame:
-    """groupby(doc) combiner: attach the doc's payload row (id_a = -1) to
-    every pair-side row referencing it; payload rows with no sides (Bloom
-    false positives, unpaired docs) emit nothing."""
+def _attach_payload_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """One PARTITION of docs (co-located by doc hash): attach each doc's
+    payload row (id_a = -1) to every pair-side row referencing it via ONE
+    C-level left merge — payload rows with no sides (Bloom false positives,
+    unpaired docs) drop; sides whose doc is missing from the corpus keep a
+    null payload (scored -inf downstream).  Replaces a per-doc
+    groupby().map_groups (one interpreter call per candidate doc)."""
     m = group["id_a"] < 0
-    sides = group[~m]
+    sides = group.loc[~m, ["doc", "id_a", "id_b"]]
     if sides.empty:
-        return sides[["id_a", "id_b", "payload"]]
-    srow = group[m]
-    s = srow["payload"].iloc[0] if len(srow) else None
-    out = sides[["id_a", "id_b"]].copy()
-    out["payload"] = [s] * len(out)
-    return out
-
-
-def _make_pair_score(score_fn, threshold: float, score_col: str):
-    def pair_score(group: pd.DataFrame) -> pd.DataFrame:
-        vals = [v for v in group["payload"]]
-        if len(vals) != 2 or any(v is None for v in vals):
-            score = -np.inf  # a side's doc is missing from the corpus
-        else:
-            score = score_fn(vals[0], vals[1])
-        if score < threshold:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=np.int64),
-                 "id_b": pd.Series([], dtype=np.int64),
-                 score_col: pd.Series([], dtype=np.float64)}
-            )
         return pd.DataFrame(
             {
-                "id_a": group["id_a"].iloc[:1].astype(np.int64),
-                "id_b": group["id_b"].iloc[:1].astype(np.int64),
-                score_col: np.array([score], dtype=np.float64),
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "payload": pd.Series([], dtype=object),
+            }
+        )
+    pay = group.loc[m, ["doc", "payload"]].drop_duplicates("doc")
+    out = sides.merge(pay, on="doc", how="left")
+    return out[["id_a", "id_b", "payload"]]
+
+
+def _make_pair_score_partition(
+    score_fn, threshold: float, score_col: str, score_vec=None
+):
+    """One PARTITION of pairs (two side rows each, co-located by pair
+    hash): sort, segment, and score.  ``score_vec(list_a, list_b) ->
+    np.ndarray`` is the optional vectorized scorer (payload lists may hold
+    None for missing docs — those pairs must score -inf); without it the
+    generic ``score_fn`` runs per pair INSIDE the partition, which is still
+    orders of magnitude cheaper than one map_groups call per pair."""
+
+    def pair_score(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                score_col: pd.Series([], dtype=np.float64),
+            }
+        )
+        if group.empty:
+            return empty
+        group = group.sort_values(["id_a", "id_b"], kind="mergesort")
+        a = group["id_a"].to_numpy(np.int64)
+        b = group["id_b"].to_numpy(np.int64)
+        payload = group["payload"].to_numpy(dtype=object)
+        nbound = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(nbound)
+        sizes = np.diff(np.r_[starts, len(a)])
+        # a well-formed pair has exactly its two side rows; anything else
+        # (side lost, triplicate) scores -inf like the per-group original
+        ok2 = sizes == 2
+        s2 = starts[ok2]
+        pa_list = [payload[i] for i in s2]
+        pb_list = [payload[i + 1] for i in s2]
+        if score_vec is not None:
+            scores = np.asarray(score_vec(pa_list, pb_list), dtype=np.float64)
+        else:
+            scores = np.array(
+                [
+                    (
+                        -np.inf
+                        if x is None or y is None
+                        else score_fn(x, y)
+                    )
+                    for x, y in zip(pa_list, pb_list)
+                ],
+                dtype=np.float64,
+            )
+        keep = scores >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": a[s2][keep],
+                "id_b": b[s2][keep],
+                score_col: scores[keep],
             }
         )
 
     return pair_score
+
+
+def _jaccard_score_vec(pa_list, pb_list) -> np.ndarray:
+    """Vectorized pair scorer for the distributed verify: payloads are the
+    per-doc UNIQUE sorted shingle-hash arrays (None = doc missing → -inf,
+    matching the per-pair scorer)."""
+    n = len(pa_list)
+    segs: list[np.ndarray] = []
+    ra = np.empty(n, dtype=np.int64)
+    rb = np.empty(n, dtype=np.int64)
+    missing = np.zeros(n, dtype=bool)
+    for i, (x, y) in enumerate(zip(pa_list, pb_list)):
+        if x is None or y is None:
+            ra[i] = rb[i] = -1
+            missing[i] = True
+            continue
+        ra[i] = len(segs)
+        segs.append(np.asarray(x, dtype=np.int64))
+        rb[i] = len(segs)
+        segs.append(np.asarray(y, dtype=np.int64))
+    sizes = np.fromiter((len(t) for t in segs), dtype=np.int64, count=len(segs))
+    uoff = np.r_[np.int64(0), np.cumsum(sizes)]
+    uh = np.concatenate(segs) if segs else np.empty(0, dtype=np.int64)
+    out = _jaccard_vectorized(uh, uoff, sizes, ra, rb)
+    out[missing] = -np.inf
+    return out
+
+
+def _cosine_score_vec(pa_list, pb_list) -> np.ndarray:
+    """Vectorized pair scorer for the embedding verify: payloads are the
+    NORMALIZED vectors; one stacked einsum row-dot (None = missing → -inf)."""
+    n = len(pa_list)
+    out = np.full(n, -np.inf, dtype=np.float64)
+    ok = [i for i in range(n) if pa_list[i] is not None and pb_list[i] is not None]
+    if ok:
+        A = np.vstack([np.asarray(pa_list[i], dtype=np.float64) for i in ok])
+        B = np.vstack([np.asarray(pb_list[i], dtype=np.float64) for i in ok])
+        out[np.asarray(ok)] = np.einsum("ij,ij->i", A, B)
+    return out
+
+
+def _attach_and_score(
+    union_ds: ray.data.Dataset,
+    score_fn,
+    threshold: float,
+    score_col: str,
+    score_vec=None,
+) -> ray.data.Dataset:
+    """Shared tail of the distributed verifies: two bounded exchanges — docs
+    co-located by doc hash for the payload attach merge, then pairs
+    co-located by (id_a, id_b) hash for the segment scorer.  ≤ 128 groups
+    per exchange regardless of candidate count."""
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        # pandas-built attach output: tag in Arrow, payload column rides
+        return _tag_part_cols(["id_a", "id_b"])(t)
+
+    return (
+        union_ds.map_batches(_tag_part_cols(["doc"]), batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(_attach_payload_partition, batch_format="pandas")
+        .map_batches(tag_pairs, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(
+            _make_pair_score_partition(score_fn, threshold, score_col, score_vec),
+            batch_format="pandas",
+        )
+    )
 
 
 def _verify_pairs_distributed(
@@ -662,6 +776,7 @@ def _verify_pairs_distributed(
     threshold: float,
     score_col: str,
     empty: pd.DataFrame,
+    score_vec=None,
 ) -> ray.data.Dataset:
     """Distributed exact verification of candidate (id_a, id_b) pairs.
 
@@ -713,13 +828,12 @@ def _verify_pairs_distributed(
         }
     )
 
-    out = (
-        payload_ds.union(ray.data.from_arrow(side))
-        .groupby("doc")
-        .map_groups(_attach_payload, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(_make_pair_score(score_fn, threshold, score_col),
-                    batch_format="pandas")
+    out = _attach_and_score(
+        payload_ds.union(ray.data.from_arrow(side)),
+        score_fn,
+        threshold,
+        score_col,
+        score_vec,
     )
     got = out.to_pandas()
     return ray.data.from_pandas(got if len(got) else empty)
@@ -790,6 +904,7 @@ def _verify_pairs_ds(
     threshold: float,
     score_col: str,
     empty: pd.DataFrame,
+    score_vec=None,
 ) -> ray.data.Dataset:
     """Fully distributed twin of :func:`_verify_pairs_distributed`: the
     candidate pairs stay a Dataset end to end — the driver never holds an
@@ -839,16 +954,15 @@ def _verify_pairs_ds(
             }
         )
 
-    out = (
-        ds.map_batches(doc_payloads, batch_format="pyarrow")
-        .union(pairs.map_batches(pair_sides, batch_format="pyarrow"))
-        .groupby("doc")
-        .map_groups(_attach_payload, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(_make_pair_score(score_fn, threshold, score_col),
-                    batch_format="pandas")
-        .materialize()
-    )
+    out = _attach_and_score(
+        ds.map_batches(doc_payloads, batch_format="pyarrow").union(
+            pairs.map_batches(pair_sides, batch_format="pyarrow")
+        ),
+        score_fn,
+        threshold,
+        score_col,
+        score_vec,
+    ).materialize()
     if out.count() == 0:
         return ray.data.from_pandas(empty)
     return out
@@ -1932,6 +2046,7 @@ def embedding_neardup(
             threshold,
             "cosine",
             empty,
+            score_vec=_cosine_score_vec,
         )
     pairs = _collect_candidates(cand, "embedding_neardup")
     if pairs.empty:
@@ -1947,6 +2062,7 @@ def embedding_neardup(
             threshold,
             "cosine",
             empty,
+            score_vec=_cosine_score_vec,
         )
 
     need = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
