@@ -286,19 +286,26 @@ def counter_rollup(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("user_id", sort=False)["cents"].agg(["sum", "size"]).reset_index()
         return g.rename(columns={"sum": "total_cents", "size": "n"})
 
-    parts = ds.map_batches(partial_sum, batch_format="pyarrow")
+    nparts = _scaled_nparts(ds)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__part"] = _mod_part(df["user_id"].to_numpy(), nparts)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # one PARTITION of users — C-level groupby, no per-user Python
+        out = g.groupby("user_id", sort=False, as_index=False)[
+            ["total_cents", "n"]
+        ].sum()
+        out["total_cents"] = out["total_cents"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
     out = (
-        parts.groupby("user_id")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "user_id": [g["user_id"].iloc[0]],
-                    "total_cents": [np.int64(g["total_cents"].sum())],
-                    "n": [np.int64(g["n"].sum())],
-                }
-            ),
-            batch_format="pandas",
-        )
+        ds.map_batches(partial_sum, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("user_id", ignore_index=True)
@@ -779,26 +786,27 @@ def fingerprint_dup_join(sf_dir: str) -> pd.DataFrame:
         Fingerprint(), batch_format="pandas", concurrency=2
     ).select_columns(["doc_id", "text_hash", "min_shingle_hash"])
 
-    # pair emission INSIDE the fingerprint-key groupby: only (doc_id, 128-bit
-    # key) rows cross the shuffle and the driver sees only the pair list —
-    # never the corpus (replaces the round-2 full-frame pandas self-merge)
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=np.int64),
-                    "id_b": pd.Series([], dtype=np.int64),
-                }
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    # pair emission rides the vectorized bucket stage (dataops._bucket_pairs
+    # _stage: one bounded 128-way exchange keyed by fingerprint hash, all of
+    # a partition's fingerprint groups expanded in numpy — no interpreter
+    # call per fingerprint).  Only (doc_id, 128-bit key) rows cross the
+    # shuffle and the driver sees only the pair list — never the corpus.
+    from cassandra_data_migrator_ray.pipelines.dataops import _bucket_pairs_stage
 
-    out = (
-        fp_ds.groupby(["text_hash", "min_shingle_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    def as_bucket_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": pc.cast(t["text_hash"], pa.int64()),
+                "band_hash": pc.cast(t["min_shingle_hash"], pa.int64()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            }
+        )
+
+    out = _bucket_pairs_stage(
+        fp_ds.map_batches(as_bucket_rows, batch_format="pyarrow"),
+        "doc_id",
+        max_bucket=1 << 30,  # exact join: never chunk a fingerprint group
+    ).to_pandas()
     if "id_a" not in out.columns:
         out = pd.DataFrame(
             {
@@ -1475,20 +1483,31 @@ def tumbling_window_counts(sf_dir: str) -> pd.DataFrame:
         )
         return g.rename(columns={"size": "n", "sum": "total_cents"})
 
-    parts = ds.map_batches(partial_agg, batch_format="pyarrow")
-    out = (
-        parts.groupby(["user_id", "window_start"])
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "user_id": [g["user_id"].iloc[0]],
-                    "window_start": [np.int64(g["window_start"].iloc[0])],
-                    "n": [np.int64(g["n"].sum())],
-                    "total_cents": [np.int64(g["total_cents"].sum())],
-                }
-            ),
-            batch_format="pandas",
+    nparts = _scaled_nparts(ds)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__part"] = _mod_part(
+            df["user_id"].to_numpy() * np.int64(0x9E3779B9)
+            + df["window_start"].to_numpy(),
+            nparts,
         )
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # one PARTITION of (user, window) groups — C-level groupby
+        out = g.groupby(["user_id", "window_start"], sort=False, as_index=False)[
+            ["n", "total_cents"]
+        ].sum()
+        out["window_start"] = out["window_start"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        out["total_cents"] = out["total_cents"].astype(np.int64)
+        return out
+
+    out = (
+        ds.map_batches(partial_agg, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["user_id", "window_start"], ignore_index=True)
@@ -1562,18 +1581,23 @@ def sliding_window_counts(
             {"window_start": uniq, "n": counts.astype(np.int64)}
         )
 
+    nparts = 64  # windows are time-range-proportional; bounded partitions
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__part"] = _mod_part(df["window_start"].to_numpy(), nparts)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("window_start", sort=False, as_index=False)["n"].sum()
+        out["window_start"] = out["window_start"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("window_start")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "window_start": [np.int64(g["window_start"].iloc[0])],
-                    "n": [np.int64(g["n"].sum())],
-                }
-            ),
-            batch_format="pandas",
-        )
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
         .to_pandas()
     )
     out = _typed_empty(out, {"window_start": "int64", "n": "int64"})
