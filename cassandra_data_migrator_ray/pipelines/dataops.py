@@ -2699,6 +2699,24 @@ def sample_stratified(
 # --------------------------------------------------------------------------
 
 
+def _tag_part_any(keys: list, nparts: int = 128):
+    """Pandas twin of :func:`_tag_part_cols` for arbitrary-dtype group keys
+    (strings included): bounded partition id via pandas hash_array."""
+    from pandas.util import hash_array
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(len(df), dtype=np.uint64)
+        for i, c in enumerate(keys):
+            acc ^= hash_array(
+                df[c].to_numpy(), hash_key=f"{i:032d}"[:16], categorize=False
+            )
+        df = df.copy()
+        df["__p"] = (acc % np.uint64(nparts)).astype(np.int64)
+        return df
+
+    return tag
+
+
 def agg_by_key(
     ds: ray.data.Dataset,
     keys,
@@ -2743,24 +2761,42 @@ def agg_by_key(
         return pd.DataFrame(cols).reset_index()
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [g[k].iloc[0]] for k in keys}
+        # one PARTITION of keys (co-located by key hash): a single C-level
+        # groupby-agg folds every key's partials, then means derive
+        spec = {}
+        for out, (col, fn) in aggs.items():
+            if fn in ("sum",):
+                spec[f"{out}__s"] = "sum"
+            elif fn == "count":
+                spec[f"{out}__n"] = "sum"
+            elif fn == "mean":
+                spec[f"{out}__s"] = "sum"
+                spec[f"{out}__n"] = "sum"
+            elif fn == "min":
+                spec[f"{out}__m"] = "min"
+            else:
+                spec[f"{out}__m"] = "max"
+        folded = g.groupby(keys, sort=False, as_index=False).agg(spec)
+        cols = {}
         for out, (col, fn) in aggs.items():
             if fn == "sum":
-                row[out] = [g[f"{out}__s"].sum()]
+                cols[out] = folded[f"{out}__s"]
             elif fn == "count":
-                row[out] = [np.int64(g[f"{out}__n"].sum())]
+                cols[out] = folded[f"{out}__n"].astype(np.int64)
             elif fn == "mean":
-                n = g[f"{out}__n"].sum()
-                row[out] = [g[f"{out}__s"].sum() / n if n else np.nan]
-            elif fn == "min":
-                row[out] = [g[f"{out}__m"].min()]
+                n = folded[f"{out}__n"]
+                cols[out] = folded[f"{out}__s"] / n.where(n != 0)
             else:
-                row[out] = [g[f"{out}__m"].max()]
-        return pd.DataFrame(row)
+                cols[out] = folded[f"{out}__m"]
+        res = folded[keys].copy()
+        for out in aggs:
+            res[out] = cols[out]
+        return res
 
     return (
         ds.map_batches(partial_agg, batch_format="pandas")
-        .groupby(keys)
+        .map_batches(_tag_part_any(keys), batch_format="pandas")
+        .groupby("__p")
         .map_groups(combine, batch_format="pandas")
     )
 
@@ -2799,16 +2835,20 @@ def topk_by_key(
         return b.groupby(keys, sort=False).head(k)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # one PARTITION of keys: the sort + groupby.head/cumcount kernels
+        # are already multi-key C-level — feeding a whole partition instead
+        # of one key removes the per-key interpreter call
         g = g.sort_values(
             sort_cols, ascending=ascending, kind="mergesort", ignore_index=True
         )
         g = g.groupby(keys, sort=False).head(k).reset_index(drop=True)
         g[rank_col] = g.groupby(keys, sort=False).cumcount() + 1
-        return g
+        return g.drop(columns=["__p"])
 
     return (
         ds.map_batches(partial_topk, batch_format="pandas")
-        .groupby(keys)
+        .map_batches(_tag_part_any(keys), batch_format="pandas")
+        .groupby("__p")
         .map_groups(final_topk, batch_format="pandas")
     )
 
@@ -3344,16 +3384,20 @@ def prep_corpus(
             return out
 
     def final_fold(group: pd.DataFrame) -> pd.DataFrame:
+        # one PARTITION of text groups: min-id first row + n_dups sum per
+        # (h1, h2), all C-level
         group = group.sort_values(id_col, kind="mergesort")
-        out = group.iloc[:1].copy()
-        out["n_dups"] = np.int64(group["n_dups"].sum())
-        return out.drop(columns=["h1", "h2"])
+        g = group.groupby(["h1", "h2"], sort=False, as_index=False)
+        out = g.first()
+        out["n_dups"] = g["n_dups"].sum()["n_dups"].to_numpy(np.int64)
+        return out.drop(columns=["h1", "h2", "__p"])
 
     kwargs = {"batch_format": "pandas"}
     if concurrency:
         kwargs["concurrency"] = concurrency
     return (
         ds.map_batches(_ScoreGateCombine, **kwargs)
-        .groupby(["h1", "h2"])
+        .map_batches(_tag_part_cols(["h1", "h2"]), batch_format="pyarrow")
+        .groupby("__p")
         .map_groups(final_fold, batch_format="pandas")
     )
