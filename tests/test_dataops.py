@@ -1490,3 +1490,109 @@ class TestBucketPairsPartitionKernel:
             assert gd == wd
 
         run()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAggTopkFuzz:
+    def test_agg_by_key_random_vs_pandas(self):
+        """Randomized agg_by_key vs a pandas oracle: mixed dtypes, string
+        and multi-column keys, skewed key distributions, all five agg fns —
+        the partition-level combine must be exact for integer sums/counts
+        and min/max, and float-mean-close elsewhere."""
+        from hypothesis import given, settings, strategies as st
+
+        from cassandra_data_migrator_ray.pipelines.dataops import agg_by_key
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            n=st.integers(50, 2000),
+            nkeys=st.integers(1, 200),
+            seed=st.integers(0, 10_000),
+            two_keys=st.booleans(),
+        )
+        def run(n, nkeys, seed, two_keys):
+            rng = np.random.default_rng(seed)
+            df = pd.DataFrame(
+                {
+                    "k": rng.choice([f"k{i}" for i in range(nkeys)], n),
+                    "k2": rng.integers(0, 3, n).astype(np.int64),
+                    "v": rng.integers(-1000, 1000, n).astype(np.int64),
+                }
+            )
+            keys = ["k", "k2"] if two_keys else ["k"]
+            ds = ray.data.from_pandas(df).repartition(4)
+            got = (
+                agg_by_key(
+                    ds,
+                    keys,
+                    {
+                        "s": ("v", "sum"),
+                        "c": (None, "count"),
+                        "lo": ("v", "min"),
+                        "hi": ("v", "max"),
+                        "m": ("v", "mean"),
+                    },
+                )
+                .to_pandas()
+                .sort_values(keys, ignore_index=True)
+            )
+            want = (
+                df.groupby(keys, as_index=False)
+                .agg(
+                    s=("v", "sum"),
+                    c=("v", "size"),
+                    lo=("v", "min"),
+                    hi=("v", "max"),
+                    m=("v", "mean"),
+                )
+                .sort_values(keys, ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(
+                got.astype(want.dtypes.to_dict()), want, check_dtype=False
+            )
+
+        run()
+
+    def test_topk_by_key_random_vs_pandas(self):
+        from hypothesis import given, settings, strategies as st
+
+        from cassandra_data_migrator_ray.pipelines.dataops import topk_by_key
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            n=st.integers(50, 1500),
+            nkeys=st.integers(1, 100),
+            k=st.integers(1, 5),
+            seed=st.integers(0, 10_000),
+            descending=st.booleans(),
+        )
+        def run(n, nkeys, k, seed, descending):
+            rng = np.random.default_rng(seed)
+            df = pd.DataFrame(
+                {
+                    "g": rng.integers(0, nkeys, n).astype(np.int64),
+                    "v": rng.integers(-50, 50, n).astype(np.int64),
+                    "tb": np.arange(n, dtype=np.int64),
+                }
+            )
+            ds = ray.data.from_pandas(df).repartition(4)
+            got = (
+                topk_by_key(ds, "g", "v", k=k, descending=descending, tiebreak="tb")
+                .to_pandas()
+                .sort_values(["g", "rk"], ignore_index=True)
+            )
+            want = df.sort_values(
+                ["g", "v", "tb"], ascending=[True, not descending, True],
+                kind="mergesort",
+            ).groupby("g").head(k).reset_index(drop=True)
+            want["rk"] = want.groupby("g").cumcount() + 1
+            want = want.sort_values(["g", "rk"], ignore_index=True)
+            pd.testing.assert_frame_equal(
+                got[["g", "v", "tb", "rk"]].astype(
+                    want[["g", "v", "tb", "rk"]].dtypes.to_dict()
+                ),
+                want[["g", "v", "tb", "rk"]],
+                check_dtype=False,
+            )
+
+        run()

@@ -321,3 +321,53 @@ class TestRerank:
                 codes, vecs[:2], (cents, books),
                 k=5, nprobe=4, rerank=half, shortlist=150,
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRecallCurve:
+    def test_recall_monotone_and_complete_at_full_probe(self):
+        """Regression pin for the recall@k-vs-nprobe artifact
+        (BENCH/ann_recall_r5.json): on planted graded neighborhoods with
+        macroscopic margins (cos ≈ 1/sqrt(1+σ²D) kept above the background
+        max-cosine), recall@k must rise monotonically with nprobe and reach
+        1.0 when every cell is probed — a probe-bound, not quantization-
+        bound, curve."""
+        rng = np.random.default_rng(31)
+        N, D, K, n_q = 20_000, 32, 5, 8
+        centers = rng.standard_normal((16, D)) * 4
+        vecs = centers[rng.integers(0, 16, N)] + rng.standard_normal((N, D)) * 0.3
+        queries = rng.standard_normal((n_q, D))
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        sigmas = np.linspace(0.01, 0.08, K)
+        pi = 0
+        for i in range(n_q):
+            for j in range(K):
+                vecs[pi] = queries[i] + rng.standard_normal(D) * sigmas[j]
+                pi += 1
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": np.arange(N, dtype=np.int64), "embedding": list(vecs)}
+            )
+        ).repartition(4)
+        cents, books = build_ivfpq_index(
+            ds, None, n_centroids=16, m=8, ksub=64, train_sample=5000
+        )
+        codes = encode_ivfpq(ds, (cents, books))
+        truth = ann_topk(ds, queries, k=K)
+        tsets = {
+            q: set(g["vec_id"].astype(int)) for q, g in truth.groupby("query_id")
+        }
+        recalls = []
+        for nprobe in (1, 4, 16):
+            res = ann_topk_ivfpq(
+                codes, queries, (cents, books), k=K, nprobe=nprobe
+            )
+            got = {
+                q: set(g["vec_id"].astype(int))
+                for q, g in res.groupby("query_id")
+            }
+            recalls.append(
+                np.mean([len(got.get(q, set()) & s) / K for q, s in tsets.items()])
+            )
+        assert recalls == sorted(recalls), recalls  # monotone in nprobe
+        assert recalls[-1] == 1.0, recalls  # full probe finds every plant
