@@ -227,6 +227,57 @@ def _tag_part_cols(cols: list, nparts: int = 128):
 
 
 
+def _bucket_segments(
+    band: np.ndarray, bh: np.ndarray, ids: np.ndarray, max_bucket: int
+):
+    """Shared segment machinery for one PARTITION of LSH buckets: lexsort
+    rows by (band, band_hash, id), drop duplicate ids within a bucket (the
+    first occurrence stays, so the boundary mask remains valid), and chunk
+    each bucket into consecutive ``max_bucket`` runs.
+
+    Returns ``(kept_idx, sid, s_starts, s_sizes, dropped)``: ``kept_idx``
+    maps the deduped sorted positions back to INPUT rows (for gathering
+    side columns like simhash), ``sid`` the deduped sorted ids,
+    ``s_starts``/``s_sizes`` the chunk segments, ``dropped`` the aggregate
+    count of cross-chunk pairs not generated."""
+    order = np.lexsort((ids, bh, band))
+    sid, sb, sh_ = ids[order], band[order], bh[order]
+    nb = np.zeros(len(sid), dtype=bool)
+    nb[0] = True
+    nb[1:] = (sb[1:] != sb[:-1]) | (sh_[1:] != sh_[:-1])
+    keep = nb | np.r_[False, sid[1:] != sid[:-1]]
+    kept_idx = order[keep]
+    sid, nb = sid[keep], nb[keep]
+    n = len(sid)
+    starts = np.flatnonzero(nb)
+    sizes = np.diff(np.r_[starts, n])
+    li = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    ci = li // max_bucket
+    sbm = nb.copy()
+    sbm[1:] |= ci[1:] != ci[:-1]
+    s_starts = np.flatnonzero(sbm)
+    s_sizes = np.diff(np.r_[s_starts, n])
+    dropped = int(
+        (sizes * (sizes - 1) // 2).sum() - (s_sizes * (s_sizes - 1) // 2).sum()
+    )
+    return kept_idx, sid, s_starts, s_sizes, dropped
+
+
+def _expand_segment_pairs(s_starts: np.ndarray, s_sizes: np.ndarray):
+    """Yield (ai, bi) position-index arrays for the all-pairs expansion of
+    every segment, one per SIZE CLASS (``triu_indices`` built once per
+    distinct size, broadcast over that size's segments)."""
+    for m in np.unique(s_sizes):
+        if m < 2:
+            continue
+        segs = s_starts[s_sizes == m]
+        ii, jj = np.triu_indices(int(m), k=1)
+        yield (
+            (segs[:, None] + ii[None, :]).ravel(),
+            (segs[:, None] + jj[None, :]).ravel(),
+        )
+
+
 def _bucket_pairs_partition(
     group: pd.DataFrame, id_col: str, max_bucket: int
 ) -> pd.DataFrame:
@@ -250,42 +301,13 @@ def _bucket_pairs_partition(
     )
     if len(ids) == 0:
         return empty
-    order = np.lexsort((ids, bh, band))
-    sid, sb, sh = ids[order], band[order], bh[order]
-    nb = np.zeros(len(sid), dtype=bool)
-    nb[0] = True
-    nb[1:] = (sb[1:] != sb[:-1]) | (sh[1:] != sh[:-1])
-    # drop duplicate ids within a bucket (first occurrence kept; a bucket's
-    # first row is never a duplicate, so the boundary mask stays valid)
-    keep = nb | np.r_[False, sid[1:] != sid[:-1]]
-    sid, nb = sid[keep], nb[keep]
-    n = len(sid)
-    starts = np.flatnonzero(nb)
-    sizes = np.diff(np.r_[starts, n])
-    # consecutive max_bucket chunks within each bucket
-    li = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
-    ci = li // max_bucket
-    sbm = nb.copy()
-    sbm[1:] |= ci[1:] != ci[:-1]
-    s_starts = np.flatnonzero(sbm)
-    s_sizes = np.diff(np.r_[s_starts, n])
-    frames = []
-    for m in np.unique(s_sizes):
-        if m < 2:
-            continue
-        segs = s_starts[s_sizes == m]
-        ii, jj = np.triu_indices(int(m), k=1)
-        frames.append(
-            pd.DataFrame(
-                {
-                    "id_a": sid[(segs[:, None] + ii[None, :]).ravel()],
-                    "id_b": sid[(segs[:, None] + jj[None, :]).ravel()],
-                }
-            )
-        )
-    dropped = int(
-        (sizes * (sizes - 1) // 2).sum() - (s_sizes * (s_sizes - 1) // 2).sum()
+    _, sid, s_starts, s_sizes, dropped = _bucket_segments(
+        band, bh, ids, max_bucket
     )
+    frames = [
+        pd.DataFrame({"id_a": sid[ai], "id_b": sid[bi]})
+        for ai, bi in _expand_segment_pairs(s_starts, s_sizes)
+    ]
     if dropped:
         frames.append(
             pd.DataFrame(
@@ -749,9 +771,7 @@ def _attach_and_score(
     co-located by (id_a, id_b) hash for the segment scorer.  ≤ 128 groups
     per exchange regardless of candidate count."""
 
-    def tag_pairs(t: pa.Table) -> pa.Table:
-        # pandas-built attach output: tag in Arrow, payload column rides
-        return _tag_part_cols(["id_a", "id_b"])(t)
+    tag_pairs = _tag_part_cols(["id_a", "id_b"])  # built once, not per batch
 
     return (
         union_ds.map_batches(_tag_part_cols(["doc"]), batch_format="pyarrow")
@@ -987,6 +1007,11 @@ def _jaccard_vectorized(
     with a bincount.  Memory and time are pair-set-size proportional, the
     same work the old loop touched one pair at a time."""
     n_pairs = len(ra)
+    if sizes.size == 0:
+        # no doc payloads at all → every pair references a missing doc
+        # (review finding: the eager np.where index crashed on the empty
+        # sizes array where the per-pair loop scored these 0.0)
+        return np.zeros(n_pairs, dtype=np.float64)
     present = (ra >= 0) & (rb >= 0)
     la = np.where(ra >= 0, sizes[np.clip(ra, 0, None)], 0)
     lb = np.where(rb >= 0, sizes[np.clip(rb, 0, None)], 0)
@@ -1122,30 +1147,12 @@ def dedup_simhash(
         band_a = group["band"].to_numpy().astype(np.int64)
         bh = group["band_hash"].to_numpy().astype(np.int64)
         shv = group["simhash"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, bh, band_a))
-        sid, sb, sh_, ssh = ids[order], band_a[order], bh[order], shv[order]
-        nb = np.zeros(len(sid), dtype=bool)
-        nb[0] = True
-        nb[1:] = (sb[1:] != sb[:-1]) | (sh_[1:] != sh_[:-1])
-        keep = nb | np.r_[False, sid[1:] != sid[:-1]]
-        sid, nb, ssh = sid[keep], nb[keep], ssh[keep]
-        n = len(sid)
-        starts = np.flatnonzero(nb)
-        sizes = np.diff(np.r_[starts, n])
-        li = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
-        ci = li // max_bucket
-        sbm = nb.copy()
-        sbm[1:] |= ci[1:] != ci[:-1]
-        s_starts = np.flatnonzero(sbm)
-        s_sizes = np.diff(np.r_[s_starts, n])
+        kept_idx, sid, s_starts, s_sizes, dropped = _bucket_segments(
+            band_a, bh, ids, max_bucket
+        )
+        ssh = shv[kept_idx]
         frames = []
-        for m in np.unique(s_sizes):
-            if m < 2:
-                continue
-            segs = s_starts[s_sizes == m]
-            ii, jj = np.triu_indices(int(m), k=1)
-            ai = (segs[:, None] + ii[None, :]).ravel()
-            bi = (segs[:, None] + jj[None, :]).ravel()
+        for ai, bi in _expand_segment_pairs(s_starts, s_sizes):
             ham = hamming64(ssh[ai], ssh[bi])
             ok = ham <= max_hamming
             frames.append(
@@ -1157,10 +1164,6 @@ def dedup_simhash(
                     }
                 )
             )
-        dropped = int(
-            (sizes * (sizes - 1) // 2).sum()
-            - (s_sizes * (s_sizes - 1) // 2).sum()
-        )
         if dropped:
             frames.append(
                 pd.DataFrame(
@@ -2707,8 +2710,11 @@ def _tag_part_any(keys: list, nparts: int = 128):
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(len(df), dtype=np.uint64)
         for i, c in enumerate(keys):
+            # distinct 16-char key per column (review finding: a 32-digit
+            # zero-pad truncated to 16 chars was all-zeros for EVERY i, so
+            # equal values in two key columns XOR-cancelled to partition 0)
             acc ^= hash_array(
-                df[c].to_numpy(), hash_key=f"{i:032d}"[:16], categorize=False
+                df[c].to_numpy(), hash_key=f"{2 * i + 1:016d}", categorize=False
             )
         df = df.copy()
         df["__p"] = (acc % np.uint64(nparts)).astype(np.int64)

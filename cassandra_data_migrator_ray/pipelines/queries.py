@@ -1584,7 +1584,13 @@ def sliding_window_counts(
     nparts = 64  # windows are time-range-proportional; bounded partitions
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df["__part"] = _mod_part(df["window_start"].to_numpy(), nparts)
+        # partition by the HOP INDEX, not the raw window_start: every
+        # window_start is a multiple of hop_us, and any whole-second hop is
+        # divisible by 64, so raw mod-64 sent EVERY window to partition 0
+        # (review finding — one task folded all partials)
+        df["__part"] = _mod_part(
+            df["window_start"].to_numpy() // np.int64(hop_us), nparts
+        )
         return df
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:

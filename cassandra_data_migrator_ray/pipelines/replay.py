@@ -477,16 +477,13 @@ def replay(
         elif dict_env in ("1", "all"):
             dict_cols = tuple(str_cols)
         else:
-            sample_ds = ds
-            for t in transforms or []:
-                sample_ds = sample_ds.map_batches(
-                    t, batch_format="pyarrow", batch_size=batch_size
-                )
-            probe_cols = [
-                c for c in str_cols if c in sample_ds.schema().names
-            ]
+            # ds already carries the transform chain (folded in above,
+            # before the manifest align) — probing it directly sees the
+            # post-transform columns; re-applying transforms here would
+            # double-transform the sample (review finding)
+            probe_cols = [c for c in str_cols if c in ds.schema().names]
             head = (
-                sample_ds.limit(50_000).select_columns(probe_cols).to_pandas()
+                ds.limit(50_000).select_columns(probe_cols).to_pandas()
                 if probe_cols
                 else None
             )

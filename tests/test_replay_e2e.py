@@ -241,6 +241,22 @@ class TestRerunMultiplier:
         replay(full[full["event_seq"] < 4000].reset_index(drop=True), lake, num_parts=8)
         replay(full[full["event_seq"] >= 4000].reset_index(drop=True), lake, num_parts=8)
         assert_matches_oracle(lake, full)
+        if mode == "auto":
+            # review finding: the auto probe must run on the ALREADY-
+            # transformed stream — re-applying the transform chain here
+            # crashed (Constant appends a duplicate column on the second
+            # application)
+            from cassandra_data_migrator_ray.functions.transforms import Constant
+
+            lake_t = str(tmp_path / "lake_t")
+            replay(
+                full[full["event_seq"] < 4000].reset_index(drop=True),
+                lake_t,
+                num_parts=4,
+                transforms=[Constant({"src": "probe"})],
+            )
+            got = read_lake_pandas(lake_t)
+            assert (got["src"] == "probe").all()
 
     def test_auto_subfold_oversized_partition(self, tmp_path, monkeypatch, capsys):
         """Size-triggered automatic sub-fold (round-4 verdict #5): a dir key

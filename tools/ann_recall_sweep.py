@@ -1,7 +1,10 @@
 """Recall@k vs nprobe sweep for IVF-PQ (round-5 verdict #7).
 
-Corpus: 200k x 64-d clustered vectors (64 centers) + 16 planted colinear
-twins of the query set. Truth = brute-force exact cosine top-k. Reports
+Corpus: 200k x 64-d clustered background (64 centers) + 32 queries each
+with a planted graded neighborhood of k=10 vectors at noise sigma
+0.01..0.10 (cosine ~0.99 down to ~0.78, kept above the ~0.56 background
+max-cosine so the true top-10 has macroscopic margins). Truth =
+brute-force exact cosine top-k. Reports
 recall@10 for raw ADC and for exact-rerank (shortlist=100), plus search wall,
 for nprobe in {1,2,4,8,16,32,64}. One JSON line to stdout.
 """
