@@ -227,6 +227,41 @@ def _tag_part_cols(cols: list, nparts: int = 128):
 
 
 
+def _auto_lsh_params(
+    n: int,
+    max_bucket: int,
+    threshold: float,
+    n_bands_default: int = 8,
+    target_recall: float = 0.9,
+) -> tuple:
+    """Size (bits_per_band, n_bands) for the hyperplane-LSH detector from
+    the corpus count — jointly, so neither knob silently eats recall.
+
+    bits: target expected bucket occupancy ≤ ``max_bucket // 2`` so a
+    bucket fits ONE all-pairs chunk — the old rule targeted occupancy
+    ~4096 against a 512-row chunk cap, which beyond ~2M vectors dropped
+    ~7/8 of every bucket's pairs (logged, but still a recall cliff).
+    Floor 12 preserves the small-corpus behavior every gate pins.
+
+    bands: raising bits lowers the per-band match probability
+    p_band = p^bits (p = 1 − arccos(threshold)/π, the hyperplane
+    collision probability), so when bits rise above the floor the band
+    count rises to keep predicted recall 1 − (1 − p_band)^bands ≥
+    ``target_recall`` (capped at 32 — band rows cost n×bands on the
+    shuffle, 3 ints each).  At or below the floor the default band count
+    is returned unchanged."""
+    occ_target = max(2, max_bucket // 2)
+    bits = max(12, int(np.ceil(np.log2(max(n / occ_target, 2.0)))))
+    bands = n_bands_default
+    if bits > 12:
+        p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+        p_band = p**bits
+        if 0.0 < p_band < 1.0:
+            need = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p_band)))
+            bands = min(32, max(n_bands_default, need))
+    return bits, bands
+
+
 def _bucket_segments(
     band: np.ndarray, bh: np.ndarray, ids: np.ndarray, max_bucket: int
 ):
@@ -1981,11 +2016,14 @@ def embedding_neardup(
         # the whole chain; plain source reads stay unpinned
         ds = _ensure_multipass(ds)
         n_total = max(1, ds.count())
-        bits_per_band = max(12, int(np.ceil(np.log2(max(n_total / 4096.0, 2.0)))))
+        bits_per_band, n_bands = _auto_lsh_params(
+            n_total, max_bucket, threshold, n_bands
+        )
         _log.info(
-            "embedding_neardup: auto bits_per_band=%d for n=%d "
+            "embedding_neardup: auto bits_per_band=%d n_bands=%d for n=%d "
             "(expected bucket occupancy ~%d)",
             bits_per_band,
+            n_bands,
             n_total,
             max(1, n_total >> bits_per_band),
         )

@@ -1596,3 +1596,33 @@ class TestAggTopkFuzz:
             )
 
         run()
+
+
+class TestAutoLshParams:
+    def test_sizing_rules(self):
+        """Joint (bits, bands) auto-sizing: small corpora keep the pinned
+        (12, default) behavior exactly; large corpora keep expected bucket
+        occupancy within one all-pairs chunk AND predicted recall >= 0.9 by
+        raising the band count as bits rise."""
+        from cassandra_data_migrator_ray.pipelines.dataops import _auto_lsh_params
+
+        # small corpora: unchanged floor, default bands
+        for n in (100, 10_000, 1_000_000):
+            bits, bands = _auto_lsh_params(n, 512, 0.95)
+            assert bits == 12 and bands == 8, (n, bits, bands)
+
+        for n in (4_000_000, 16_000_000, 1_000_000_000):
+            bits, bands = _auto_lsh_params(n, 512, 0.95)
+            # occupancy fits one chunk: no within-bucket pair drops
+            assert n / (1 << bits) <= 512, (n, bits)
+            # predicted recall at the threshold stays >= 0.9 (or the band
+            # cap was hit)
+            p = 1.0 - np.arccos(0.95) / np.pi
+            recall = 1.0 - (1.0 - p**bits) ** bands
+            assert recall >= 0.9 or bands == 32, (n, bits, bands, recall)
+            assert bands <= 32
+
+        # tighter thresholds need fewer bands (higher per-band match prob)
+        _, bands_99 = _auto_lsh_params(16_000_000, 512, 0.99)
+        _, bands_95 = _auto_lsh_params(16_000_000, 512, 0.95)
+        assert bands_99 <= bands_95
